@@ -1,0 +1,140 @@
+"""Snapshot-diff CDC — the reference's incremental sync, as one join.
+
+The reference classifies every source document against a persisted
+``{_id → md5}`` state and the target key-set using driver-side hashtable
+probes (``Start-IncrementalSync``, private/Sync.ps1:125-163):
+
+- key in state/target, hash differs   -> UPDATED
+- key in state/target, hash equal     -> UNCHANGED
+- key not in target                   -> NEW
+- target key absent from the source   -> DELETED
+
+Here the whole classification is a single full-outer join on the key plus
+a ``when`` ladder — one shuffle, fully distributed, no driver-side state.
+At 100 TB the state side is a narrow ``(key, row_hash)`` projection; when
+it is small relative to the source (steady-state syncs) AQE selects a
+broadcast join automatically.
+
+State persistence (reference: sync_state_<t>.json, Sync.ps1:296-349) is a
+parquet state table; the streaming analogue lives in
+``streaming/cdc_stream.py`` (foreachBatch upsert + checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nosql_to_sql_migration_tool_spark.functions.hashing import row_hash, scalar_columns
+
+CHANGE_TYPES = ("NEW", "UPDATED", "DELETED", "UNCHANGED")
+
+
+def with_row_hash(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    hash_col: str = "row_hash",
+) -> DataFrame:
+    """Attach the canonical MD5 row hash (Get-DocumentHash parity,
+    Sync.ps1:351-393). Hash covers key-sorted top-level scalars only."""
+    return df.withColumn(hash_col, row_hash(df, cols))
+
+
+def snapshot_state(df: DataFrame, key: str, hash_col: str = "row_hash") -> DataFrame:
+    """Build the persisted sync state from a snapshot: ``(key, row_hash)``.
+
+    Replaces the reference's DocumentHashes map (Sync.ps1:296-349)."""
+    return with_row_hash(df, hash_col=hash_col).select(key, hash_col)
+
+
+def snapshot_diff(
+    source: DataFrame,
+    state: DataFrame,
+    key: str,
+    hash_col: str = "row_hash",
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Classify every key as NEW / UPDATED / DELETED / UNCHANGED.
+
+    ``source`` is the current snapshot (full schema); ``state`` is the
+    persisted ``(key, row_hash)``. Returns all source columns + the key
+    (non-null even for DELETED rows) + ``change_type``.
+    """
+    src = with_row_hash(source, hash_col=hash_col).withColumnRenamed(key, f"__src_{key}")
+    st = state.select(
+        F.col(key).alias(f"__st_{key}"), F.col(hash_col).alias(f"__st_{hash_col}")
+    )
+    joined = src.join(
+        st, src[f"__src_{key}"] == st[f"__st_{key}"], "full_outer"
+    )
+    change = (
+        F.when(st[f"__st_{key}"].isNull(), F.lit("NEW"))
+        .when(src[f"__src_{key}"].isNull(), F.lit("DELETED"))
+        .when(F.col(hash_col) != F.col(f"__st_{hash_col}"), F.lit("UPDATED"))
+        .otherwise(F.lit("UNCHANGED"))
+    )
+    data_cols = [c for c in source.columns if c != key]
+    return joined.select(
+        F.coalesce(F.col(f"__src_{key}"), F.col(f"__st_{key}")).alias(key),
+        *data_cols,
+        F.col(hash_col),
+        change.alias(change_col),
+    )
+
+
+def apply_changes(
+    target: DataFrame,
+    diff: DataFrame,
+    key: str,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """MERGE semantics on an immutable store: rewrite the target snapshot as
+    (target minus DELETED minus UPDATED) union (NEW union UPDATED).
+
+    Vanilla parquet has no ACID MERGE; the reference applies per-row
+    INSERT/UPDATE/DELETE DML (Sync.ps1:179-247). The distributed
+    equivalent is an anti-join + union — one shuffle on the key, and the
+    unchanged majority of the target is rewritten without modification.
+    On a transactional table format this operator maps 1:1 onto MERGE.
+    """
+    changed_keys = diff.filter(
+        F.col(change_col).isin("UPDATED", "DELETED")
+    ).select(key)
+    upserts = diff.filter(F.col(change_col).isin("NEW", "UPDATED")).select(
+        *target.columns
+    )
+    kept = target.join(changed_keys, key, "left_anti")
+    return kept.unionByName(upserts)
+
+
+def sync(
+    source: DataFrame,
+    state: DataFrame | None,
+    key: str,
+    hash_col: str = "row_hash",
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental-sync round: ``(diff, new_state)``.
+
+    With no prior state every row classifies as NEW (full sync fallback,
+    Sync.ps1:62-65). New state carries the source's hashes forward —
+    the reference's carry-forward of unchanged hashes (Sync.ps1:250-256)
+    is implicit because hashes are recomputed from the source snapshot.
+    """
+    if state is None:
+        diff = with_row_hash(source, hash_col=hash_col).withColumn(
+            "change_type", F.lit("NEW")
+        )
+    else:
+        diff = snapshot_diff(source, state, key, hash_col=hash_col)
+    new_state = (
+        diff.filter(F.col("change_type") != "DELETED").select(key, hash_col)
+    )
+    return diff, new_state
+
+
+def diff_counts(diff: DataFrame, change_col: str = "change_type") -> DataFrame:
+    """Sync-report counters (Export-SyncReport, Sync.ps1:720-772)."""
+    return (
+        diff.groupBy(change_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(change_col)
+    )

@@ -1,0 +1,67 @@
+"""Source registry for the engine's test tables.
+
+The reference discovers source collections via MongoDB ``listCollections``
+(reference: public/MasterWorkflow.ps1:186-221) and probes connectivity per
+endpoint (private/Connection_DB.ps1:17-218). Here the catalog is a parquet
+directory per scale factor; the same operators accept any DataFrame, so a
+MongoDB/JDBC connector source plugs in behind ``load_table`` without
+touching operator code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver-generated tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame. Lazy — Catalyst pushes filters and
+    column pruning into this scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register every table as a temp view so operators can be expressed in
+    SQL where that is clearer (equivalent Catalyst plan either way).
+
+    Mirrors the reference's catalog listing (MasterWorkflow.ps1:186-221):
+    ``spark.catalog.listTables()`` afterwards plays the role of
+    ``listCollections``.
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_collections(spark: SparkSession) -> list[str]:
+    """Catalog listing, filtering system tables like the reference filters
+    ``system.*`` collections (MasterWorkflow.ps1:197-208)."""
+    return [
+        t.name
+        for t in spark.catalog.listTables()
+        if not t.name.startswith("system")
+    ]
