@@ -1,0 +1,109 @@
+"""The reference's relational query surface (SURVEY.md §2B) as composable
+DataFrame operators.
+
+The reference executes these shapes as embedded SQL strings against
+MySQL/SQL Server (counts, key projections, point lookups, duplicate
+detection, pagination) and as driver-side hashtable probes (the three CDC
+joins). Each is one declarative Spark plan here — Catalyst handles
+pushdown/pruning; joins on a key shuffle once and broadcast automatically
+when one side is small (AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nosql_to_sql_migration_tool_spark.operators.cdc import with_row_hash
+
+
+def count_rows(df: DataFrame) -> DataFrame:
+    """SELECT COUNT(*) (reference: Migration_Validation.ps1:78-80)."""
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def project_keys(df: DataFrame, key: str) -> DataFrame:
+    """Target key-set scan (Get-AllSQLRecords, Sync.ps1:509-541) — column
+    pruning makes this a single-column parquet read."""
+    return df.select(key)
+
+
+def point_lookup(df: DataFrame, key: str, value) -> DataFrame:
+    """SELECT * WHERE key = ? (Get-SQLRecord, Migration_Validation.ps1:221-264).
+    Predicate pushes into the scan."""
+    return df.filter(F.col(key) == F.lit(value))
+
+
+def null_key_count(df: DataFrame, key: str) -> DataFrame:
+    """Integrity check (a): NULL primary keys
+    (Test-DataIntegrity, Migration_Validation.ps1:382-384)."""
+    return df.filter(F.col(key).isNull()).agg(F.count(F.lit(1)).alias("n"))
+
+
+def duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    """Integrity check (b): GROUP BY key HAVING count > 1
+    (Migration_Validation.ps1:391-398). Map-side partial aggregation makes
+    this one narrow shuffle of (key, partial-count) pairs at any scale."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def tail_sample(df: DataFrame, order_key: str, n: int) -> DataFrame:
+    """Deterministic 'last N' sample — the reference samples the tail of a
+    collection (`Get-MdbcData -Last N`, Analyze_scheme.ps1:62). Spark: sort
+    descending + limit; Catalyst plans a TakeOrderedAndProject (no full
+    sort at scale)."""
+    return df.orderBy(F.col(order_key).desc()).limit(n)
+
+
+def new_keys(source: DataFrame, target_keys: DataFrame, key: str) -> DataFrame:
+    """Source∖Target anti-semi-join: documents not yet in the target
+    (Sync.ps1:147-154, hand-rolled hash-set probe in the reference)."""
+    return source.join(target_keys.select(key), key, "left_anti")
+
+
+def deleted_keys(target_keys: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Target∖Source anti-join: rows deleted upstream (Sync.ps1:157-163)."""
+    return target_keys.select(key).join(source.select(key), key, "left_anti")
+
+
+def updated_rows(
+    source: DataFrame, state: DataFrame, key: str, hash_col: str = "row_hash"
+) -> DataFrame:
+    """Source⋈State equi-join + hash inequality: changed rows
+    (Sync.ps1:130-145)."""
+    src = with_row_hash(source, hash_col=hash_col)
+    st = state.select(F.col(key), F.col(hash_col).alias("__state_hash"))
+    return (
+        src.join(st, key, "inner")
+        .filter(F.col(hash_col) != F.col("__state_hash"))
+        .drop("__state_hash")
+    )
+
+
+def insert_missing_columns(target: DataFrame, rows: DataFrame) -> DataFrame:
+    """NULL-filled insert: append rows that may lack target columns
+    (Invoke-InsertDocument NULL-fills the full column list,
+    Sync.ps1:584-599). ``unionByName(allowMissingColumns=True)`` NULL-fills
+    both directions — also the add-only schema-drift path (Sync.ps1:441-469)."""
+    return target.unionByName(rows, allowMissingColumns=True)
+
+
+def delete_by_keys(target: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """DELETE WHERE key IN (...) (Invoke-DeleteDocument, Sync.ps1:690-718)
+    as a left anti-join — one shuffle, broadcast when the key list is small."""
+    return target.join(keys.select(key), key, "left_anti")
+
+
+def upsert_last_wins(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """REPLACE INTO semantics (Invoke-DocumentMigration,
+    Data_Migration.ps1:246-247): idempotent load keeps one row per key,
+    last-writer-wins by ``order_col``. ``max_by`` over a struct of all
+    columns = single shuffle, no window sort."""
+    data_cols = [c for c in df.columns if c != key]
+    packed = df.groupBy(key).agg(
+        F.max_by(F.struct(*data_cols), F.col(order_col)).alias("__row")
+    )
+    return packed.select(key, *[F.col(f"__row.{c}").alias(c) for c in data_cols])

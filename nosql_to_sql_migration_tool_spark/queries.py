@@ -100,3 +100,186 @@ def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = changed_customer_source(customer)
     state = snapshot_state(customer, "c_custkey")
     return diff_counts(snapshot_diff(source, state, "c_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# M1: relational surface of SURVEY.md §2B
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators import relational as R  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query("count_rows", "SELECT count(*) AS n FROM orders")
+def q_count_rows(spark, sf_dir):
+    """Count reconciliation scan (Migration_Validation.ps1:78-80)."""
+    return R.count_rows(load_table(spark, sf_dir, "orders"))
+
+
+@query("project_keys", "SELECT o_orderkey FROM orders")
+def q_project_keys(spark, sf_dir):
+    """Key-set scan (Get-AllSQLRecords, Sync.ps1:509-541)."""
+    return R.project_keys(load_table(spark, sf_dir, "orders"), "o_orderkey")
+
+
+@query("point_lookup", "SELECT * FROM customer WHERE c_custkey = 100")
+def q_point_lookup(spark, sf_dir):
+    """Point lookup (Get-SQLRecord, Migration_Validation.ps1:237-242)."""
+    return R.point_lookup(load_table(spark, sf_dir, "customer"), "c_custkey", 100)
+
+
+@query("null_pk_count", "SELECT count(*) AS n FROM customer WHERE c_custkey IS NULL")
+def q_null_pk_count(spark, sf_dir):
+    """Integrity: NULL-PK count (Migration_Validation.ps1:382-384)."""
+    return R.null_key_count(load_table(spark, sf_dir, "customer"), "c_custkey")
+
+
+@query(
+    "dup_pk",
+    "SELECT c_custkey, count(*) AS cnt FROM customer "
+    "GROUP BY c_custkey HAVING count(*) > 1",
+)
+def q_dup_pk(spark, sf_dir):
+    """Integrity: duplicate-PK detection (Migration_Validation.ps1:391-398)."""
+    return R.duplicate_keys(load_table(spark, sf_dir, "customer"), "c_custkey")
+
+
+@query(
+    "dup_fk_lineitem",
+    "SELECT l_orderkey, count(*) AS cnt FROM lineitem "
+    "GROUP BY l_orderkey HAVING count(*) > 1",
+)
+def q_dup_fk_lineitem(spark, sf_dir):
+    """Same duplicate-detection shape on a key that genuinely repeats."""
+    return R.duplicate_keys(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+@query(
+    "tail_sample",
+    "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 100",
+)
+def q_tail_sample(spark, sf_dir):
+    """Deterministic 'last N docs' sample (Get-MdbcData -Last,
+    Analyze_scheme.ps1:62) — TakeOrderedAndProject, no full sort."""
+    return R.tail_sample(load_table(spark, sf_dir, "orders"), "o_orderkey", 100)
+
+
+_CDC_NEW_ORACLE = f"""
+WITH src AS ({CHANGED_CUSTOMER_SOURCE_SQL})
+SELECT s.* FROM src s LEFT JOIN customer t USING (c_custkey)
+WHERE t.c_custkey IS NULL
+"""
+
+
+@query("cdc_new_rows", _CDC_NEW_ORACLE)
+def q_cdc_new_rows(spark, sf_dir):
+    """Source∖Target anti-join: NEW documents (Sync.ps1:147-154)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return R.new_keys(changed_customer_source(customer), customer, "c_custkey")
+
+
+_CDC_DELETED_ORACLE = f"""
+WITH src AS ({CHANGED_CUSTOMER_SOURCE_SQL})
+SELECT t.c_custkey FROM customer t LEFT JOIN src s USING (c_custkey)
+WHERE s.c_custkey IS NULL
+"""
+
+
+@query("cdc_deleted_keys", _CDC_DELETED_ORACLE)
+def q_cdc_deleted_keys(spark, sf_dir):
+    """Target∖Source anti-join: DELETED keys (Sync.ps1:157-163)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return R.deleted_keys(customer, changed_customer_source(customer), "c_custkey")
+
+
+_CDC_UPDATED_ORACLE = f"""
+WITH src AS ({CHANGED_CUSTOMER_SOURCE_SQL}),
+srch AS (
+  SELECT *, {row_hash_sql(_CUSTOMER_SCHEMA)} AS row_hash FROM src
+),
+sth AS (
+  SELECT c_custkey, {row_hash_sql(_CUSTOMER_SCHEMA)} AS state_hash FROM customer
+)
+SELECT s.* FROM srch s JOIN sth t USING (c_custkey)
+WHERE s.row_hash <> t.state_hash
+"""
+
+
+@query("cdc_updated_rows", _CDC_UPDATED_ORACLE)
+def q_cdc_updated_rows(spark, sf_dir):
+    """Inner join + hash inequality: UPDATED rows (Sync.ps1:130-145).
+    Emits the MD5 row hash itself — value-level cross-engine check of the
+    canonicalization contract."""
+    customer = load_table(spark, sf_dir, "customer")
+    state = snapshot_state(customer, "c_custkey")
+    return R.updated_rows(changed_customer_source(customer), state, "c_custkey")
+
+
+_INSERT_NULLFILLED_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       CAST(NULL AS VARCHAR) AS loyalty_tier
+FROM customer
+UNION ALL
+SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       'T' || CAST(c_custkey % 3 AS VARCHAR) AS loyalty_tier
+FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
+@query("insert_nullfilled", _INSERT_NULLFILLED_ORACLE)
+def q_insert_nullfilled(spark, sf_dir):
+    """NULL-filled insert with schema drift: incoming rows carry an extra
+    ``loyalty_tier`` column absent from the target (Invoke-InsertDocument
+    NULL-filling, Sync.ps1:584-599; add-only drift, Sync.ps1:441-469)."""
+    customer = load_table(spark, sf_dir, "customer")
+    drifted = (
+        customer.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn(
+            "loyalty_tier",
+            F.concat(F.lit("T"), (F.col("c_custkey") % 3).cast("string")),
+        )
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(20_000_000))
+    )
+    return R.insert_missing_columns(customer, drifted)
+
+
+@query(
+    "delete_by_keys",
+    "SELECT t.* FROM customer t LEFT JOIN "
+    "(SELECT c_custkey FROM customer WHERE c_custkey % 11 = 0) d USING (c_custkey) "
+    "WHERE d.c_custkey IS NULL",
+)
+def q_delete_by_keys(spark, sf_dir):
+    """Key-delete as anti-join (Invoke-DeleteDocument, Sync.ps1:690-718)."""
+    customer = load_table(spark, sf_dir, "customer")
+    doomed = customer.filter(F.col("c_custkey") % 11 == 0).select("c_custkey")
+    return R.delete_by_keys(customer, doomed, "c_custkey")
+
+
+_UPSERT_ORACLE = """
+WITH versions AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 1 AS version
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0, c_mktsegment, 2 AS version
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, version
+FROM versions
+QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1
+"""
+
+
+@query("upsert_last_wins", _UPSERT_ORACLE)
+def q_upsert_last_wins(spark, sf_dir):
+    """REPLACE INTO semantics (Data_Migration.ps1:246-247): last-writer-wins
+    dedup by key via ``max_by`` over a packed struct — one shuffle, no
+    window sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    v1 = customer.withColumn("version", F.lit(1))
+    v2 = (
+        customer.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(10.0))
+        .withColumn("version", F.lit(2))
+    )
+    return R.upsert_last_wins(v1.unionByName(v2), "c_custkey", "version")
