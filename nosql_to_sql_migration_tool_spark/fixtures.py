@@ -40,6 +40,84 @@ def changed_customer_source(customer: DataFrame) -> DataFrame:
     return updated.unionByName(new_rows)
 
 
+def ragged_documents(customer: DataFrame) -> DataFrame:
+    """FIXTURES.md B1: schemaless-document fixture for schema inference,
+    derived from ``customer``. Mirrors the document population of the
+    reference's inference tests (Tests/Analyze_scheme.Tests.ps1:41-133):
+    flat fields, a nested object, a primitive array, an array of objects,
+    type conflicts, and nulls — all deterministic functions of the key.
+
+    Layout per key ``k``:
+      name    : string c_name;  integer k%1000 when k%23==7 (type conflict)
+      age     : integer k%90+18; null when k%19==4; string when k%17==5
+      address : {city, zip} object, present when k%5==0
+      tags    : ["t0".."t2"], 1+k%3 elements, present when k%4==1
+      items   : [{sku, qty}] 1 element (2 when k%12==2), present when k%6==2
+    """
+    k = F.col("c_custkey")
+    age = (k % 90 + 18).cast("string")
+    age_json = (
+        F.when(k % 19 == 4, F.lit("null"))
+        .when(k % 17 == 5, F.concat(F.lit('"'), age, F.lit('"')))
+        .otherwise(age)
+    )
+    name_json = F.when(k % 23 == 7, (k % 1000).cast("string")).otherwise(
+        F.concat(F.lit('"'), F.col("c_name"), F.lit('"'))
+    )
+    address = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lit(', "address": {"city": "'),
+            F.col("c_mktsegment"),
+            F.lit('", "zip": "Z'),
+            (k % 100000).cast("string"),
+            F.lit('"}'),
+        ),
+    ).otherwise(F.lit(""))
+    tag_body = (
+        F.when(k % 3 == 0, F.lit('"t0"'))
+        .when(k % 3 == 1, F.lit('"t0", "t1"'))
+        .otherwise(F.lit('"t0", "t1", "t2"'))
+    )
+    tags = F.when(
+        k % 4 == 1, F.concat(F.lit(', "tags": ['), tag_body, F.lit("]"))
+    ).otherwise(F.lit(""))
+    item1 = F.concat(
+        F.lit('{"sku": "S'),
+        (k % 50).cast("string"),
+        F.lit('", "qty": '),
+        (k % 7).cast("string"),
+        F.lit("}"),
+    )
+    item2 = F.concat(
+        F.lit(', {"sku": "S'),
+        ((k + 1) % 50).cast("string"),
+        F.lit('", "qty": '),
+        ((k + 1) % 7).cast("string"),
+        F.lit("}"),
+    )
+    items = F.when(
+        k % 6 == 2,
+        F.concat(
+            F.lit(', "items": ['),
+            item1,
+            F.when(k % 12 == 2, item2).otherwise(F.lit("")),
+            F.lit("]"),
+        ),
+    ).otherwise(F.lit(""))
+    doc = F.concat(
+        F.lit('{"name": '),
+        name_json,
+        F.lit(', "age": '),
+        age_json,
+        address,
+        tags,
+        items,
+        F.lit("}"),
+    )
+    return customer.select(k.alias("doc_id"), doc.alias("doc"))
+
+
 CHANGED_CUSTOMER_SOURCE_SQL = f"""
 SELECT c_custkey,
        c_name,

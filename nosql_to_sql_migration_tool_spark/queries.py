@@ -283,3 +283,113 @@ def q_upsert_last_wins(spark, sf_dir):
         .withColumn("version", F.lit(2))
     )
     return R.upsert_last_wins(v1.unionByName(v2), "c_custkey", "version")
+
+
+# ---------------------------------------------------------------------------
+# M2: distributed schema inference (Get-MongoDBSchema / Analyze-DocumentStructure,
+# reference private/Analyze_scheme.ps1:1-228; majority vote Sql_Schema_Generator.ps1:416)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.infer import infer_schema  # noqa: E402
+from nosql_to_sql_migration_tool_spark.fixtures import ragged_documents  # noqa: E402
+
+_INFER_PROPS_ORACLE = """
+WITH kv AS (
+  SELECT event_id, unnest(json_keys(props::JSON)) AS path, props
+  FROM events WHERE props IS NOT NULL
+),
+typed AS (
+  SELECT event_id, path,
+         CASE json_type(props::JSON, '$.' || path)
+           WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+           WHEN 'INTEGER' THEN 'integer' WHEN 'DOUBLE' THEN 'number'
+           WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'NULL' THEN 'null' WHEN 'OBJECT' THEN 'object'
+           WHEN 'ARRAY' THEN 'array' END AS dtype,
+         CASE WHEN json_type(props::JSON, '$.' || path) = 'VARCHAR'
+              THEN length(json_extract_string(props, '$.' || path)) END AS str_len
+  FROM kv
+),
+hist AS (SELECT path, dtype, count(*) AS cnt FROM typed GROUP BY 1, 2),
+maj AS (
+  SELECT path, dtype AS majority_type FROM (
+    SELECT path, dtype,
+           row_number() OVER (PARTITION BY path ORDER BY cnt DESC, dtype DESC) AS rn
+    FROM hist
+  ) WHERE rn = 1
+)
+SELECT t.path, count(DISTINCT t.event_id) AS n_docs, count(*) AS n_values,
+       max(t.str_len) AS max_len, any_value(m.majority_type) AS majority_type
+FROM typed t JOIN maj m ON t.path = m.path
+GROUP BY t.path
+"""
+
+
+@query("infer_props_schema", _INFER_PROPS_ORACLE)
+def q_infer_props_schema(spark, sf_dir):
+    """Schema inference over the schemaless ``events.props`` JSON column —
+    DuckDB independently derives paths/types with its JSON functions."""
+    events = load_table(spark, sf_dir, "events")
+    return infer_schema(events, "props", "event_id")
+
+
+# Oracle strategy for the ragged fixture: rebuild the *exploded path rows*
+# in SQL from the fixture's deterministic layout (fixtures.ragged_documents),
+# then aggregate with the same generic stats logic the operator uses.
+_INFER_RAGGED_ORACLE = """
+WITH base AS (SELECT c_custkey AS k, c_name, c_mktsegment FROM customer),
+paths AS (
+  SELECT k AS doc_id, 'name' AS path,
+         CASE WHEN k % 23 = 7 THEN 'integer' ELSE 'string' END AS dtype,
+         CASE WHEN k % 23 = 7 THEN NULL ELSE length(c_name) END AS str_len
+  FROM base
+  UNION ALL
+  SELECT k, 'age',
+         CASE WHEN k % 19 = 4 THEN 'null'
+              WHEN k % 17 = 5 THEN 'string' ELSE 'integer' END,
+         CASE WHEN k % 19 <> 4 AND k % 17 = 5
+              THEN length(CAST(k % 90 + 18 AS VARCHAR)) END
+  FROM base
+  UNION ALL SELECT k, 'address', 'object', NULL FROM base WHERE k % 5 = 0
+  UNION ALL SELECT k, 'address.city', 'string', length(c_mktsegment)
+            FROM base WHERE k % 5 = 0
+  UNION ALL SELECT k, 'address.zip', 'string',
+                   length('Z' || CAST(k % 100000 AS VARCHAR))
+            FROM base WHERE k % 5 = 0
+  UNION ALL SELECT k, 'tags', 'array', NULL FROM base WHERE k % 4 = 1
+  UNION ALL SELECT k, 'tags[]', 'string', 2 FROM base WHERE k % 4 = 1
+  UNION ALL SELECT k, 'tags[]', 'string', 2 FROM base WHERE k % 4 = 1 AND k % 3 >= 1
+  UNION ALL SELECT k, 'tags[]', 'string', 2 FROM base WHERE k % 4 = 1 AND k % 3 = 2
+  UNION ALL SELECT k, 'items', 'array', NULL FROM base WHERE k % 6 = 2
+  UNION ALL SELECT k, 'items[]', 'object', NULL FROM base WHERE k % 6 = 2
+  UNION ALL SELECT k, 'items[]', 'object', NULL FROM base WHERE k % 12 = 2
+  UNION ALL SELECT k, 'items[].sku', 'string',
+                   length('S' || CAST(k % 50 AS VARCHAR)) FROM base WHERE k % 6 = 2
+  UNION ALL SELECT k, 'items[].sku', 'string',
+                   length('S' || CAST((k + 1) % 50 AS VARCHAR))
+            FROM base WHERE k % 12 = 2
+  UNION ALL SELECT k, 'items[].qty', 'integer', NULL FROM base WHERE k % 6 = 2
+  UNION ALL SELECT k, 'items[].qty', 'integer', NULL FROM base WHERE k % 12 = 2
+),
+hist AS (SELECT path, dtype, count(*) AS cnt FROM paths GROUP BY 1, 2),
+maj AS (
+  SELECT path, dtype AS majority_type FROM (
+    SELECT path, dtype,
+           row_number() OVER (PARTITION BY path ORDER BY cnt DESC, dtype DESC) AS rn
+    FROM hist
+  ) WHERE rn = 1
+)
+SELECT p.path, count(DISTINCT p.doc_id) AS n_docs, count(*) AS n_values,
+       max(p.str_len) AS max_len, any_value(m.majority_type) AS majority_type
+FROM paths p JOIN maj m ON p.path = m.path
+GROUP BY p.path
+"""
+
+
+@query("infer_ragged_schema", _INFER_RAGGED_ORACLE)
+def q_infer_ragged_schema(spark, sf_dir):
+    """Recursive inference over ragged documents (nested object, primitive
+    array, array of objects, type conflicts, nulls) — the FIXTURES.md B1
+    population derived deterministically from ``customer``."""
+    customer = load_table(spark, sf_dir, "customer")
+    return infer_schema(ragged_documents(customer), "doc", "doc_id")

@@ -30,10 +30,23 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# events.ts is written as parquet TIMESTAMP(NANOS), which Spark cannot read
+# natively (PARQUET_TYPE_ILLEGAL). We read it as a nanos long
+# (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
+# timestamps. The DuckDB oracle must apply the identical truncation; this
+# is the pinned expression (DuckDB reads the column as TIMESTAMP_NS):
+EVENTS_TS_ORACLE = "make_timestamp(epoch_ns(ts) // 1000)"
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame. Lazy — Catalyst pushes filters and
     column pruning into this scan."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
