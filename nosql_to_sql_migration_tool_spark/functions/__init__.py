@@ -1,4 +1,6 @@
 from nosql_to_sql_migration_tool_spark.functions.normalize import (
+    hash_canon,
+    hash_canon_sql,
     normalize_for_comparison,
     normalize_sql,
 )
@@ -11,6 +13,8 @@ from nosql_to_sql_migration_tool_spark.functions.hashing import (
 
 __all__ = [
     "HASH_SEP",
+    "hash_canon",
+    "hash_canon_sql",
     "normalize_for_comparison",
     "normalize_sql",
     "row_hash",

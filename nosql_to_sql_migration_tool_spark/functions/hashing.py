@@ -7,6 +7,11 @@ fields, canonical stringification, MD5 — but hash a separator-joined
 canonical string instead of engine JSON, because JSON formatting is the
 likeliest cross-engine divergence point (SURVEY.md §7.2 item 1).
 
+The per-field **hash canon** (``functions/normalize.py``) makes the join
+injective: strings escape the ``\\x1f`` separator, and NULL gets a marker
+distinct from every value (so NULL↔"" flips classify as UPDATED, matching
+the reference's untrimmed stringification).
+
 Entirely JVM-side in Spark (``md5(concat_ws(...))``) — no Python UDF, so
 it stays inside whole-stage codegen and scales to 100 TB scans.
 """
@@ -16,13 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from nosql_to_sql_migration_tool_spark.functions.normalize import (
-    normalize_for_comparison,
-    normalize_sql,
+    HASH_SEP,
+    hash_canon,
+    hash_canon_sql,
 )
-
-# Unit separator: cannot appear in normalized values of the scalar types we
-# hash, so the concatenation is injective.
-HASH_SEP = "\x1f"
 
 _SCALAR_TYPES = (
     T.StringType,
@@ -52,8 +54,8 @@ def scalar_columns(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[str]:
 def row_hash(df: DataFrame, cols: list[str] | None = None) -> Column:
     """MD5 hex of the canonical, key-sorted scalar projection."""
     names = cols if cols is not None else scalar_columns(df)
-    types = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
-    parts = [normalize_for_comparison(F.col(c), types[c]) for c in sorted(names)]
+    types = {f.name: f.dataType for f in df.schema.fields}
+    parts = [hash_canon(F.col(c), types[c]) for c in sorted(names)]
     return F.md5(F.concat_ws(HASH_SEP, *parts))
 
 
@@ -61,6 +63,6 @@ def row_hash_sql(schema: T.StructType, cols: list[str] | None = None) -> str:
     """DuckDB SQL expression computing the identical hash (oracle side)."""
     types = {f.name: f.dataType for f in schema.fields}
     names = sorted(cols if cols is not None else types)
-    parts = [normalize_sql(c, types[c]) for c in names]
+    parts = [hash_canon_sql(c, types[c]) for c in names]
     joined = f" || '{HASH_SEP}' || ".join(parts)
     return f"md5({joined})"

@@ -16,17 +16,33 @@ it is small relative to the source (steady-state syncs) AQE selects a
 broadcast join automatically.
 
 State persistence (reference: sync_state_<t>.json, Sync.ps1:296-349) is a
-parquet state table; the streaming analogue lives in
-``streaming/cdc_stream.py`` (foreachBatch upsert + checkpoint).
+parquet state table — ``save_state`` / ``load_state`` below.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
 
 from nosql_to_sql_migration_tool_spark.functions.hashing import row_hash, scalar_columns
 
 CHANGE_TYPES = ("NEW", "UPDATED", "DELETED", "UNCHANGED")
+
+
+def save_state(state: DataFrame, path: str) -> None:
+    """Persist the ``(key, row_hash)`` sync state between runs
+    (Save-SyncState, Sync.ps1:331-349)."""
+    state.write.mode("overwrite").parquet(path)
+
+
+def load_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Load persisted sync state; ``None`` (missing/unreadable state)
+    means the caller falls back to a full sync — the reference's
+    corrupt-state fallback (Get-SyncState, Sync.ps1:296-329)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 
 def with_row_hash(

@@ -136,8 +136,15 @@ def schema_stats(paths: DataFrame, n_samples: int = 0) -> DataFrame:
 
 
 def infer_schema(
-    df: DataFrame, doc_col: str, id_col: str
+    df: DataFrame, doc_col: str, id_col: str, sample_docs: int | None = None
 ) -> DataFrame:
     """Sample-based inference pipeline: ``Get-MongoDBSchema`` parity.
-    Callers bound the sample upstream (``df.limit(n)``)."""
+
+    ``sample_docs`` bounds the Python-side document walk (the reference
+    defaults to 100 docs, Analyze_scheme.ps1:41) — the explicit guard that
+    keeps a careless caller from walking a full 100 TB table through
+    ``mapInPandas``. ``None`` = caller already bounded the input (the
+    declared test queries run the full small fixture deliberately)."""
+    if sample_docs is not None:
+        df = df.limit(sample_docs)
     return schema_stats(explode_json_paths(df, doc_col, id_col))

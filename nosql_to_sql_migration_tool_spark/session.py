@@ -21,6 +21,14 @@ def get_spark(app_name: str = "nosql_to_sql_migration_tool_spark") -> SparkSessi
     200 empty partitions, while AQE coalesces further at runtime.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Driver heap must be fixed before the JVM launches — a builder config
+    # is a silent no-op once getOrCreate starts the gateway, so inject it
+    # via PYSPARK_SUBMIT_ARGS (only effective if the JVM isn't up yet).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -31,7 +39,10 @@ def get_spark(app_name: str = "nosql_to_sql_migration_tool_spark") -> SparkSessi
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long
+        # (sources/registry.py truncates to micros). Session-level so
+        # loading a table never mutates conf mid-session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,9 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.get_spark sets nanosAsLong at build time; driver-owned
+        # sessions may not have it, so ensure it here (idempotent — always
+        # the same value, never flipped mid-session).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Floor-division nanos→micros (pmod keeps it exact integer math):
+        # plain `div` truncates toward zero, which diverges from the
+        # DuckDB oracle's floor `//` for pre-1970 timestamps.
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -76,3 +76,27 @@ def test_majority_tie_breaks_deterministically(spark):
     stats = {r.path: r for r in infer_schema(df, "doc", "doc_id").collect()}
     # 1-1 tie -> lexicographically largest type name wins (pinned rule)
     assert stats["x"].majority_type == "string"
+
+
+def test_sample_bound_limits_walk(spark):
+    stats = infer_schema(
+        _docs_df(spark), "doc", "doc_id", sample_docs=2
+    ).collect()
+    by = {r.path: r for r in stats}
+    assert by["name"].n_docs == 2  # only the bounded sample was walked
+
+
+def test_events_props_is_flat(duck):
+    """The infer_props_schema ORACLE only walks top-level JSON keys; the
+    Spark operator recurses. Parity holds because events.props is flat —
+    this guard makes a future data change fail loudly here rather than
+    silently in the oracle (ADVICE.md round 1)."""
+    nested = duck.execute(
+        """
+        SELECT count(*) FROM (
+          SELECT unnest(json_keys(props::JSON)) AS key, props FROM events
+          WHERE props IS NOT NULL
+        ) WHERE json_type(props::JSON, '$.' || key) IN ('OBJECT', 'ARRAY')
+        """
+    ).fetchone()[0]
+    assert nested == 0
