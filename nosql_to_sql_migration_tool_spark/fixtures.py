@@ -118,6 +118,73 @@ def ragged_documents(customer: DataFrame) -> DataFrame:
     return customer.select(k.alias("doc_id"), doc.alias("doc"))
 
 
+def nested_customer(customer: DataFrame) -> DataFrame:
+    """Typed nested-document fixture for the normalization operators
+    (SURVEY.md §1.4 / M3): flat scalars + a nested object + an array of
+    primitives + an array of objects, all deterministic functions of the
+    key, with NULLs so 'no child row for absent object' is exercised.
+
+    Layout per key ``k``:
+      _id     : k
+      name    : c_name                     (flat scalar)
+      acctbal : c_acctbal                  (flat scalar)
+      address : {city, zip}                NULL when k%5==4
+      tags    : ["t0"..], 1+k%3 elements   NULL when k%7==3
+      items   : [{sku, qty}], 1+k%2 elems  NULL when k%6==5
+    """
+    k = F.col("c_custkey")
+    address = F.when(
+        k % 5 != 4,
+        F.struct(
+            F.col("c_mktsegment").alias("city"),
+            F.concat(F.lit("Z"), (k % 1000).cast("string")).alias("zip"),
+        ),
+    )
+    tags = F.when(
+        k % 7 != 3,
+        F.slice(
+            F.array(F.lit("t0"), F.lit("t1"), F.lit("t2")),
+            F.lit(1),
+            (k % 3 + 1).cast("int"),
+        ),
+    )
+    item = lambda off: F.struct(  # noqa: E731
+        F.concat(F.lit("S"), ((k + off) % 50).cast("string")).alias("sku"),
+        ((k + off) % 7).alias("qty"),
+    )
+    items = F.when(
+        k % 6 != 5,
+        F.slice(F.array(item(0), item(1)), F.lit(1), (k % 2 + 1).cast("int")),
+    )
+    return customer.select(
+        k.alias("_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        address.alias("address"),
+        tags.alias("tags"),
+        items.alias("items"),
+    )
+
+
+NESTED_CUSTOMER_SQL = """
+SELECT c_custkey AS _id,
+       c_name AS name,
+       c_acctbal AS acctbal,
+       CASE WHEN c_custkey % 5 <> 4 THEN struct_pack(
+            city := c_mktsegment,
+            zip := 'Z' || CAST(c_custkey % 1000 AS VARCHAR)) END AS address,
+       CASE WHEN c_custkey % 7 <> 3 THEN list_slice(
+            ['t0', 't1', 't2'], 1, CAST(c_custkey % 3 + 1 AS INT)) END AS tags,
+       CASE WHEN c_custkey % 6 <> 5 THEN list_slice([
+            struct_pack(sku := 'S' || CAST(c_custkey % 50 AS VARCHAR),
+                        qty := c_custkey % 7),
+            struct_pack(sku := 'S' || CAST((c_custkey + 1) % 50 AS VARCHAR),
+                        qty := (c_custkey + 1) % 7)
+            ], 1, CAST(c_custkey % 2 + 1 AS INT)) END AS items
+FROM customer
+"""
+
+
 CHANGED_CUSTOMER_SOURCE_SQL = f"""
 SELECT c_custkey,
        c_name,

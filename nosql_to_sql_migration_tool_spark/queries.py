@@ -393,3 +393,74 @@ def q_infer_ragged_schema(spark, sf_dir):
     population derived deterministically from ``customer``."""
     customer = load_table(spark, sf_dir, "customer")
     return infer_schema(ragged_documents(customer), "doc", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M3: document -> relational normalization (New-SQLSchema intended semantics,
+# reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    NESTED_CUSTOMER_SQL,
+    nested_customer,
+)
+from nosql_to_sql_migration_tool_spark.operators import normalize_docs as N  # noqa: E402
+
+
+@query(
+    "normalize_main_table",
+    f"WITH docs AS ({NESTED_CUSTOMER_SQL})\n"
+    "SELECT _id, name, acctbal FROM docs",
+)
+def q_normalize_main_table(spark, sf_dir):
+    """Main-table projection: flat scalars only, nested/array fields routed
+    to child tables (New-TableDefinition, Sql_Schema_Generator.ps1:199-248)."""
+    docs = nested_customer(load_table(spark, sf_dir, "customer"))
+    return N.main_table(docs, "_id")
+
+
+@query(
+    "child_nested_object",
+    f"WITH docs AS ({NESTED_CUSTOMER_SQL})\n"
+    "SELECT _id AS customer__id, address.city AS city, address.zip AS zip\n"
+    "FROM docs WHERE address IS NOT NULL",
+)
+def q_child_nested_object(spark, sf_dir):
+    """Nested object -> child table (parent FK + one column per leaf); no
+    child row when the document lacks the object
+    (New-NestedTableDefinition, Sql_Schema_Generator.ps1:250-295)."""
+    docs = nested_customer(load_table(spark, sf_dir, "customer"))
+    return N.flatten_struct(docs, "_id", "address", "customer")
+
+
+@query(
+    "child_array_of_objects",
+    f"WITH docs AS ({NESTED_CUSTOMER_SQL}),\n"
+    "ex AS (SELECT _id, CAST(generate_subscripts(items, 1) - 1 AS INT)\n"
+    "         AS array_index, unnest(items) AS elem\n"
+    "       FROM docs WHERE items IS NOT NULL)\n"
+    "SELECT _id AS customer__id, array_index, elem.sku AS sku,\n"
+    "       elem.qty AS qty FROM ex",
+)
+def q_child_array_of_objects(spark, sf_dir):
+    """Array of objects -> child table with 0-based ``array_index``
+    ordinal (posexplode pos; New-ArrayObjectTableDefinition,
+    Sql_Schema_Generator.ps1:297-345)."""
+    docs = nested_customer(load_table(spark, sf_dir, "customer"))
+    return N.explode_array_of_structs(docs, "_id", "items", "customer")
+
+
+@query(
+    "child_array_of_primitives",
+    f"WITH docs AS ({NESTED_CUSTOMER_SQL})\n"
+    "SELECT _id AS customer__id,\n"
+    "       CAST(generate_subscripts(tags, 1) - 1 AS INT) AS array_index,\n"
+    "       unnest(tags) AS value\n"
+    "FROM docs WHERE tags IS NOT NULL",
+)
+def q_child_array_of_primitives(spark, sf_dir):
+    """Array of primitives -> child table with ``array_index`` + typed
+    ``value`` column (New-ArrayPrimitiveTableDefinition,
+    Sql_Schema_Generator.ps1:347-402)."""
+    docs = nested_customer(load_table(spark, sf_dir, "customer"))
+    return N.explode_array_of_primitives(docs, "_id", "tags", "customer")
