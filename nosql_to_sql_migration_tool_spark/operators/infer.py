@@ -103,13 +103,18 @@ def explode_json_paths(
     ).mapInPandas(gen, PATHS_SCHEMA)
 
 
-def schema_stats(paths: DataFrame, n_samples: int = 0) -> DataFrame:
+def schema_stats(
+    paths: DataFrame, n_samples: int = 0, with_type_set: bool = False
+) -> DataFrame:
     """Stage 2: per-path statistics.
 
     Output: ``path, n_docs, n_values, majority_type, max_len`` and, when
     ``n_samples`` > 0, ``samples`` (bounded distinct values are only
     meaningful for debugging/display — they are excluded from the
-    deterministic query surface).
+    deterministic query surface). ``with_type_set`` adds the full type
+    *presence* set (sorted) — the reference's ArrayElementTypes histogram
+    keys, needed by the DDL planner's element-type priority rule
+    (Sql_Schema_Generator.ps1:383-392).
 
     Majority vote ties break toward the lexicographically largest type
     name — a pinned, deterministic rule (the reference's sort is
@@ -131,6 +136,8 @@ def schema_stats(paths: DataFrame, n_samples: int = 0) -> DataFrame:
                 "samples"
             )
         )
+    if with_type_set:
+        aggs.append(F.sort_array(F.collect_set("dtype")).alias("type_set"))
     base = paths.groupBy("path").agg(*aggs)
     return base.join(majority, "path")
 

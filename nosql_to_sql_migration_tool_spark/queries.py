@@ -396,6 +396,37 @@ def q_infer_ragged_schema(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Type mapping: inferred stats -> SQL types (Convert-MongoTypeToSQL,
+# reference private/Sql_Schema_Generator.ps1:404-458)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.plans.ddl import (  # noqa: E402
+    sql_type_expr,
+    sql_type_oracle,
+)
+
+_SQL_TYPE_ORACLE = f"""
+WITH stats AS ({_INFER_RAGGED_ORACLE})
+SELECT path, {sql_type_oracle('path', 'majority_type', 'max_len')} AS sql_type
+FROM stats
+"""
+
+
+@query("sql_type_mapping", _SQL_TYPE_ORACLE)
+def q_sql_type_mapping(spark, sf_dir):
+    """Majority type + VARCHAR sizing -> SQL type over the ragged fixture's
+    inferred stats — the whole mapping stays a distributed when-ladder."""
+    customer = load_table(spark, sf_dir, "customer")
+    stats = infer_schema(ragged_documents(customer), "doc", "doc_id")
+    return stats.select(
+        "path",
+        sql_type_expr(
+            F.col("path"), F.col("majority_type"), F.col("max_len")
+        ).alias("sql_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # M3: document -> relational normalization (New-SQLSchema intended semantics,
 # reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
 # ---------------------------------------------------------------------------
