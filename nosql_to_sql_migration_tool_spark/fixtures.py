@@ -118,6 +118,48 @@ def ragged_documents(customer: DataFrame) -> DataFrame:
     return customer.select(k.alias("doc_id"), doc.alias("doc"))
 
 
+def regional_changed_customer_source(customer: DataFrame) -> DataFrame:
+    """Like ``changed_customer_source`` but with every change confined to
+    ``c_nationkey < 5`` — rows in other nations are byte-identical. Used
+    by the partition-scoped apply query: only partitions 0-4 are touched,
+    the rest of the target must never be rewritten."""
+    k = F.col("c_custkey")
+    hot = F.col("c_nationkey") < 5
+    surviving = customer.filter(~(hot & (k % 11 == 0)))
+    updated = surviving.withColumn(
+        "c_acctbal",
+        F.when(hot & (k % 7 == 0), F.col("c_acctbal") + F.lit(10.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    new_rows = (
+        customer.filter(hot & (k % 13 == 0))
+        .withColumn("c_custkey", k + F.lit(NEW_KEY_OFFSET))
+        .withColumn("c_name", F.concat(F.lit("NEW "), F.col("c_name")))
+    )
+    return updated.unionByName(new_rows)
+
+
+REGIONAL_CHANGED_SOURCE_SQL = f"""
+SELECT c_custkey,
+       c_name,
+       c_nationkey,
+       CASE WHEN c_nationkey < 5 AND c_custkey % 7 = 0
+            THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE NOT (c_nationkey < 5 AND c_custkey % 11 = 0)
+UNION ALL
+SELECT c_custkey + {NEW_KEY_OFFSET},
+       'NEW ' || c_name,
+       c_nationkey,
+       c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_nationkey < 5 AND c_custkey % 13 = 0
+"""
+
+
 def nested_customer(customer: DataFrame) -> DataFrame:
     """Typed nested-document fixture for the normalization operators
     (SURVEY.md §1.4 / M3): flat scalars + a nested object + an array of

@@ -122,6 +122,68 @@ def apply_changes(
     return kept.unionByName(upserts)
 
 
+def apply_changes_partitioned(
+    target: DataFrame,
+    diff: DataFrame,
+    key: str,
+    partition_col: str,
+    change_col: str = "change_type",
+) -> tuple[DataFrame, DataFrame]:
+    """Partition-scoped MERGE: ``(rows_to_write, touched_partitions)``.
+
+    The scale fix for ``apply_changes``' full-snapshot rewrite: only
+    partitions containing a NEW/UPDATED/DELETED row are recomputed, and
+    ``rows_to_write`` is their complete new content — written with
+    dynamic partition overwrite, the unchanged majority of a 100 TB
+    target is never read or rewritten. Touched partitions come from the
+    source side for NEW/UPDATED rows and from a target semi-join for
+    DELETED/UPDATED keys (a DELETED row's partition value exists only in
+    the target).
+    """
+    upsert_parts = diff.filter(
+        F.col(change_col).isin("NEW", "UPDATED")
+    ).select(partition_col)
+    gone_keys = diff.filter(
+        F.col(change_col).isin("DELETED", "UPDATED")
+    ).select(key)
+    gone_parts = target.join(gone_keys, key, "left_semi").select(partition_col)
+    touched = upsert_parts.union(gone_parts).distinct()
+    scoped_target = target.join(F.broadcast(touched), partition_col, "left_semi")
+    return apply_changes(scoped_target, diff, key, change_col), touched
+
+
+def apply_changes_to_path(
+    spark,
+    target_path: str,
+    diff: DataFrame,
+    key: str,
+    partition_col: str,
+    change_col: str = "change_type",
+) -> None:
+    """Apply a diff in place on a partitioned parquet directory.
+
+    Uses dynamic partition overwrite so only touched partition
+    directories are replaced (the reference's per-row DML, Sync.ps1:179-247,
+    becomes one scoped write). ``localCheckpoint`` materializes the new
+    content first because Spark refuses to overwrite a path it is still
+    reading; a production deployment on object storage would stage to a
+    temp prefix or use a transactional table format's MERGE instead.
+    """
+    if (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        .lower()
+        != "dynamic"
+    ):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    target = spark.read.parquet(target_path)
+    rows, _ = apply_changes_partitioned(
+        target, diff, key, partition_col, change_col
+    )
+    rows.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(target_path)
+
+
 def sync(
     source: DataFrame,
     state: DataFrame | None,

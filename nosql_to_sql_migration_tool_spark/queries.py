@@ -396,6 +396,62 @@ def q_infer_ragged_schema(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CDC apply: MERGE semantics on an immutable store (Sync.ps1:179-247 apply
+# step; golden matrix Tests/Sync.Tests.ps1:76-130)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    REGIONAL_CHANGED_SOURCE_SQL,
+    regional_changed_customer_source,
+)
+from nosql_to_sql_migration_tool_spark.operators.cdc import (  # noqa: E402
+    apply_changes,
+    apply_changes_partitioned,
+    sync,
+)
+
+
+@query("cdc_apply_roundtrip", f"SELECT * FROM ({CHANGED_CUSTOMER_SOURCE_SQL})")
+def q_cdc_apply_roundtrip(spark, sf_dir):
+    """apply(target, diff(source, state)) must reproduce the source
+    exactly — the algebraic contract of the reference's apply step
+    (INSERT+UPDATE+DELETE, Sync.ps1:179-247). The oracle is simply the
+    changed source itself."""
+    customer = load_table(spark, sf_dir, "customer")
+    source = changed_customer_source(customer)
+    state = snapshot_state(customer, "c_custkey")
+    diff, _new_state = sync(source, state, "c_custkey")
+    return apply_changes(customer, diff, "c_custkey")
+
+
+_APPLY_SCOPED_ORACLE = f"""
+WITH src AS ({REGIONAL_CHANGED_SOURCE_SQL}),
+touched AS (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE c_nationkey < 5
+    AND (c_custkey % 11 = 0 OR c_custkey % 7 = 0 OR c_custkey % 13 = 0)
+)
+SELECT s.* FROM src s JOIN touched USING (c_nationkey)
+"""
+
+
+@query("cdc_apply_partition_scoped", _APPLY_SCOPED_ORACLE)
+def q_cdc_apply_partition_scoped(spark, sf_dir):
+    """Partition-scoped apply: rows_to_write = the complete new content of
+    ONLY the partitions containing a change (here nations 0-4). At 100 TB
+    this plus dynamic partition overwrite replaces the full-snapshot
+    rewrite — the unchanged majority is never read or written."""
+    customer = load_table(spark, sf_dir, "customer")
+    source = regional_changed_customer_source(customer)
+    state = snapshot_state(customer, "c_custkey")
+    diff, _ = sync(source, state, "c_custkey")
+    rows, _touched = apply_changes_partitioned(
+        customer, diff, "c_custkey", "c_nationkey"
+    )
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # Type mapping: inferred stats -> SQL types (Convert-MongoTypeToSQL,
 # reference private/Sql_Schema_Generator.ps1:404-458)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""End-to-end CDC apply + state persistence round-trips (the reference's
+sync cycle: Sync.ps1:179-247 apply, :296-349 state persistence), proving
+on real parquet that (a) apply reproduces the source, (b) the persisted
+state drives a correct second sync, (c) partition-scoped apply rewrites
+ONLY touched partition directories."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import (
+    changed_customer_source,
+    regional_changed_customer_source,
+)
+from nosql_to_sql_migration_tool_spark.operators.cdc import (
+    apply_changes,
+    apply_changes_to_path,
+    load_state,
+    save_state,
+    snapshot_state,
+    sync,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_apply_roundtrip_and_state_persistence(spark, tmp_path):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    source = changed_customer_source(customer)
+    state_path = str(tmp_path / "sync_state")
+
+    # no persisted state -> full-sync fallback (Sync.ps1:62-65)
+    assert load_state(spark, state_path) is None
+
+    save_state(snapshot_state(customer, "c_custkey"), state_path)
+    state = load_state(spark, state_path)
+    assert state is not None and state.columns == ["c_custkey", "row_hash"]
+
+    diff, new_state = sync(source, state, "c_custkey")
+    applied = apply_changes(customer, diff, "c_custkey")
+    assert _same_rows(applied, source)
+
+    # persist the post-sync state; a second sync against the SAME source
+    # must classify everything UNCHANGED (the idempotence contract)
+    save_state(new_state, state_path)
+    diff2, _ = sync(source, load_state(spark, state_path), "c_custkey")
+    counts = {
+        r["change_type"]: r["n"]
+        for r in diff2.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"UNCHANGED"}
+
+
+def test_partition_scoped_apply_touches_only_changed_dirs(spark, tmp_path):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    target_path = str(tmp_path / "customer_target")
+    customer.write.partitionBy("c_nationkey").parquet(target_path)
+
+    before = {}
+    for d in os.listdir(target_path):
+        if d.startswith("c_nationkey="):
+            full = os.path.join(target_path, d)
+            before[d] = sorted(os.listdir(full))
+
+    source = regional_changed_customer_source(customer)
+    state = snapshot_state(customer, "c_custkey")
+    diff, _ = sync(source, state, "c_custkey")
+    apply_changes_to_path(spark, target_path, diff, "c_custkey", "c_nationkey")
+
+    changed_dirs = set()
+    for d, files in before.items():
+        full = os.path.join(target_path, d)
+        if sorted(os.listdir(full)) != files:
+            changed_dirs.add(d)
+    # only the hot nations (0-4) were rewritten
+    assert changed_dirs
+    assert all(
+        int(d.split("=")[1]) < 5 for d in changed_dirs
+    ), changed_dirs
+
+    # and the applied store now equals the source exactly
+    result = spark.read.parquet(target_path).select(*source.columns)
+    assert _same_rows(result, source)
+
+
+def test_full_sync_with_no_state_classifies_all_new(spark):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    diff, new_state = sync(customer, None, "c_custkey")
+    assert (
+        diff.filter(F.col("change_type") != "NEW").count() == 0
+    )
+    assert new_state.count() == customer.count()
