@@ -160,6 +160,45 @@ WHERE c_nationkey < 5 AND c_custkey % 13 = 0
 """
 
 
+def dirty_customer_target(customer: DataFrame) -> DataFrame:
+    """FIXTURES.md B4: a corrupted migration target for the validation
+    suite — rows dropped (missing in target), a string field corrupted,
+    a numeric field shifted. All deterministic functions of the key.
+
+      missing  : c_custkey % 31 == 0  -> row absent
+      c_name   : c_custkey % 17 == 0  -> ' X' appended
+      c_acctbal: c_custkey % 23 == 0  -> +0.5
+    """
+    k = F.col("c_custkey")
+    return (
+        customer.filter(k % 31 != 0)
+        .withColumn(
+            "c_name",
+            F.when(k % 17 == 0, F.concat(F.col("c_name"), F.lit(" X"))).otherwise(
+                F.col("c_name")
+            ),
+        )
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 23 == 0, F.col("c_acctbal") + F.lit(0.5)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+    )
+
+
+DIRTY_CUSTOMER_TARGET_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 17 = 0 THEN c_name || ' X' ELSE c_name END AS c_name,
+       c_nationkey,
+       CASE WHEN c_custkey % 23 = 0 THEN c_acctbal + 0.5 ELSE c_acctbal END
+         AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_custkey % 31 <> 0
+"""
+
+
 def nested_customer(customer: DataFrame) -> DataFrame:
     """Typed nested-document fixture for the normalization operators
     (SURVEY.md §1.4 / M3): flat scalars + a nested object + an array of

@@ -452,6 +452,121 @@ def q_cdc_apply_partition_scoped(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Validation suite: sample compare + verdict (Test-MigrationValidation,
+# reference private/Migration_Validation.ps1:1-219, 266-363)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as _VT  # noqa: E402
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    DIRTY_CUSTOMER_TARGET_SQL,
+    dirty_customer_target,
+)
+from nosql_to_sql_migration_tool_spark.functions.normalize import (  # noqa: E402
+    normalize_sql,
+)
+from nosql_to_sql_migration_tool_spark.operators.validation import (  # noqa: E402
+    compare_records,
+    validation_verdict,
+)
+
+_VALID_COLS = {
+    "c_name": _VT.StringType(),
+    "c_nationkey": _VT.IntegerType(),
+    "c_acctbal": _VT.DoubleType(),
+    "c_mktsegment": _VT.StringType(),
+}
+
+
+def _norm_pair_sql(alias_s: str, alias_t: str) -> str:
+    cols = []
+    for c, t in _VALID_COLS.items():
+        cols.append(f"{normalize_sql(f'{alias_s}.{c}', t)} AS s_{c}")
+        cols.append(f"{normalize_sql(f'{alias_t}.{c}', t)} AS t_{c}")
+    return ",\n         ".join(cols)
+
+
+_DIFF_BRANCHES = "\nUNION ALL\n".join(
+    f"SELECT c_custkey, '{c}' AS field, s_{c} AS source_value, "
+    f"t_{c} AS target_value, 'MISMATCH' AS status "
+    f"FROM j WHERE present AND s_{c} <> t_{c}"
+    for c in _VALID_COLS
+)
+
+_VALIDATION_DIFFS_ORACLE = f"""
+WITH tgt AS ({DIRTY_CUSTOMER_TARGET_SQL}),
+j AS (
+  SELECT s.c_custkey,
+         {_norm_pair_sql('s', 't')},
+         t.c_custkey IS NOT NULL AS present
+  FROM customer s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+)
+{_DIFF_BRANCHES}
+UNION ALL
+SELECT c_custkey, '_row' AS field, CAST(NULL AS VARCHAR) AS source_value,
+       CAST(NULL AS VARCHAR) AS target_value,
+       'MISSING_IN_TARGET' AS status
+FROM j WHERE NOT present
+"""
+
+
+@query("validation_diffs", _VALIDATION_DIFFS_ORACLE)
+def q_validation_diffs(spark, sf_dir):
+    """Field-by-field normalized diff of source vs dirty target — the
+    whole Compare-DocumentToRecord loop as one join + explode
+    (Migration_Validation.ps1:266-324)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return compare_records(
+        customer, dirty_customer_target(customer), "c_custkey"
+    )
+
+
+_FAIL_PRED = " OR ".join(f"s_{c} <> t_{c}" for c in _VALID_COLS)
+
+_VALIDATION_VERDICT_ORACLE = f"""
+WITH tgt AS ({DIRTY_CUSTOMER_TARGET_SQL}),
+samp AS (SELECT * FROM customer ORDER BY c_custkey DESC LIMIT 100),
+j AS (
+  SELECT s.c_custkey,
+         {_norm_pair_sql('s', 't')},
+         t.c_custkey IS NOT NULL AS present
+  FROM samp s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+),
+failed AS (
+  SELECT count(*) AS samples_failed FROM j
+  WHERE NOT present OR {_FAIL_PRED}
+),
+counts AS (
+  SELECT (SELECT count(*) FROM customer) AS source_count,
+         (SELECT count(*) FROM tgt) AS target_count,
+         (SELECT count(*) FROM samp) AS samples_validated
+)
+SELECT source_count, target_count, samples_validated,
+       samples_validated - samples_failed AS samples_passed,
+       samples_failed,
+       (CASE WHEN source_count <> target_count THEN 1 ELSE 0 END)
+         + samples_failed AS issues,
+       CASE WHEN (CASE WHEN source_count <> target_count THEN 1 ELSE 0 END)
+                 + samples_failed = 0 THEN 'PASSED'
+            WHEN samples_validated - samples_failed > samples_failed
+              THEN 'PARTIAL'
+            ELSE 'FAILED' END AS status
+FROM counts, failed
+"""
+
+
+@query("validation_verdict", _VALIDATION_VERDICT_ORACLE)
+def q_validation_verdict(spark, sf_dir):
+    """Full validation verdict row: counts reconcile + last-100 sample
+    compare + PASSED/PARTIAL/FAILED logic
+    (Migration_Validation.ps1:164-176)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return validation_verdict(
+        customer, dirty_customer_target(customer), "c_custkey", sample_size=100
+    )
+
+
+# ---------------------------------------------------------------------------
 # Type mapping: inferred stats -> SQL types (Convert-MongoTypeToSQL,
 # reference private/Sql_Schema_Generator.ps1:404-458)
 # ---------------------------------------------------------------------------
