@@ -1,0 +1,192 @@
+"""Text-analysis operators over document corpora — the LLM-data-pipeline
+surface (SURVEY.md §2C / M7c): token counting, quality scoring, language
+ID, document fingerprinting.
+
+Everything is built-in Column expressions (split / regexp_count /
+higher-order array functions / md5) — zero Python UDFs, so the whole
+per-document pipeline stays inside whole-stage codegen and scales as a
+pure map over a 100 TB corpus: no shuffle for per-doc stats, one
+map-side-combinable shuffle for corpus aggregates.
+
+Each operator has a DuckDB SQL twin (``*_sql``) built from the same
+pinned definitions so oracles can never drift: tokens = whitespace split
+of trimmed text; regex tokens = ``[A-Za-z0-9]+`` runs; ratios rounded to
+6 dp; shingle fingerprint = lexicographic min of md5 over 3-token
+shingles (a 1-permutation MinHash — operators/dedup.py generalizes it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[^A-Za-z0-9\\s]"
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+SHINGLE_K = 3
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "is"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def _tokens_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex(trim({expr}), '\\s+') END"
+    )
+
+
+def _in_list(words: tuple[str, ...]):
+    """Single-arg higher-order-function lambda (an extra defaulted arg
+    would make PySpark bind the element *index* to it)."""
+    return lambda t: t.isin(*words)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: token counts (whitespace + regex), punctuation
+    ratio, stopword ratio, and a composite quality score — the
+    length/punct/stopword heuristics of corpus quality filtering."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_ws = F.size(toks)
+    n_re = F.regexp_count(text, F.lit(TOKEN_RE))
+    punct = F.regexp_count(text, F.lit(PUNCT_RE))
+    punct_ratio = F.round(
+        punct * F.lit(1.0) / F.greatest(F.length(text), F.lit(1)), 6
+    )
+    stop = F.size(F.filter(toks, _in_list(STOPWORDS)))
+    stop_ratio = F.round(stop * F.lit(1.0) / F.greatest(n_ws, F.lit(1)), 6)
+    quality = F.round(
+        F.least(F.lit(1.0), n_ws / F.lit(100.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(1.0) - F.lit(0.5) * stop_ratio),
+        6,
+    )
+    return df.select(
+        "*",
+        n_ws.alias("n_ws_tokens"),
+        n_re.alias("n_re_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def text_stats_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB expressions for every with_text_stats output column."""
+    toks = _tokens_sql(text_expr)
+    n_ws = f"len({toks})"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    punct_ratio = (
+        f"round(len(regexp_extract_all({text_expr}, '{PUNCT_RE}')) * 1.0 / "
+        f"greatest(length({text_expr}), 1), 6)"
+    )
+    stop_ratio = (
+        f"round(len(list_filter({toks}, t -> t IN ({stop_list}))) * 1.0 / "
+        f"greatest({n_ws}, 1), 6)"
+    )
+    return {
+        "n_ws_tokens": f"CAST({n_ws} AS INT)",
+        "n_re_tokens": f"CAST(len(regexp_extract_all({text_expr}, '{TOKEN_RE}')) AS INT)",
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": (
+            f"round(least(1.0, {n_ws} / 100.0) * (1.0 - {punct_ratio}) * "
+            f"(1.0 - 0.5 * {stop_ratio}), 6)"
+        ),
+    }
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram(1) marker-token language ID: score each language by marker
+    hits, argmax with deterministic (score, lang) tie-break, 'unknown'
+    when nothing matches."""
+    toks = tokens(F.col(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _in_list(words))).alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, words in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    guess = F.when(best["s"] == 0, F.lit("unknown")).otherwise(best["l"])
+    return df.select("*", guess.alias("lang_guess"))
+
+
+def lang_guess_sql(text_expr: str) -> str:
+    toks = _tokens_sql(text_expr)
+    structs = ", ".join(
+        "{'s': len(list_filter(%s, t -> t IN (%s))), 'l': '%s'}"
+        % (toks, ", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in LANG_MARKERS.items()
+    )
+    return (
+        f"CASE WHEN list_max([{structs}]).s = 0 THEN 'unknown' "
+        f"ELSE list_max([{structs}]).l END"
+    )
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: ``exact_fp`` (md5 of whitespace-canonical
+    lowercased text — exact-dedup key) and ``shingle_fp`` (lexicographic
+    min md5 over 3-token shingles — a rolling 1-permutation MinHash that
+    survives local edits)."""
+    text = F.col(text_col)
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    toks = tokens(text)
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SHINGLE_K))),
+    )
+    shingle_fp = F.when(n >= SHINGLE_K, F.array_min(shingle_hashes)).otherwise(
+        F.md5(F.concat_ws(" ", toks))
+    )
+    return df.select(
+        "*", F.md5(canon).alias("exact_fp"), shingle_fp.alias("shingle_fp")
+    )
+
+
+def fingerprints_sql(text_expr: str) -> dict[str, str]:
+    toks = _tokens_sql(text_expr)
+    n = f"len({toks})"
+    shingle = (
+        f"list_min(list_transform(generate_series(1, {n} - {SHINGLE_K - 1}), "
+        f"i -> md5(array_to_string(list_slice({toks}, i, i + {SHINGLE_K - 1}), ' '))))"
+    )
+    return {
+        "exact_fp": (
+            f"md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))"
+        ),
+        "shingle_fp": (
+            f"CASE WHEN {n} >= {SHINGLE_K} THEN {shingle} "
+            f"ELSE md5(array_to_string({toks}, ' ')) END"
+        ),
+    }
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token histogram: explode tokens, count per token. The
+    canonical map-side-combinable aggregate — one narrow shuffle of
+    (token, partial count) at any corpus size."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -598,6 +598,82 @@ def q_sql_type_mapping(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Text analysis over the documents corpus (SURVEY.md §2C / M7c — LLM-data
+# pipeline surface; no reference counterpart, north_star extension)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    fingerprints_sql,
+    lang_guess_sql,
+    text_stats_sql,
+    token_frequencies,
+    with_fingerprints,
+    with_lang_guess,
+    with_text_stats,
+)
+
+_TS_SQL = text_stats_sql("text")
+_TEXT_STATS_ORACLE = (
+    "SELECT doc_id, "
+    + ", ".join(f"{expr} AS {name}" for name, expr in _TS_SQL.items())
+    + " FROM documents"
+)
+
+
+@query("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark, sf_dir):
+    """Per-document token counts, punctuation/stopword ratios and quality
+    score — pure codegen expressions, no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_re_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@query(
+    "lang_id",
+    f"SELECT doc_id, {lang_guess_sql('text')} AS lang_guess FROM documents",
+)
+def q_lang_id(spark, sf_dir):
+    """Marker-token language ID with deterministic argmax tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_guess(docs).select("doc_id", "lang_guess")
+
+
+_FP_SQL = fingerprints_sql("text")
+
+
+@query(
+    "doc_fingerprint",
+    f"SELECT doc_id, {_FP_SQL['exact_fp']} AS exact_fp, "
+    f"{_FP_SQL['shingle_fp']} AS shingle_fp FROM documents",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Exact (canonical md5) + rolling shingle (min-md5) fingerprints —
+    the dedup keys reused by operators/dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprints(docs).select("doc_id", "exact_fp", "shingle_fp")
+
+
+@query(
+    "token_frequencies",
+    "SELECT token, count(*) AS cnt FROM ("
+    "  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token"
+    "  FROM documents WHERE length(trim(text)) > 0"
+    ") GROUP BY token",
+)
+def q_token_frequencies(spark, sf_dir):
+    """Corpus token histogram — explode + map-side-combinable count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_frequencies(docs)
+
+
+# ---------------------------------------------------------------------------
 # M3: document -> relational normalization (New-SQLSchema intended semantics,
 # reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
 # ---------------------------------------------------------------------------
