@@ -199,6 +199,34 @@ WHERE c_custkey % 31 <> 0
 """
 
 
+def duplicated_documents(documents: DataFrame) -> DataFrame:
+    """Dedup fixture: the documents corpus (which is duplicate-free by
+    construction) plus deterministic exact copies and near-duplicates.
+
+      exact copy : doc_id % 10 == 0 -> re-keyed +100000, same text
+      near dup   : doc_id % 7 == 0  -> re-keyed +200000, 'xq zz ' prepended
+                   (shifts a couple of leading shingles, keeps the rest)
+    """
+    base = documents.select("doc_id", "text")
+    k = F.col("doc_id")
+    exact = base.filter(k % 10 == 0).withColumn("doc_id", k + F.lit(100_000))
+    near = (
+        base.filter(k % 7 == 0)
+        .withColumn("doc_id", k + F.lit(200_000))
+        .withColumn("text", F.concat(F.lit("xq zz "), F.col("text")))
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+DUPLICATED_DOCUMENTS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 200000, 'xq zz ' || text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 def nested_customer(customer: DataFrame) -> DataFrame:
     """Typed nested-document fixture for the normalization operators
     (SURVEY.md §1.4 / M3): flat scalars + a nested object + an array of

@@ -1,0 +1,297 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard
+(SURVEY.md §2C / M7a; north_star LLM-data-pipeline surface).
+
+The scale contract: near-dup detection NEVER compares all pairs. MinHash
+signatures band into ``N_BANDS`` buckets and only same-bucket documents
+join — candidate generation is an equi-join on (band index, band hash),
+one shuffle keyed by bucket, linear in corpus size for bounded bucket
+width. Exact Jaccard then verifies the (few) candidates. This is the
+standard shingle→minhash→band→bucket-join pipeline at any corpus size.
+
+Cross-engine determinism: every hash is md5-hex and every "min" is the
+*lexicographic* min of md5 strings — a valid uniform permutation that
+both Spark and DuckDB compute byte-identically (no 64-bit integer hex
+casts, which the two engines do differently). All expressions are
+JVM-side; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nosql_to_sql_migration_tool_spark.operators.text import (
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIMHASH_BITS = 32  # one bit per md5 hex digit position
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: canonical-text hash groupBy
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (whitespace/case-canonical) documents:
+    ``(exact_fp, n_dups, keep_id)`` for every fingerprint with >1 doc.
+    Keeper = min id (deterministic survivor policy)."""
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(canon).alias("exact_fp"), F.col(id_col))
+        .groupBy("exact_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per canonical text — REPLACE-style survivor
+    selection via ``min_by``, one shuffle, no window sort."""
+    canon = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    packed = (
+        df.withColumn("__fp", canon)
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+    )
+    return packed.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _perm_hash(i: int):
+    return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+
+def _signature_from(shingles: Column) -> Column:
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _perm_hash(i)))
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+def minhash_signature(text: Column) -> Column:
+    """Array of N_HASHES lexicographic-min md5 values over the shingle
+    set — one independent 'permutation' per salt prefix. (Callers doing
+    repeated work should materialize ``word_shingles`` in a projection
+    first and use ``_signature_from`` — see ``minhash_candidates``.)"""
+    return _signature_from(word_shingles(text))
+
+
+def minhash_signature_sql(text_expr: str) -> str:
+    shingles = word_shingles_sql(text_expr)
+    mins = ", ".join(
+        f"list_min(list_transform({shingles}, s -> md5('{i}|' || s)))"
+        for i in range(N_HASHES)
+    )
+    return f"[{mins}]"
+
+
+def band_hashes(signature: Column) -> Column:
+    """N_BANDS band hashes: md5 over each contiguous ROWS_PER_BAND slice."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", F.slice(signature, b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def band_hashes_sql(sig_expr: str) -> str:
+    bands = ", ".join(
+        "md5(array_to_string(list_slice(%s, %d, %d), ','))"
+        % (sig_expr, b * ROWS_PER_BAND + 1, (b + 1) * ROWS_PER_BAND)
+        for b in range(N_BANDS)
+    )
+    return f"[{bands}]"
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b: documents
+    sharing at least one (band index, band hash) bucket. The join is a
+    bucket equi-join — never an all-pairs product."""
+    # projection boundaries materialize shingles and signature once each
+    sigs = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
+        .select(F.col(id_col), _signature_from(F.col("__sh")).alias("__sig"))
+        .select(F.col(id_col), band_hashes(F.col("__sig")).alias("__bands"))
+    )
+    buckets = sigs.select(
+        id_col, F.posexplode("__bands").alias("band_idx", "band_hash")
+    )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact n-gram
+    Jaccard over the distinct shingle sets. Output:
+    ``(id_a, id_b, jaccard)`` with jaccard >= threshold, rounded 6 dp."""
+    shingle_sets = df.select(
+        F.col(id_col), word_shingles(F.col(text_col)).alias("__sh")
+    )
+    cands = minhash_candidates(df, text_col, id_col)
+    a = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("__sh_a", "__sh_b"))
+        * F.lit(1.0)
+        / F.size(F.array_union("__sh_a", "__sh_b")),
+        6,
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_vote(j: int):
+    # majority vote realized as 2*count(odd digit) >= n — stays in
+    # list_filter/size land, identical on both engines.
+    return lambda s: F.substring(s, j + 1, 1).isin(*_ODD_HEX)
+
+
+def _md5_tokens(text: Column) -> Column:
+    return F.array_distinct(F.transform(tokens(text), lambda t: F.md5(t)))
+
+
+def _simhash_from(toks: Column) -> Column:
+    n = F.size(toks)
+    bits = [
+        F.when(
+            F.size(F.filter(toks, _bit_vote(j))) * 2 >= n, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for j in range(SIMHASH_BITS)
+    ]
+    return F.concat(*bits)
+
+
+def simhash(text: Column) -> Column:
+    """32-char bit string: per hex position, the majority vote of token
+    md5 digits' parity — Hamming-comparable locality-sensitive signature
+    over the distinct token set."""
+    return _simhash_from(_md5_tokens(text))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, simhash)`` with the token array materialized once in a
+    projection (the 32 bit-votes all reference the same column)."""
+    return df.select(
+        F.col(id_col), _md5_tokens(F.col(text_col)).alias("__t")
+    ).select(F.col(id_col), _simhash_from(F.col("__t")).alias("simhash"))
+
+
+def simhash_sql(text_expr: str) -> str:
+    toks = f"list_distinct(list_transform({tokens_sql(text_expr)}, t -> md5(t)))"
+    odd = ", ".join(f"'{d}'" for d in _ODD_HEX)
+    bits = " || ".join(
+        f"(CASE WHEN len(list_filter({toks}, s -> substr(s, {j + 1}, 1) "
+        f"IN ({odd}))) * 2 >= len({toks}) THEN '1' ELSE '0' END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return bits
+
+
+def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    pairs = F.arrays_zip(
+        F.split(a, "(?!$)"), F.split(b, "(?!$)")
+    )
+    return F.size(F.filter(pairs, lambda p: p["0"] != p["1"]))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_chars: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs via banding (any ``max_hamming`` < number of
+    bands guarantees candidates share one identical band — pigeonhole):
+    bucket-join on (band index, band substring), verify by Hamming."""
+    sigs = with_simhash(df, text_col, id_col).withColumnRenamed(
+        "simhash", "__sh"
+    )
+    n_bands = SIMHASH_BITS // band_chars
+    bands = sigs.select(
+        id_col,
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("__sh", b * band_chars + 1, band_chars)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
+        "band_idx", "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("__sh_a"), F.col("__sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -39,11 +39,14 @@ def tokens(text: Column) -> Column:
     )
 
 
-def _tokens_sql(expr: str) -> str:
+def tokens_sql(expr: str) -> str:
     return (
         f"CASE WHEN length(trim({expr})) = 0 THEN CAST([] AS VARCHAR[]) "
         f"ELSE string_split_regex(trim({expr}), '\\s+') END"
     )
+
+
+_tokens_sql = tokens_sql  # internal alias
 
 
 def _in_list(words: tuple[str, ...]):
@@ -136,6 +139,33 @@ def lang_guess_sql(text_expr: str) -> str:
     return (
         f"CASE WHEN list_max([{structs}]).s = 0 THEN 'unknown' "
         f"ELSE list_max([{structs}]).l END"
+    )
+
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles; texts shorter than k tokens collapse to
+    one whole-text shingle (so every doc has a non-empty shingle set)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def word_shingles_sql(text_expr: str, k: int = SHINGLE_K) -> str:
+    toks = _tokens_sql(text_expr)
+    n = f"len({toks})"
+    shingles = (
+        f"list_distinct(list_transform(generate_series(1, {n} - {k - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+    return (
+        f"CASE WHEN {n} >= {k} THEN {shingles} "
+        f"ELSE [array_to_string({toks}, ' ')] END"
     )
 
 

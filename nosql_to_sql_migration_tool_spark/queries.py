@@ -674,6 +674,110 @@ def q_token_frequencies(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deduplication: exact, MinHash LSH, n-gram Jaccard, SimHash (SURVEY.md
+# §2C / M7a). Near-dup candidates come from an LSH bucket join — never an
+# all-pairs product.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    DUPLICATED_DOCUMENTS_SQL,
+    duplicated_documents,
+)
+from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
+    band_hashes_sql,
+    exact_dup_groups,
+    minhash_candidates,
+    minhash_signature_sql,
+    near_dup_pairs,
+    simhash_sql,
+    with_simhash,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    word_shingles_sql,
+)
+
+
+@query(
+    "exact_dup_groups",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL})
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_fp,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM docs GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup groups: canonical-text md5 groupBy (one map-side-
+    combinable shuffle), min-id survivor."""
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return exact_dup_groups(docs)
+
+
+_MINHASH_BUCKETS_SQL = f"""
+sig AS (
+  SELECT doc_id, {minhash_signature_sql('text')} AS sig FROM docs
+),
+bands AS (
+  SELECT doc_id, generate_subscripts(b, 1) AS band_idx, unnest(b) AS band_hash
+  FROM (SELECT doc_id, {band_hashes_sql('sig')} AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "minhash_candidates",
+    f"WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),\n{_MINHASH_BUCKETS_SQL}\n"
+    "SELECT id_a, id_b FROM cand",
+)
+def q_minhash_candidates(spark, sf_dir):
+    """LSH candidate pairs: shingle -> 12-permutation MinHash -> 4-band
+    hashes -> bucket equi-join (id_a < id_b)."""
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return minhash_candidates(docs)
+
+
+@query(
+    "near_dup_pairs",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.id_a = sa.doc_id
+  JOIN sh sb ON c.id_b = sb.doc_id
+) WHERE jaccard >= 0.6
+""",
+)
+def q_near_dup_pairs(spark, sf_dir):
+    """Full near-dup pipeline: LSH candidates verified by exact n-gram
+    Jaccard over distinct shingle sets, threshold 0.6."""
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return near_dup_pairs(docs)
+
+
+@query(
+    "simhash_signatures",
+    f"WITH docs AS ({DUPLICATED_DOCUMENTS_SQL})\n"
+    f"SELECT doc_id, {simhash_sql('text')} AS simhash FROM docs",
+)
+def q_simhash_signatures(spark, sf_dir):
+    """Per-document 32-bit SimHash (majority vote of token-md5 digit
+    parity) — Hamming-comparable near-dup signature."""
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return with_simhash(docs)
+
+
+# ---------------------------------------------------------------------------
 # M3: document -> relational normalization (New-SQLSchema intended semantics,
 # reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
 # ---------------------------------------------------------------------------

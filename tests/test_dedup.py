@@ -1,0 +1,70 @@
+"""Recall/precision checks for the dedup pipeline on the planted-duplicate
+fixture: exact copies must always be found; prepend-edited near-dups must
+be recovered by MinHash LSH with high recall and verified by Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import duplicated_documents
+from nosql_to_sql_migration_tool_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    near_dup_pairs,
+    simhash_candidates,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return duplicated_documents(load_table(spark, SF_DIR_SMOKE, "documents"))
+
+
+def test_exact_dedup_finds_all_planted_copies(spark, docs):
+    base = load_table(spark, SF_DIR_SMOKE, "documents")
+    planted = base.filter(F.col("doc_id") % 10 == 0).count()
+    groups = exact_dup_groups(docs)
+    assert groups.count() == planted
+    assert groups.filter(F.col("n_dups") != 2).count() == 0
+    # keeper is the original (min) id
+    assert groups.filter(F.col("keep_id") >= 100_000).count() == 0
+
+    deduped = dedup_exact(docs)
+    assert deduped.count() == docs.count() - planted
+
+
+def test_near_dup_recall_and_jaccard(spark, docs):
+    base = load_table(spark, SF_DIR_SMOKE, "documents")
+    expected_near = {
+        r["doc_id"] for r in base.filter(F.col("doc_id") % 7 == 0).collect()
+    }
+    pairs = near_dup_pairs(docs).collect()
+    found_near = {
+        p["id_a"] for p in pairs if p["id_b"] == p["id_a"] + 200_000
+    }
+    # LSH banding: recall over planted prepend-edits must be high
+    assert len(found_near) >= 0.9 * len(expected_near)
+    # verified pairs carry true jaccard
+    for p in pairs:
+        assert p["jaccard"] >= 0.6
+    # (original, exact copy) pairs only — id_a < 100k excludes the
+    # (copy-of-k, near-dup-of-k) pairs that also differ by 100k
+    exact_pairs = [
+        p
+        for p in pairs
+        if p["id_b"] == p["id_a"] + 100_000 and p["id_a"] < 100_000
+    ]
+    assert exact_pairs and all(p["jaccard"] == 1.0 for p in exact_pairs)
+
+
+def test_simhash_finds_exact_copies(spark, docs):
+    cands = simhash_candidates(docs, max_hamming=3)
+    exact = cands.filter(
+        (F.col("id_b") - F.col("id_a") == 100_000) & (F.col("hamming") == 0)
+    )
+    base = load_table(spark, SF_DIR_SMOKE, "documents")
+    planted = base.filter(F.col("doc_id") % 10 == 0).count()
+    assert exact.count() == planted
