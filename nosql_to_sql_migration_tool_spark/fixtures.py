@@ -227,6 +227,52 @@ SELECT doc_id + 200000, 'xq zz ' || text FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def duplicated_embeddings(embeddings: DataFrame) -> DataFrame:
+    """ANN fixture: the embeddings table (whose max natural pairwise
+    cosine is ~0.51) plus planted exact and near duplicates, so a 0.9
+    cosine threshold cleanly separates planted pairs from noise.
+
+      exact copy : vec_id % 10 == 0 -> re-keyed +10000, same vector
+      near copy  : vec_id % 7 == 0  -> re-keyed +20000, first coordinate
+                   scaled 1.05x (tiny angular perturbation)
+
+    All vectors cast to array<double> so both branches and both engines
+    share one element type.
+    """
+    base = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    k = F.col("vec_id")
+    exact = base.filter(k % 10 == 0).withColumn("vec_id", k + F.lit(10_000))
+    near = (
+        base.filter(k % 7 == 0)
+        .withColumn("vec_id", k + F.lit(20_000))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * 1.05).otherwise(x),
+            ),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+DUPLICATED_EMBEDDINGS_SQL = """
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+WHERE vec_id % 10 = 0
+UNION ALL
+SELECT vec_id + 20000,
+       list_transform(generate_series(1, len(embedding)),
+         i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.05
+                   ELSE CAST(embedding[i] AS DOUBLE) END)
+FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+
 def nested_customer(customer: DataFrame) -> DataFrame:
     """Typed nested-document fixture for the normalization operators
     (SURVEY.md §1.4 / M3): flat scalars + a nested object + an array of

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (SURVEY.md §2C / M7b):
+brute-force cosine top-k as the exactness baseline, random-hyperplane
+LSH bucketing as the scale path for near-duplicate pairs.
+
+Scale contract: the brute-force path is a broadcast of the (tiny) query
+side against a linear scan — correct at any corpus size for one query.
+Pairwise near-dup NEVER does an all-pairs product: 16 deterministic
+sign-random hyperplanes hash every vector to a bit signature, signatures
+band into buckets, candidates come from a bucket equi-join, and exact
+cosine verifies them. Work is linear in corpus size for bounded bucket
+width (same shape as operators/dedup.py's MinHash LSH).
+
+Determinism: hyperplanes are ±1 vectors derived from md5 in *Python* at
+plan-build time (both engines receive identical literals); dot products
+run in double precision with a left fold on the Spark side; cosines are
+rounded to 6 dp before thresholds/ordering so ULP-level summation
+differences between engines cannot change results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_PLANES = 16
+BAND_CHARS = 8
+EMBEDDING_DIM = 64
+
+
+def hyperplanes(
+    n_planes: int = N_PLANES, dim: int = EMBEDDING_DIM, seed: str = "lsh"
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign of each coordinate comes from
+    one md5 hex digit of (seed, plane, coordinate)."""
+    planes = []
+    for p in range(n_planes):
+        coords = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            coords.append(1.0 if int(h[0], 16) % 2 else -1.0)
+        planes.append(coords)
+    return planes
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, rounded 6 dp (the cross-engine stability pin)."""
+    return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round({dot_sql(a, b)} / "
+        f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})), 6)"
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast the single-row query side,
+    score every vector, TakeOrderedAndProject on (cos desc, id asc) —
+    no shuffle beyond the final top-k."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        cosine(as_double(F.col(vec_col)), as_double(F.col("__q"))).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(c) for c in plane])
+
+
+def lsh_bits(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Bit signature: sign of the dot with each hyperplane."""
+    planes = planes if planes is not None else hyperplanes()
+    bits = [
+        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bits_sql(vec_expr: str, planes: list[list[float]] | None = None) -> str:
+    planes = planes if planes is not None else hyperplanes()
+    bits = []
+    for p in planes:
+        lit = "[" + ", ".join(str(c) for c in p) + "]"
+        bits.append(
+            f"(CASE WHEN {dot_sql(vec_expr, lit)} >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    band_chars: int = BAND_CHARS,
+) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs ``(id_a, id_b, cos_sim)``:
+    same (band index, band bits) bucket, id_a < id_b, exact cosine >=
+    threshold. The join is keyed by bucket — linear, not quadratic."""
+    sigs = df.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).select(
+        id_col, "__v", lsh_bits(F.col("__v")).alias("__bits")
+    )
+    n_bands = N_PLANES // band_chars
+    bands = sigs.select(
+        id_col,
+        "__v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("__bits", b * band_chars + 1, band_chars)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        "band_idx", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

@@ -778,6 +778,70 @@ def q_simhash_signatures(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Similarity search over embeddings (SURVEY.md §2C / M7b): brute-force
+# cosine top-k baseline + hyperplane-LSH near-dup pairs (the scale path)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    DUPLICATED_EMBEDDINGS_SQL,
+    duplicated_embeddings,
+)
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    cosine_sql,
+    cosine_topk,
+    embedding_near_dup,
+    lsh_bits_sql,
+)
+
+
+@query(
+    "cosine_topk",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {cosine_sql('embedding', 'qv')} AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for the vec_id=0 query vector —
+    broadcast query, linear scan, TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH docs AS ({DUPLICATED_EMBEDDINGS_SQL}),
+sig AS (
+  SELECT vec_id, embedding, {lsh_bits_sql('embedding')} AS bits FROM docs
+),
+bands AS (
+  SELECT vec_id, embedding, generate_subscripts(b, 1) AS band_idx,
+         unnest(b) AS band_val
+  FROM (SELECT vec_id, embedding,
+               [substr(bits, 1, 8), substr(bits, 9, 8)] AS b FROM sig)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+"""
+
+
+@query("embedding_near_dup", _EMB_NEAR_DUP_ORACLE)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs: 16 deterministic sign-hyperplane
+    bits, 2x8-bit bands, bucket equi-join, exact-cosine verify >= 0.9."""
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return embedding_near_dup(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
 # M3: document -> relational normalization (New-SQLSchema intended semantics,
 # reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
 # ---------------------------------------------------------------------------

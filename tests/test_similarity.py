@@ -1,0 +1,55 @@
+"""Recall checks for embedding similarity: the brute-force top-k must rank
+the query itself first, and hyperplane LSH must recover every planted
+exact/near copy while rejecting natural pairs (max natural cosine ~0.51)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import duplicated_embeddings
+from nosql_to_sql_migration_tool_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_topk_self_first_and_bounded(spark):
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).collect()
+    assert len(top) == 10
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recovers_planted_pairs(spark):
+    base = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    fixture = duplicated_embeddings(base)
+    pairs = embedding_near_dup(fixture, threshold=0.9).collect()
+
+    exact_expected = {
+        r["vec_id"] for r in base.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    near_expected = {
+        r["vec_id"] for r in base.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    # id_a < 10000 keeps only (original, copy) pairs — copies of the same
+    # base vector also differ by 10000/20000 among themselves
+    exact_found = {
+        p["id_a"]
+        for p in pairs
+        if p["id_b"] == p["id_a"] + 10_000 and p["id_a"] < 10_000
+    }
+    near_found = {
+        p["id_a"]
+        for p in pairs
+        if p["id_b"] == p["id_a"] + 20_000 and p["id_a"] < 10_000
+    }
+    # exact copies always collide in every band
+    assert exact_found == exact_expected
+    # near copies: tiny angle, banding recall must be near-total
+    assert len(near_found) >= 0.95 * len(near_expected)
+    for p in pairs:
+        assert p["cos_sim"] >= 0.9
