@@ -16,7 +16,9 @@ it is small relative to the source (steady-state syncs) AQE selects a
 broadcast join automatically.
 
 State persistence (reference: sync_state_<t>.json, Sync.ps1:296-349) is a
-parquet state table — ``save_state`` / ``load_state`` below.
+parquet state table — ``save_state`` / ``load_state`` below. The
+streaming analogue (foreachBatch upsert + checkpoint, availableNow
+trigger) lives in ``streaming/cdc_stream.py``.
 """
 
 from __future__ import annotations

@@ -842,6 +842,88 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Windowed aggregation over events (SURVEY.md M6 — the batch-equivalent
+# forms of the streaming windows; streaming twins live in streaming/)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.windows import (  # noqa: E402
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+_EVT = "SELECT ts, event_type, user_id, value FROM events"
+
+
+@query(
+    "events_tumbling_window",
+    f"""
+WITH e AS ({_EVT})
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM e GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_window(spark, sf_dir):
+    """Per-hour per-type counts + exact decimal sums (map-side combine)."""
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_sliding_window",
+    f"""
+WITH e AS ({_EVT}),
+b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+         event_type, value FROM e
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, value FROM e
+)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM b GROUP BY 1, 2
+""",
+)
+def q_events_sliding_window(spark, sf_dir):
+    """Hopping 1h/30m windows: each event in exactly 2 windows; the
+    oracle unions the two 30-minute-aligned window starts per event."""
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_session_window",
+    f"""
+WITH e AS ({_EVT}),
+o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e
+),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts >= prev + INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '5 minutes' AS session_end, count(*) AS n
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def q_events_session_window(spark, sf_dir):
+    """Per-user 5-minute-gap sessions; the oracle derives the same
+    half-open [start, last+gap) sessions with gaps-and-islands SQL."""
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # M3: document -> relational normalization (New-SQLSchema intended semantics,
 # reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
 # ---------------------------------------------------------------------------

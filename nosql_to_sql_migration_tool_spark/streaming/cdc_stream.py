@@ -1,0 +1,105 @@
+"""Structured-Streaming CDC: the scheduled-sync entry point
+(``Invoke-ScheduledSync``, reference private/Sync.ps1:774-809) as a
+``foreachBatch`` pipeline with ``trigger(availableNow=True)`` for
+scheduled-batch parity.
+
+Each arriving file is treated as a full source snapshot (the reference
+re-reads the whole collection per sync, Sync.ps1:82). Per micro-batch:
+load persisted state -> ``sync`` (hash-diff classify) -> partition-scoped
+apply onto the parquet target -> persist new state. The checkpoint
+directory gives exactly-once file processing across restarts; the state
+table is the reference's ``sync_state_<t>.json`` (Sync.ps1:296-349).
+
+Deletes propagate through the apply step (anti-join), which is why this
+uses ``foreachBatch`` rather than a built-in sink — vanilla streaming
+sinks cannot retract rows (SURVEY.md §7.2 item 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+from pyspark.sql.utils import AnalysisException
+
+from nosql_to_sql_migration_tool_spark.operators.cdc import (
+    apply_changes_to_path,
+    load_state,
+    save_state,
+    sync,
+)
+
+
+def read_snapshot_stream(
+    spark: SparkSession, source_dir: str, schema: StructType
+) -> DataFrame:
+    """File-source stream of snapshot parquet drops (one file per sync
+    round; the checkpoint tracks which files were already processed)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def stream_sync(
+    source_stream: DataFrame,
+    key: str,
+    state_path: str,
+    target_path: str,
+    partition_col: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Start the availableNow CDC sync: process all pending snapshot
+    files, apply diffs to the target, persist state, stop."""
+
+    def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = load_state(spark, state_path)
+        diff, new_state = sync(batch_df, state, key)
+        # materialize before overwriting the paths these plans read
+        new_state_rows = new_state.localCheckpoint(eager=True)
+        try:
+            spark.read.parquet(target_path)
+            target_exists = True
+        except AnalysisException:
+            target_exists = False
+        if target_exists:
+            apply_changes_to_path(
+                spark, target_path, diff, key, partition_col
+            )
+        else:
+            batch_df.write.partitionBy(partition_col).parquet(target_path)
+        save_state(new_state_rows, state_path)
+
+    return (
+        source_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_window_counts(
+    events_stream: DataFrame,
+    checkpoint_path: str,
+    query_name: str,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Streaming tumbling-window aggregate with a watermark for late
+    data, into a memory sink (complete mode) — the streaming twin of
+    ``operators/windows.tumbling_window_agg``."""
+    from nosql_to_sql_migration_tool_spark.operators.windows import (
+        tumbling_window_agg,
+    )
+
+    agg = tumbling_window_agg(
+        events_stream.withWatermark("ts", watermark), size
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,80 @@
+"""Structured-Streaming integration: the availableNow CDC sync processes
+two snapshot drops (initial load, then a changed snapshot) against a
+parquet target + persisted state, and a streaming windowed aggregate
+matches its batch twin exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import changed_customer_source
+from nosql_to_sql_migration_tool_spark.operators.windows import (
+    tumbling_window_agg,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from nosql_to_sql_migration_tool_spark.streaming import (
+    read_snapshot_stream,
+    stream_sync,
+    stream_window_counts,
+)
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_stream_sync_two_snapshot_rounds(spark, tmp_path):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    source_dir = str(tmp_path / "drops")
+    paths = {
+        "state": str(tmp_path / "state"),
+        "target": str(tmp_path / "target"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+    def run_round():
+        stream = read_snapshot_stream(spark, source_dir, customer.schema)
+        q = stream_sync(
+            stream,
+            "c_custkey",
+            paths["state"],
+            paths["target"],
+            "c_nationkey",
+            paths["ckpt"],
+        )
+        q.awaitTermination(120)
+
+    # round 1: initial snapshot -> full load
+    customer.coalesce(1).write.mode("append").parquet(source_dir)
+    run_round()
+    target = spark.read.parquet(paths["target"]).select(*customer.columns)
+    assert _same_rows(target, customer)
+
+    # round 2: changed snapshot dropped -> diff applied via state
+    changed = changed_customer_source(customer)
+    changed.coalesce(1).write.mode("append").parquet(source_dir)
+    run_round()
+    target = spark.read.parquet(paths["target"]).select(*customer.columns)
+    assert _same_rows(target, changed)
+
+    # persisted state reflects the latest snapshot (no DELETED keys)
+    state = spark.read.parquet(paths["state"])
+    assert state.count() == changed.count()
+
+
+def test_stream_window_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    stream_dir = str(tmp_path / "events_stream")
+    events.coalesce(2).write.parquet(stream_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    q = stream_window_counts(
+        stream, str(tmp_path / "wckpt"), query_name="win_counts"
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.sql("SELECT * FROM win_counts")
+    batch = tumbling_window_agg(events)
+    assert _same_rows(streamed, batch)
