@@ -58,6 +58,38 @@ def tail_sample(df: DataFrame, order_key: str, n: int) -> DataFrame:
     return df.orderBy(F.col(order_key).desc()).limit(n)
 
 
+def paginate(df: DataFrame, order_key: str, skip: int, first: int) -> DataFrame:
+    """Skip/first pagination (Get-MdbcData -Skip/-First,
+    Data_Migration.ps1:117-119) via native offset+limit on a sorted scan.
+
+    The reference pages through the whole collection this way — an O(n²)
+    skip-scan it uses as its extraction loop. In Spark that loop is
+    replaced by one partitioned scan; this operator exists for the
+    *query* surface (a page of results), where a bounded offset is fine.
+    Unbounded driver-side paging over a 100 TB table would be the same
+    anti-pattern as the reference's — use key-range predicates instead
+    (``df.filter(col(key) > last_seen).limit(n)``)."""
+    return df.orderBy(F.col(order_key)).offset(skip).limit(first)
+
+
+def deterministic_sample(df: DataFrame, key: str, hex_bound: str = "1a") -> DataFrame:
+    """Reproducible pseudo-random sample: keep rows whose md5(key) is
+    lexicographically below ``hex_bound`` (p ≈ int(hex_bound,16)/16^len).
+    Unlike ``df.sample`` this is stable across engines, runs and
+    partitionings — the sampling contract a validation pipeline needs.
+    Default '1a' ≈ 10.2%."""
+    return df.filter(
+        F.md5(F.col(key).cast("string")) < F.lit(hex_bound)
+    )
+
+
+def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Engine-native Bernoulli sample — fast path when cross-engine
+    reproducibility is not required (per-partition deterministic given
+    the seed, but not comparable to any other engine's sampler)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
 def new_keys(source: DataFrame, target_keys: DataFrame, key: str) -> DataFrame:
     """Source∖Target anti-semi-join: documents not yet in the target
     (Sync.ps1:147-154, hand-rolled hash-set probe in the reference)."""

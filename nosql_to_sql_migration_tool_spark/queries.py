@@ -285,6 +285,58 @@ def q_upsert_last_wins(spark, sf_dir):
     return R.upsert_last_wins(v1.unionByName(v2), "c_custkey", "version")
 
 
+@query(
+    "paginate_orders",
+    "SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 200",
+)
+def q_paginate_orders(spark, sf_dir):
+    """Skip/first page (Get-MdbcData -Skip/-First, Data_Migration.ps1:117-119)
+    via native offset+limit."""
+    return R.paginate(load_table(spark, sf_dir, "orders"), "o_orderkey", 200, 50)
+
+
+@query(
+    "deterministic_sample",
+    "SELECT * FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) < '1a'",
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible ~10% sample by md5(key) bound — engine-independent,
+    unlike Bernoulli df.sample (validation sampling contract)."""
+    return R.deterministic_sample(load_table(spark, sf_dir, "customer"), "c_custkey")
+
+
+@query(
+    "show_columns",
+    "SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM customer)",
+)
+def q_show_columns(spark, sf_dir):
+    """Introspection (SHOW COLUMNS, Sync.ps1:411,559): schema as data,
+    SQL type spellings — checked against DuckDB's own DESCRIBE."""
+    from nosql_to_sql_migration_tool_spark.sources.registry import show_columns
+
+    return show_columns(spark, load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "catalog_listing",
+    "SELECT table_name AS name FROM information_schema.tables "
+    "WHERE table_name IN ('region','nation','customer','supplier','part',"
+    "'orders','lineitem','events','documents','embeddings')",
+)
+def q_catalog_listing(spark, sf_dir):
+    """Catalog listing (listCollections, MasterWorkflow.ps1:186-221):
+    register the scale-factor directory as views, list them back."""
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        TABLES,
+        list_collections,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    names = sorted(set(list_collections(spark)) & set(TABLES))
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
 # ---------------------------------------------------------------------------
 # M2: distributed schema inference (Get-MongoDBSchema / Analyze-DocumentStructure,
 # reference private/Analyze_scheme.ps1:1-228; majority vote Sql_Schema_Generator.ps1:416)

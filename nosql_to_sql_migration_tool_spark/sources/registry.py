@@ -87,3 +87,33 @@ def list_collections(spark: SparkSession) -> list[str]:
         for t in spark.catalog.listTables()
         if not t.name.startswith("system")
     ]
+
+
+# Spark simpleString -> SQL type-name spelling (the reference's SHOW
+# COLUMNS surface speaks SQL dialect names; matches DuckDB DESCRIBE for
+# oracle-comparability).
+_SQL_TYPE_NAMES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def show_columns(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Introspection: ``SHOW COLUMNS`` as a small DataFrame of
+    ``(column_name, column_type)`` (reference: Sync.ps1:411,559 reads
+    SHOW COLUMNS to drive drift detection). Pure driver-side metadata —
+    no job runs."""
+    rows = [
+        (f.name, _SQL_TYPE_NAMES.get(f.dataType.simpleString(),
+                                     f.dataType.simpleString().upper()))
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(rows, "column_name string, column_type string")
