@@ -976,6 +976,62 @@ def q_events_session_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary columns (SURVEY.md §2C): decode/feature plumbing over
+# fake raw-format media; features have closed-form analytic oracles.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.multimodal import (  # noqa: E402
+    decode_features,
+    fake_image_table,
+    resize_images,
+)
+
+
+@query(
+    "media_features",
+    """
+SELECT c_custkey AS media_id,
+       CAST(c_custkey % 8 + 2 AS INT) AS width,
+       CAST(c_custkey % 5 + 2 AS INT) AS height,
+       CAST((c_custkey % 8 + 2) * (c_custkey % 5 + 2) AS BIGINT) AS n_bytes,
+       CAST(c_custkey % 251 AS DOUBLE) AS mean_byte,
+       CAST(c_custkey % 251 AS INT) AS min_byte,
+       CAST(c_custkey % 251 AS INT) AS max_byte
+FROM customer WHERE c_custkey % 20 = 0
+""",
+)
+def q_media_features(spark, sf_dir):
+    """Binary->Python->features round trip: generate solid raw images
+    JVM-side, decode them in an Arrow-batched mapInPandas, check the
+    numpy-computed features against their closed-form values."""
+    base = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 20 == 0
+    )
+    return decode_features(fake_image_table(base, "c_custkey"))
+
+
+@query(
+    "media_resize",
+    """
+SELECT c_custkey AS media_id,
+       4 AS width, 4 AS height, CAST(16 AS BIGINT) AS n_bytes,
+       CAST(c_custkey % 251 AS DOUBLE) AS mean_byte,
+       CAST(c_custkey % 251 AS INT) AS min_byte,
+       CAST(c_custkey % 251 AS INT) AS max_byte
+FROM customer WHERE c_custkey % 20 = 0
+""",
+)
+def q_media_resize(spark, sf_dir):
+    """Resize then re-decode: nearest-neighbour to 4x4 keeps a solid
+    image solid — features stay closed-form after two Python stages."""
+    base = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 20 == 0
+    )
+    media = fake_image_table(base, "c_custkey")
+    return decode_features(resize_images(media, 4, 4))
+
+
+# ---------------------------------------------------------------------------
 # M3: document -> relational normalization (New-SQLSchema intended semantics,
 # reference private/Sql_Schema_Generator.ps1:57-402; SURVEY.md §1.4)
 # ---------------------------------------------------------------------------
