@@ -130,20 +130,55 @@ def band_hashes_sql(sig_expr: str) -> str:
     return f"[{bands}]"
 
 
+def minhash_sig_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature as a TABLE ``(id, __h0..__hN)``: explode shingles to
+    rows, hash each shingle N_HASHES ways, min-aggregate per doc.
+
+    This shape (vs. one nested-transform array expression) keeps every
+    step inside whole-stage codegen and evaluates the shingle build
+    exactly once — the array-expression formulation fell out of codegen
+    and was ~40x slower at sf0.1. Cost: one narrow shuffle of
+    (id, 12 hashes) partial-min rows — map-side combine applies."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("__s")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"__h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(N_HASHES)]
+    )
+
+
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b: documents
     sharing at least one (band index, band hash) bucket. The join is a
     bucket equi-join — never an all-pairs product."""
-    # projection boundaries materialize shingles and signature once each
-    sigs = (
-        df.select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
-        .select(F.col(id_col), _signature_from(F.col("__sh")).alias("__sig"))
-        .select(F.col(id_col), band_hashes(F.col("__sig")).alias("__bands"))
+    sig = minhash_sig_table(df, text_col, id_col)
+    bands_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__h{b * ROWS_PER_BAND + j}")
+                        for j in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    buckets = sigs.select(
-        id_col, F.posexplode("__bands").alias("band_idx", "band_hash")
+    buckets = sig.select(
+        id_col, F.posexplode(bands_arr).alias("band_idx", "band_hash")
     )
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
