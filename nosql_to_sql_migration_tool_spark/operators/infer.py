@@ -142,6 +142,54 @@ def schema_stats(
     return base.join(majority, "path")
 
 
+def spark_schema_from_stats(stats: list[dict]):
+    """Inferred path stats -> a Spark ``StructType`` for ``from_json``:
+    majority-vote scalar types (reference's type resolution,
+    Sql_Schema_Generator.ps1:416), nested objects from dotted paths,
+    arrays from ``[]`` paths. The bridge from schemaless inference to a
+    typed parse in the full-migration workflow."""
+    import re
+
+    from pyspark.sql import types as T
+
+    by_path = {s["path"]: s for s in stats}
+
+    def scalar_type(mt: str) -> T.DataType:
+        return {
+            "string": T.StringType(),
+            "integer": T.LongType(),
+            "number": T.DoubleType(),
+            "boolean": T.BooleanType(),
+            "null": T.StringType(),
+        }.get(mt, T.StringType())
+
+    def build(prefix: str) -> T.StructType:
+        fields = []
+        for path in sorted(by_path):
+            if not path.startswith(prefix):
+                continue
+            rest = path[len(prefix):]
+            # direct children only: a bare name (no dots, no [] markers)
+            if not re.fullmatch(r"[^.\[\]]+", rest):
+                continue
+            full = prefix + rest
+            mt = by_path[full]["majority_type"]
+            if mt == "object":
+                dtype: T.DataType = build(f"{full}.")
+            elif mt == "array":
+                elem = by_path.get(f"{full}[]")
+                emt = elem["majority_type"] if elem else "string"
+                dtype = T.ArrayType(
+                    build(f"{full}[].") if emt == "object" else scalar_type(emt)
+                )
+            else:
+                dtype = scalar_type(mt)
+            fields.append(T.StructField(rest, dtype))
+        return T.StructType(fields)
+
+    return build("")
+
+
 def infer_schema(
     df: DataFrame, doc_col: str, id_col: str, sample_docs: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,176 @@
+"""Workflow composition — the reference's master pipelines as functions
+over the engine's operators (public/MasterWorkflow.ps1:226-333,
+private/Data_Migration.ps1:481-544):
+
+- ``full_migration``    : infer -> DDL plan + export -> typed parse ->
+                          normalize into main+child tables -> write
+                          parquet -> validate (Invoke-FullMigration)
+- ``incremental_migration``: target exists? hash-diff sync + partition-
+                          scoped apply : fall back to full migration
+                          (Invoke-IncrementalMigration,
+                          MasterWorkflow.ps1:284-333)
+
+Driver-side code here only sequences jobs and carries small metadata
+(stats rows, plans, counters); every data movement is a distributed
+plan from the operator modules.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from nosql_to_sql_migration_tool_spark.operators.cdc import (
+    apply_changes_to_path,
+    load_state,
+    save_state,
+    snapshot_state,
+    sync,
+)
+from nosql_to_sql_migration_tool_spark.operators.infer import (
+    infer_schema,
+    spark_schema_from_stats,
+)
+from nosql_to_sql_migration_tool_spark.operators.normalize_docs import (
+    normalize_document_table,
+)
+from nosql_to_sql_migration_tool_spark.operators.validation import (
+    validation_verdict,
+)
+from nosql_to_sql_migration_tool_spark.plans.ddl import (
+    export_sql_schema,
+    plan_tables,
+)
+
+
+@dataclass
+class MigrationReport:
+    """Counters mirroring the reference's result objects
+    (Data_Migration.ps1:52-60, MasterWorkflow.ps1:153-183)."""
+
+    table_name: str
+    operation: str
+    tables: dict[str, int] = field(default_factory=dict)  # table -> rows
+    ddl_path: str | None = None
+    validation: dict | None = None
+    duration_sec: float = 0.0
+
+    @property
+    def total_rows(self) -> int:
+        return sum(self.tables.values())
+
+
+def full_migration(
+    spark: SparkSession,
+    documents: DataFrame,
+    doc_col: str,
+    id_col: str,
+    table_name: str,
+    output_dir: str,
+    dialect: str = "ansi",
+    sample_size: int = 100,
+    validation_sample: int = 10,
+) -> MigrationReport:
+    """Schemaless JSON documents -> relational parquet tables, end to end.
+
+    1. sample-bounded inference (Get-MongoDBSchema)
+    2. DDL plan + script export (New-SQLSchema / Export-SQLSchema)
+    3. typed parse of ALL documents with the inferred schema (from_json)
+    4. normalization into main + FK child tables (the intended
+       New-SQLSchema data pipeline the reference never implemented)
+    5. parquet write per table (Start-DataMigration's load, one
+       distributed job per table instead of a per-row DML loop)
+    6. count/sample validation of the written main table
+    """
+    start = time.monotonic()
+    report = MigrationReport(table_name, "FullMigration")
+
+    stats = [
+        r.asDict()
+        for r in infer_schema(
+            documents, doc_col, id_col, sample_docs=sample_size
+        ).collect()
+    ]
+    n_sampled = min(sample_size, documents.count())
+    plan = plan_tables(stats, table_name, primary_key=id_col, total_docs=n_sampled)
+
+    os.makedirs(output_dir, exist_ok=True)
+    report.ddl_path = os.path.join(output_dir, f"schema_{table_name}.sql")
+    export_sql_schema(plan, report.ddl_path, dialect)
+
+    doc_schema = spark_schema_from_stats(stats)
+    typed = documents.select(
+        F.col(id_col),
+        F.from_json(F.col(doc_col), doc_schema).alias("__doc"),
+    ).select(id_col, "__doc.*")
+
+    tables = normalize_document_table(typed, id_col, table_name)
+    for name, df in tables.items():
+        path = os.path.join(output_dir, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        report.tables[name] = spark.read.parquet(path).count()
+
+    main_path = os.path.join(output_dir, f"{table_name}.parquet")
+    written_main = spark.read.parquet(main_path)
+    report.validation = (
+        validation_verdict(
+            tables[table_name],
+            written_main,
+            id_col,
+            sample_size=validation_sample,
+        )
+        .collect()[0]
+        .asDict()
+    )
+    report.duration_sec = time.monotonic() - start
+    return report
+
+
+def incremental_migration(
+    spark: SparkSession,
+    source: DataFrame,
+    key: str,
+    table_name: str,
+    output_dir: str,
+    partition_col: str,
+) -> MigrationReport:
+    """Typed-source incremental sync: first run loads the target and
+    seeds the state; later runs hash-diff against persisted state and
+    apply only touched partitions (Invoke-IncrementalMigration branch +
+    Start-IncrementalSync)."""
+    start = time.monotonic()
+    target_path = os.path.join(output_dir, f"{table_name}.parquet")
+    state_path = os.path.join(output_dir, f"sync_state_{table_name}")
+
+    try:
+        spark.read.parquet(target_path)
+        target_exists = True
+    except AnalysisException:
+        target_exists = False
+
+    if not target_exists:
+        report = MigrationReport(table_name, "InitialLoad")
+        source.write.partitionBy(partition_col).parquet(target_path)
+        save_state(snapshot_state(source, key), state_path)
+        report.tables[table_name] = spark.read.parquet(target_path).count()
+    else:
+        report = MigrationReport(table_name, "IncrementalSync")
+        state = load_state(spark, state_path)
+        diff, new_state = sync(source, state, key)
+        new_state_rows = new_state.localCheckpoint(eager=True)
+        counts = {
+            r["change_type"]: r["n"]
+            for r in diff.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        apply_changes_to_path(spark, target_path, diff, key, partition_col)
+        save_state(new_state_rows, state_path)
+        report.tables[table_name] = spark.read.parquet(target_path).count()
+        report.validation = counts
+    report.duration_sec = time.monotonic() - start
+    return report

@@ -1,0 +1,109 @@
+"""End-to-end workflow tests: schemaless JSON -> inferred schema -> DDL
+script -> typed parse -> normalized parquet tables -> validation
+(Invoke-FullMigration parity), then incremental sync rounds over the
+written store (Invoke-IncrementalMigration parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import (
+    changed_customer_source,
+    ragged_documents,
+)
+from nosql_to_sql_migration_tool_spark.operators.infer import (
+    explode_json_paths,
+    schema_stats,
+    spark_schema_from_stats,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from nosql_to_sql_migration_tool_spark.workflow import (
+    full_migration,
+    incremental_migration,
+)
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_spark_schema_from_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, '{"name": "A", "age": 3, "address": {"city": "G"}, '
+                '"tags": ["x"], "items": [{"sku": "S", "qty": 1}]}'),
+            (2, '{"name": "B", "score": 1.5, "ok": true}'),
+        ],
+        "doc_id long, doc string",
+    )
+    stats = [
+        r.asDict()
+        for r in schema_stats(explode_json_paths(docs, "doc", "doc_id")).collect()
+    ]
+    schema = spark_schema_from_stats(stats)
+    ddl = schema.simpleString()
+    assert "name:string" in ddl and "age:bigint" in ddl
+    assert "score:double" in ddl and "ok:boolean" in ddl
+    assert "address:struct<city:string>" in ddl
+    assert "tags:array<string>" in ddl
+    assert "items:array<struct<qty:bigint,sku:string>>" in ddl
+
+
+def test_full_migration_end_to_end(spark, tmp_path):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    docs = ragged_documents(customer)
+    out = str(tmp_path / "migrated")
+    report = full_migration(
+        spark,
+        docs,
+        doc_col="doc",
+        id_col="doc_id",
+        table_name="people",
+        output_dir=out,
+        dialect="mysql",
+        sample_size=1000,
+    )
+    assert set(report.tables) == {
+        "people",
+        "people_address",
+        "people_tags",
+        "people_items",
+    }
+    assert report.tables["people"] == docs.count()
+    # child tables only for docs that have the structure
+    n_with_addr = docs.filter(F.col("doc").contains('"address"')).count()
+    assert report.tables["people_address"] == n_with_addr
+    assert report.tables["people_tags"] > 0
+    assert report.tables["people_items"] > 0
+
+    ddl = open(report.ddl_path).read()
+    assert ddl.count("CREATE TABLE") == 4
+    assert "`array_index` INT NOT NULL" in ddl  # mysql dialect
+
+    assert report.validation["status"] == "PASSED"
+
+    # written child tables carry parent FK + ordinal
+    tags = spark.read.parquet(f"{out}/people_tags.parquet")
+    assert set(tags.columns) == {"people_doc_id", "array_index", "value"}
+
+
+def test_incremental_migration_rounds(spark, tmp_path):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    out = str(tmp_path / "inc")
+
+    first = incremental_migration(
+        spark, customer, "c_custkey", "customer", out, "c_nationkey"
+    )
+    assert first.operation == "InitialLoad"
+    assert first.tables["customer"] == customer.count()
+
+    changed = changed_customer_source(customer)
+    second = incremental_migration(
+        spark, changed, "c_custkey", "customer", out, "c_nationkey"
+    )
+    assert second.operation == "IncrementalSync"
+    assert set(second.validation) == {"NEW", "UPDATED", "DELETED", "UNCHANGED"}
+    assert second.tables["customer"] == changed.count()
+
+    # a third run with the same source is a no-op sync
+    third = incremental_migration(
+        spark, changed, "c_custkey", "customer", out, "c_nationkey"
+    )
+    assert set(third.validation) == {"UNCHANGED"}
