@@ -315,6 +315,47 @@ def render_schema(
     return [render_table(t, dialect, include_drop) for t in plan.tables]
 
 
+_SPARK_TO_SQL = {
+    "long": "INT",
+    "int": "INT",
+    "bigint": "INT",
+    "double": "DECIMAL(18,2)",
+    "float": "DECIMAL(18,2)",
+    "boolean": "BIT",
+    "timestamp": "DATETIME2",
+    "date": "DATETIME2",
+    "string": f"VARCHAR({VARCHAR_LIMIT})",
+}
+
+
+def drift_alter_statements(
+    target, incoming, table_name: str, dialect: str = "ansi"
+) -> list[str]:
+    """Add-only schema drift: columns present in ``incoming`` but not in
+    the target become ``ALTER TABLE ADD COLUMN <c> <type> NULL``
+    (Update-SQLSchema, private/Sync.ps1:395-477). Types come from the
+    incoming DataFrame's schema — the typed-majority generalization of
+    the reference's single-sample ``Get-SQLDataType`` (Sync.ps1:479-507).
+    Pure metadata — no job runs."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r}; expected {DIALECTS}")
+    qo, qc = _QUOTES[dialect]
+    existing = set(target.columns)
+    out = []
+    for f in incoming.schema.fields:
+        if f.name in existing:
+            continue
+        base = _SPARK_TO_SQL.get(
+            f.dataType.simpleString(), f"VARCHAR({VARCHAR_LIMIT})"
+        )
+        col_type = _render_type(base, dialect)
+        out.append(
+            f"ALTER TABLE {table_name} ADD COLUMN {qo}{f.name}{qc} "
+            f"{col_type} NULL;"
+        )
+    return out
+
+
 def export_sql_schema(
     plan: SchemaPlan, path: str, dialect: str = "ansi", include_drop: bool = True
 ) -> None:

@@ -650,6 +650,138 @@ def q_sql_type_mapping(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Analytical surface (SURVEY.md §2C / M7d): window/rank, multi-table
+# joins, rollup, set ops — all Catalyst built-ins, declared for coverage.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+
+@query(
+    "top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window rank: top-3 orders by value per customer — one shuffle on
+    the partition key, in-partition sort only."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "revenue_per_nation",
+    """
+SELECT n.n_name AS nation,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_revenue_per_nation(spark, sf_dir):
+    """TPC-H-Q5-shaped multi-table join: lineitem->orders->customer->
+    nation with revenue aggregation. nation broadcasts (AQE); the
+    per-item discount product runs in double (bit-identical IEEE), the
+    sum accumulates exactly in decimal, presented as double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "orders_priority_rollup",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def q_orders_priority_rollup(spark, sf_dir):
+    """ROLLUP subtotals (priority, status) + grand total — grouping-set
+    aggregation, map-side combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@query(
+    "building_customers_with_orders",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders
+""",
+)
+def q_building_customers_with_orders(spark, sf_dir):
+    """Set op INTERSECT: BUILDING-segment customers that have orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+""",
+)
+def q_customers_without_orders(spark, sf_dir):
+    """Set op EXCEPT: customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.select("c_custkey").exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
 # Text analysis over the documents corpus (SURVEY.md §2C / M7c — LLM-data
 # pipeline surface; no reference counterpart, north_star extension)
 # ---------------------------------------------------------------------------

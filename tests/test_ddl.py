@@ -171,6 +171,25 @@ def test_dialect_rendering(plan):
         render_table(t, "oracle")
 
 
+def test_drift_alter_statements(spark):
+    from nosql_to_sql_migration_tool_spark.plans.ddl import (
+        drift_alter_statements,
+    )
+
+    target = spark.createDataFrame([(1, "a")], "k long, name string")
+    incoming = spark.createDataFrame(
+        [(1, "a", 2.5, True, "x")],
+        "k long, name string, score double, ok boolean, tier string",
+    )
+    stmts = drift_alter_statements(target, incoming, "users", "mysql")
+    assert stmts == [
+        "ALTER TABLE users ADD COLUMN `score` DECIMAL(18,2) NULL;",
+        "ALTER TABLE users ADD COLUMN `ok` TINYINT(1) NULL;",
+        "ALTER TABLE users ADD COLUMN `tier` VARCHAR(255) NULL;",
+    ]
+    assert drift_alter_statements(incoming, target, "users") == []
+
+
 def test_export_schema_file(plan, tmp_path):
     from nosql_to_sql_migration_tool_spark.plans.ddl import export_sql_schema
 
