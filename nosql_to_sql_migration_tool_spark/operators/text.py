@@ -169,25 +169,29 @@ def word_shingles_sql(text_expr: str, k: int = SHINGLE_K) -> str:
     )
 
 
-def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Document fingerprints: ``exact_fp`` (md5 of whitespace-canonical
     lowercased text — exact-dedup key) and ``shingle_fp`` (lexicographic
     min md5 over 3-token shingles — a rolling 1-permutation MinHash that
-    survives local edits)."""
+    survives local edits).
+
+    The shingle min is computed explode-then-aggregate (shingles built
+    once, codegen-friendly, map-side combinable min) and joined back to
+    the cheap per-row exact hash — the same restructure that made the
+    12-permutation MinHash 10x faster (operators/dedup.py)."""
     text = F.col(text_col)
     canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    toks = tokens(text)
-    n = F.size(toks)
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), n - F.lit(SHINGLE_K - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SHINGLE_K))),
+    exact = df.select("*", F.md5(canon).alias("exact_fp"))
+    shingle_min = (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text)).alias("__s")
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.md5(F.col("__s"))).alias("shingle_fp"))
     )
-    shingle_fp = F.when(n >= SHINGLE_K, F.array_min(shingle_hashes)).otherwise(
-        F.md5(F.concat_ws(" ", toks))
-    )
-    return df.select(
-        "*", F.md5(canon).alias("exact_fp"), shingle_fp.alias("shingle_fp")
-    )
+    return exact.join(shingle_min, id_col)
 
 
 def fingerprints_sql(text_expr: str) -> dict[str, str]:

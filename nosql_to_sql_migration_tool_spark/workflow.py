@@ -130,6 +130,70 @@ def full_migration(
     return report
 
 
+def run_migration_workflow(
+    spark: SparkSession,
+    collections: dict[str, DataFrame],
+    operation: str,
+    output_dir: str,
+    *,
+    doc_col: str = "doc",
+    id_col: str = "_id",
+    partition_col: str | None = None,
+    report_path: str | None = None,
+    **kwargs,
+) -> dict[str, MigrationReport]:
+    """Multi-collection driver (Invoke-MigrationWorkflow,
+    public/MasterWorkflow.ps1:1-184): dispatch the operation per
+    collection, aggregate per-collection reports, optionally write the
+    JSON workflow report (:153-183).
+
+    ``operation``: 'FullMigration' (schemaless doc frames; needs
+    ``doc_col``/``id_col``) or 'IncrementalSync' (typed frames; needs
+    ``partition_col``).
+    """
+    import json
+
+    reports: dict[str, MigrationReport] = {}
+    for name, df in collections.items():
+        if operation == "FullMigration":
+            reports[name] = full_migration(
+                spark,
+                df,
+                doc_col=doc_col,
+                id_col=id_col,
+                table_name=name,
+                output_dir=os.path.join(output_dir, name),
+                **kwargs,
+            )
+        elif operation == "IncrementalSync":
+            if partition_col is None:
+                raise ValueError("IncrementalSync needs partition_col")
+            reports[name] = incremental_migration(
+                spark, df, id_col, name, os.path.join(output_dir, name),
+                partition_col,
+            )
+        else:
+            raise ValueError(f"unknown operation {operation!r}")
+    if report_path:
+        with open(report_path, "w") as fh:
+            json.dump(
+                {
+                    name: {
+                        "operation": r.operation,
+                        "tables": r.tables,
+                        "total_rows": r.total_rows,
+                        "validation": r.validation,
+                        "duration_sec": round(r.duration_sec, 3),
+                    }
+                    for name, r in reports.items()
+                },
+                fh,
+                indent=2,
+                default=str,
+            )
+    return reports
+
+
 def incremental_migration(
     spark: SparkSession,
     source: DataFrame,

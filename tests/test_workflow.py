@@ -84,6 +84,33 @@ def test_full_migration_end_to_end(spark, tmp_path):
     assert set(tags.columns) == {"people_doc_id", "array_index", "value"}
 
 
+def test_run_workflow_multi_collection(spark, tmp_path):
+    import json
+
+    from nosql_to_sql_migration_tool_spark.workflow import (
+        run_migration_workflow,
+    )
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    docs = ragged_documents(customer)
+    report_path = str(tmp_path / "workflow_report.json")
+    reports = run_migration_workflow(
+        spark,
+        {"alpha": docs.limit(50), "beta": docs.limit(30)},
+        "FullMigration",
+        str(tmp_path / "wf"),
+        doc_col="doc",
+        id_col="doc_id",
+        report_path=report_path,
+        sample_size=50,
+    )
+    assert set(reports) == {"alpha", "beta"}
+    assert reports["alpha"].tables["alpha"] == 50
+    assert reports["beta"].tables["beta"] == 30
+    written = json.load(open(report_path))
+    assert written["alpha"]["validation"]["status"] == "PASSED"
+
+
 def test_incremental_migration_rounds(spark, tmp_path):
     customer = load_table(spark, SF_DIR_SMOKE, "customer")
     out = str(tmp_path / "inc")
