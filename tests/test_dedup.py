@@ -60,6 +60,30 @@ def test_near_dup_recall_and_jaccard(spark, docs):
     assert exact_pairs and all(p["jaccard"] == 1.0 for p in exact_pairs)
 
 
+def test_dedup_near_drops_planted_copies(spark, docs):
+    from nosql_to_sql_migration_tool_spark.operators.dedup import dedup_near
+
+    kept = dedup_near(docs)
+    # every surviving planted copy would be the higher-id side of a pair
+    survivors_over_100k = kept.filter(F.col("doc_id") >= 100_000).count()
+    base = load_table(spark, SF_DIR_SMOKE, "documents")
+    planted = (
+        base.filter(F.col("doc_id") % 10 == 0).count()
+        + base.filter(F.col("doc_id") % 7 == 0).count()
+    )
+    # LSH recall is >=90%; at most a few planted copies survive
+    assert survivors_over_100k <= 0.1 * planted
+    # exactly the higher-id side of every verified pair is dropped
+    # (the small-vocab corpus has some NATURAL near-dup pairs too, so
+    # a handful of base docs legitimately dedup away)
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    losers = near_dup_pairs(docs).select("id_b").distinct().count()
+    assert kept.count() == docs.count() - losers
+
+
 def test_simhash_finds_exact_copies(spark, docs):
     cands = simhash_candidates(docs, max_hamming=3)
     exact = cands.filter(
