@@ -95,6 +95,70 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def centroids_by_label(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """IVF coarse quantizer: one centroid per label as the per-dimension
+    mean — explode to (label, dim, value), aggregate, re-assemble. On an
+    unlabeled corpus the label column would come from a seeded k-means
+    assignment; the bucket/probe machinery below is identical."""
+    dims = df.select(
+        F.col(label_col),
+        F.posexplode(as_double(F.col(vec_col))).alias("__d", "__v"),
+    )
+    per_dim = dims.groupBy(label_col, "__d").agg(F.avg("__v").alias("__c"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__d", "__c"))
+            ).alias("__dc")
+        )
+        .select(
+            label_col,
+            F.transform(F.col("__dc"), lambda s: s["__c"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: score the query against the (tiny) centroid table,
+    probe the ``n_probe`` closest buckets, brute-force only inside them.
+
+    At scale the corpus is partitioned/bucketed by the coarse label, so
+    the probe is a partition-pruned scan of n_probe/n_buckets of the
+    data instead of the full corpus; centroid scoring is a broadcast of
+    a bucket-count-sized table. Rounded cosines + label/id tie-breaks
+    keep the result deterministic across engines."""
+    cents = centroids_by_label(df, vec_col, label_col)
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("__q")))
+    probed = F.broadcast(
+        cents.crossJoin(q)
+        .select(
+            label_col,
+            cosine(F.col("centroid"), F.col("__q")).alias("__cc"),
+        )
+        .orderBy(F.col("__cc").desc(), F.col(label_col))
+        .limit(n_probe)
+        .select(label_col)
+    )
+    candidates = df.join(probed, label_col, "left_semi")
+    scored = candidates.crossJoin(q).select(
+        F.col(id_col),
+        F.col(label_col),
+        cosine(as_double(F.col(vec_col)), F.col("__q")).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def _plane_lit(plane: list[float]) -> Column:
     return F.array(*[F.lit(c) for c in plane])
 

@@ -3,5 +3,15 @@ from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
     stream_sync,
     stream_window_counts,
 )
+from nosql_to_sql_migration_tool_spark.streaming.stateful import (
+    running_user_profiles,
+    start_user_profiles,
+)
 
-__all__ = ["read_snapshot_stream", "stream_sync", "stream_window_counts"]
+__all__ = [
+    "read_snapshot_stream",
+    "running_user_profiles",
+    "start_user_profiles",
+    "stream_sync",
+    "stream_window_counts",
+]

@@ -24,6 +24,31 @@ def test_topk_self_first_and_bounded(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    n_labels = emb.select("label").distinct().count()
+    # probing every bucket must reproduce exact brute-force top-k
+    full = ivf_topk(emb, query, k=10, n_probe=n_labels).select(
+        "vec_id", "cos_sim"
+    )
+    exact = cosine_topk(emb, query, k=10)
+    assert [r.asDict() for r in full.collect()] == [
+        r.asDict() for r in exact.collect()
+    ]
+
+    # a 2-bucket probe returns k rows drawn from at most 2 labels
+    probed = ivf_topk(emb, query, k=10, n_probe=2).collect()
+    assert len(probed) == 10
+    assert len({r["label"] for r in probed}) <= 2
+    sims = [r["cos_sim"] for r in probed]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_lsh_recovers_planted_pairs(spark):
     base = load_table(spark, SF_DIR_SMOKE, "embeddings")
     fixture = duplicated_embeddings(base)

@@ -64,6 +64,46 @@ def test_stream_sync_two_snapshot_rounds(spark, tmp_path):
     assert state.count() == changed.count()
 
 
+def test_stateful_user_profiles_across_restarts(spark, tmp_path):
+    from nosql_to_sql_migration_tool_spark.streaming.stateful import (
+        start_user_profiles,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    stream_dir = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "profiles")
+
+    # round 1: half the events
+    first.coalesce(1).write.mode("append").parquet(stream_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    start_user_profiles(stream, ckpt, out).awaitTermination(120)
+
+    # round 2: a NEW query resumes state from the checkpoint
+    second.coalesce(1).write.mode("append").parquet(stream_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    start_user_profiles(stream, ckpt, out).awaitTermination(120)
+
+    # latest state per user must equal the full-batch ground truth
+    latest = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    truth = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    assert latest.exceptAll(truth).isEmpty()
+    assert truth.exceptAll(latest).isEmpty()
+
+
 def test_stream_window_matches_batch(spark, tmp_path):
     events = load_table(spark, SF_DIR_SMOKE, "events")
     stream_dir = str(tmp_path / "events_stream")
