@@ -227,6 +227,60 @@ def near_dup_pairs(
     )
 
 
+def near_dup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure of near-duplication: ``(id, component_id)``
+    where component_id is the min doc id reachable through verified
+    near-dup pairs — so an edit CHAIN a~b~c collapses into one group
+    even when a and c are not directly similar.
+
+    Iterative min-label propagation over the (small) pair-edge set:
+    each round joins labels to neighbours and takes the min; converges
+    in O(diameter) rounds (label propagation halves long chains each
+    step). ``localCheckpoint`` cuts lineage per round so the plan does
+    not grow with iterations. The per-round convergence check compares
+    label sums — one tiny aggregate, not a collect of data rows.
+    """
+    pairs = near_dup_pairs(df, text_col, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(
+        F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.src)
+            .groupBy(edges.src.alias("src"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("src").alias(id_col), F.col("comp").alias("component_id"))
+
+
 def dedup_near(
     df: DataFrame,
     text_col: str = "text",

@@ -84,6 +84,32 @@ def test_dedup_near_drops_planted_copies(spark, docs):
     assert kept.count() == docs.count() - losers
 
 
+def test_near_dup_components_closes_chains(spark):
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    chain = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "xq zz " + base),            # near-dup of 1
+            (3, "xq zz yy ww " + base),      # near-dup of 2, farther from 1
+            (10, "totally different words entirely unrelated content here "
+                 "nothing shared with the chain at all " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in near_dup_components(chain, threshold=0.6).collect()
+    }
+    # the whole edit chain collapses to the min id
+    assert comps[1] == comps[2] == comps[3] == 1
+    # the unrelated doc keeps its own component
+    assert comps[10] == 10
+
+
 def test_simhash_finds_exact_copies(spark, docs):
     cands = simhash_candidates(docs, max_hamming=3)
     exact = cands.filter(
