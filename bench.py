@@ -43,9 +43,15 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name, fn in QUERIES.items():
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not zero the bench
+            errors.append(name)
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - start, 3)
 
     result = {
@@ -55,6 +61,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result), flush=True)
 
 
