@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from nosql_to_sql_migration_tool_spark.operators.text import (
     tokens,
     tokens_sql,
+    with_shingles,
     word_shingles,
     word_shingles_sql,
 )
@@ -141,8 +142,8 @@ def minhash_sig_table(
     exactly once — the array-expression formulation fell out of codegen
     and was ~40x slower at sf0.1. Cost: one narrow shuffle of
     (id, 12 hashes) partial-min rows — map-side combine applies."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("__s")
+    sh = with_shingles(df, text_col, keep=(id_col,)).select(
+        F.col(id_col), F.explode("__shingles").alias("__s")
     )
     hashed = sh.select(
         id_col,
@@ -203,9 +204,7 @@ def near_dup_pairs(
     """Full near-dup pipeline: LSH candidates verified with exact n-gram
     Jaccard over the distinct shingle sets. Output:
     ``(id_a, id_b, jaccard)`` with jaccard >= threshold, rounded 6 dp."""
-    shingle_sets = df.select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("__sh")
-    )
+    shingle_sets = with_shingles(df, text_col, out_col="__sh", keep=(id_col,))
     cands = minhash_candidates(df, text_col, id_col)
     a = shingle_sets.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")

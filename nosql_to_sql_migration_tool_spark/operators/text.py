@@ -142,10 +142,12 @@ def lang_guess_sql(text_expr: str) -> str:
     )
 
 
-def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-token shingles; texts shorter than k tokens collapse to
-    one whole-text shingle (so every doc has a non-empty shingle set)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-shingles over an ALREADY-MATERIALIZED token array
+    column. Callers must project the token array first (``with_shingles``
+    does) — handing in ``tokens(text)`` directly inlines the split into
+    every slice reference and re-tokenizes the text ~n times per row
+    (measured 5x slower at sf0.1)."""
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)),
@@ -154,6 +156,28 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
     return F.when(n >= k, F.array_distinct(shingles)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "__shingles",
+    k: int = SHINGLE_K,
+    keep: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Project (kept columns, shingle array): tokens materialized once in
+    an intermediate projection, shingles built from the column."""
+    kept = list(keep) if keep is not None else [c for c in df.columns]
+    return df.select(
+        *kept, tokens(F.col(text_col)).alias("__toks")
+    ).select(*kept, shingles_from_tokens(F.col("__toks"), k).alias(out_col))
+
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles; texts shorter than k tokens collapse to
+    one whole-text shingle. Convenience single-expression form — for hot
+    paths use ``with_shingles`` (see ``shingles_from_tokens`` note)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def word_shingles_sql(text_expr: str, k: int = SHINGLE_K) -> str:
@@ -185,9 +209,8 @@ def with_fingerprints(
     canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     exact = df.select("*", F.md5(canon).alias("exact_fp"))
     shingle_min = (
-        df.select(
-            F.col(id_col), F.explode(word_shingles(text)).alias("__s")
-        )
+        with_shingles(df, text_col, keep=(id_col,))
+        .select(F.col(id_col), F.explode("__shingles").alias("__s"))
         .groupBy(id_col)
         .agg(F.min(F.md5(F.col("__s"))).alias("shingle_fp"))
     )
