@@ -1,0 +1,128 @@
+"""Pluggable source/sink connectors behind the same operator surface.
+
+The reference reads MongoDB (Mdbc) and writes MySQL/SQL Server (ADO.NET,
+private/Connection_DB.ps1, private/Data_Migration.ps1:363-427). In this
+engine every operator takes DataFrames, so a connector is just reader/
+writer configuration:
+
+- file formats (parquet/json/csv/orc) — fully testable here;
+- JDBC (MySQL/SQL Server) — option building is pure and tested; the
+  actual round trip needs a driver jar + server, absent in this
+  container, so ``read_jdbc``/``write_jdbc`` raise a clear error if the
+  connector is unavailable rather than failing obscurely;
+- MongoDB — same pattern via the Spark Mongo connector's options.
+
+A JDBC *write* of a normalized table plan replaces the reference's
+per-row parameterized DML loop with Spark's batched JDBC writer
+(``batchsize``), and ``createTableColumnTypes`` carries the DDL layer's
+column types onto the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FILE_FORMATS = ("parquet", "json", "csv", "orc")
+
+_JDBC_URLS = {
+    "mysql": "jdbc:mysql://{host}:{port}/{database}",
+    "sqlserver": "jdbc:sqlserver://{host}:{port};databaseName={database}",
+}
+_JDBC_DEFAULT_PORTS = {"mysql": 3306, "sqlserver": 1433}
+
+
+def read_file(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options
+) -> DataFrame:
+    """Read any supported file format; csv/json default to header +
+    schema inference unless options say otherwise."""
+    if fmt not in FILE_FORMATS:
+        raise ValueError(f"unsupported file format {fmt!r}; use {FILE_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    if fmt == "json":
+        # one JSON document per line, the schemaless-source shape the
+        # inference operators consume
+        reader = reader.option("multiLine", "false")
+    return reader.options(**options).load(path)
+
+
+def jdbc_options(
+    dialect: str,
+    host: str,
+    database: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    port: int | None = None,
+    batch_size: int = 1000,
+) -> dict[str, str]:
+    """JDBC option dict for MySQL/SQL Server (Get-SQLConnectionObject
+    parity, Data_Migration.ps1:363-427) — pure, testable without a
+    server. ``batchsize`` replaces the reference's per-row DML."""
+    if dialect not in _JDBC_URLS:
+        raise ValueError(f"unsupported JDBC dialect {dialect!r}")
+    url = _JDBC_URLS[dialect].format(
+        host=host, port=port or _JDBC_DEFAULT_PORTS[dialect], database=database
+    )
+    opts = {"url": url, "dbtable": table, "batchsize": str(batch_size)}
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
+def read_jdbc(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    try:
+        return spark.read.format("jdbc").options(**options).load()
+    except Exception as exc:
+        raise RuntimeError(
+            "JDBC read failed — a JDBC driver jar and reachable server are "
+            f"required (options: url={options.get('url')}): {exc}"
+        ) from exc
+
+
+def write_jdbc(
+    df: DataFrame,
+    options: dict[str, str],
+    mode: str = "append",
+    column_types: dict[str, str] | None = None,
+) -> None:
+    """Batched JDBC write; ``column_types`` (from plans/ddl.py) flows
+    into ``createTableColumnTypes`` so the sink table gets the mapped
+    SQL types instead of Spark defaults."""
+    writer = df.write.format("jdbc").options(**options).mode(mode)
+    if column_types:
+        spec = ", ".join(f"{c} {t}" for c, t in column_types.items())
+        writer = writer.option("createTableColumnTypes", spec)
+    try:
+        writer.save()
+    except Exception as exc:
+        raise RuntimeError(
+            "JDBC write failed — a JDBC driver jar and reachable server are "
+            f"required (options: url={options.get('url')}): {exc}"
+        ) from exc
+
+
+def mongo_options(
+    connection_string: str, database: str, collection: str
+) -> dict[str, str]:
+    """Spark Mongo connector options (reference source,
+    Connection_DB.ps1:17-64)."""
+    return {
+        "connection.uri": connection_string,
+        "database": database,
+        "collection": collection,
+    }
+
+
+def read_mongo(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    try:
+        return spark.read.format("mongodb").options(**options).load()
+    except Exception as exc:
+        raise RuntimeError(
+            "MongoDB read failed — the spark-mongodb connector package and "
+            "a reachable server are required: " + str(exc)
+        ) from exc

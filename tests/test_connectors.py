@@ -1,0 +1,79 @@
+"""Connector surface: file-format round trips are tested for real;
+JDBC/Mongo option building is pure-tested; unavailable connectors raise
+the documented clear error."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.sources.connectors import (
+    jdbc_options,
+    mongo_options,
+    read_file,
+    read_jdbc,
+    write_jdbc,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_file_format_round_trips(spark, tmp_path):
+    nation = load_table(spark, SF_DIR_SMOKE, "nation")
+    for fmt in ("parquet", "json", "csv", "orc"):
+        path = str(tmp_path / f"nation_{fmt}")
+        w = nation.write.format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        back = read_file(spark, path, fmt)
+        assert back.count() == nation.count()
+        assert sorted(back.columns) == sorted(nation.columns)
+
+    with pytest.raises(ValueError):
+        read_file(spark, "/tmp/x", "avro")
+
+
+def test_json_source_feeds_inference(spark, tmp_path):
+    """The schemaless path: JSON-lines source -> infer_schema."""
+    from nosql_to_sql_migration_tool_spark.fixtures import ragged_documents
+    from nosql_to_sql_migration_tool_spark.operators.infer import infer_schema
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    path = str(tmp_path / "docs_json")
+    ragged_documents(customer).limit(200).select("doc").write.text(path)
+    raw = spark.read.text(path).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    stats = infer_schema(raw, "value", "doc_id").collect()
+    assert {s["path"] for s in stats} >= {"name", "age"}
+
+
+def test_jdbc_option_building():
+    opts = jdbc_options(
+        "mysql", "db.example", "shop", "users", user="u", password="p"
+    )
+    assert opts["url"] == "jdbc:mysql://db.example:3306/shop"
+    assert opts["dbtable"] == "users" and opts["batchsize"] == "1000"
+    mssql = jdbc_options("sqlserver", "h", "d", "t", port=1444)
+    assert mssql["url"] == "jdbc:sqlserver://h:1444;databaseName=d"
+    with pytest.raises(ValueError):
+        jdbc_options("oracle", "h", "d", "t")
+
+
+def test_mongo_option_building():
+    opts = mongo_options("mongodb://localhost:27017", "appdb", "users")
+    assert opts == {
+        "connection.uri": "mongodb://localhost:27017",
+        "database": "appdb",
+        "collection": "users",
+    }
+
+
+def test_unavailable_jdbc_raises_clear_error(spark):
+    opts = jdbc_options("mysql", "nohost.invalid", "d", "t")
+    with pytest.raises(RuntimeError, match="JDBC read failed"):
+        read_jdbc(spark, opts)
+    nation = load_table(spark, SF_DIR_SMOKE, "nation")
+    with pytest.raises(RuntimeError, match="JDBC write failed"):
+        write_jdbc(nation, opts, column_types={"n_name": "VARCHAR(255)"})
