@@ -746,6 +746,54 @@ def q_orders_priority_rollup(spark, sf_dir):
 
 
 @query(
+    "order_price_quantiles",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_order_price_quantiles(spark, sf_dir):
+    """Exact grouped percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit,
+    probed before declaring). The exact baseline for sketch-based
+    ``approx_percentile`` at scale, which trades this sort for a
+    mergeable digest."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
+            for q, name in [
+                (0.25, "p25"),
+                (0.50, "p50"),
+                (0.75, "p75"),
+                (0.95, "p95"),
+            ]
+        ]
+    )
+
+
+@query(
+    "orders_status_cube",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q_orders_status_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations (priority, status, each
+    alone, grand total) in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
     "building_customers_with_orders",
     """
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
