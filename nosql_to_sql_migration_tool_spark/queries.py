@@ -793,6 +793,20 @@ def q_orders_status_cube(spark, sf_dir):
     )
 
 
+# Rows-only (no oracle): each engine's sketch implementation differs, so
+# cross-engine value equality is impossible by design; accuracy and the
+# partition-merge property are pinned by tests/test_sketches.py.
+@query("approx_distinct_users")
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct users over events — the combinable-sketch
+    substitute for an exact distinct shuffle at scale."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        approx_distinct,
+    )
+
+    return approx_distinct(load_table(spark, sf_dir, "events"), "user_id")
+
+
 @query(
     "building_customers_with_orders",
     """
