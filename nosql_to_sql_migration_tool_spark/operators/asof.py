@@ -1,0 +1,67 @@
+"""As-of join — the canonical operator vanilla Spark lacks (brief:
+"e.g., as-of join, range join"), implemented as a MERGE, not a join.
+
+Naive as-of (equi-join on key + ``r.ts <= l.ts`` + argmax) explodes each
+left row into every earlier right row before reducing — quadratic per
+key. This implementation is the linear sort-merge form: union both
+sides tagged, one shuffle+sort per key on (ts, side), carry the most
+recent right payload forward with a running ``last(ignorenulls)`` window,
+keep left rows. Cost: ONE shuffle of left+right, in-partition sort —
+the same shape at any scale, no row explosion.
+
+Tie rule: a right row at exactly ``l.ts`` matches (right sorts before
+left at equal ts), matching DuckDB's inclusive ``ASOF JOIN`` — which is
+the oracle for the declared query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row gains the most recent right-side
+    payload with ``right.ts <= left.ts`` for the same key (NULLs when no
+    earlier right row exists)."""
+    l_tagged = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(
+            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+        )
+        .alias("__rv"),
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*right_cols).alias("__rv"),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("__rv", ignorenulls=True).over(w)
+    return (
+        unioned.withColumn("__carried", carried)
+        .filter(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col(f"__carried.{c}").alias(f"{prefix}{c}")
+                for c in right_cols
+            ],
+        )
+    )

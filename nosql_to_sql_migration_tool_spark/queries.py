@@ -793,6 +793,43 @@ def q_orders_status_cube(spark, sf_dir):
     )
 
 
+@query(
+    "orders_asof_last_event",
+    """
+WITH l AS (
+  SELECT o_orderkey, o_custkey % 50 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 29) * INTERVAL 1 DAY
+           + (o_custkey % 24) * INTERVAL 1 HOUR AS ots
+  FROM orders
+),
+r AS (SELECT user_id, ts, event_type FROM events)
+SELECT l.o_orderkey, l.user_id, l.ots,
+       r.ts AS asof_ts, r.event_type AS asof_event_type
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ots >= r.ts
+""",
+)
+def q_orders_asof_last_event(spark, sf_dir):
+    """As-of join: each order picks the user's most recent event at its
+    (synthesized, in-events-range) timestamp. Linear merge form — union
+    + one sort per key + running last(), never a per-row explosion; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from nosql_to_sql_migration_tool_spark.operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("user_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+            "o_orderkey % 29, o_custkey % 24, 0, 0)"
+        ).alias("ots"),
+    )
+    events = load_table(spark, sf_dir, "events")
+    return asof_join(
+        orders, events, "user_id", "ots", "ts", ["ts", "event_type"]
+    )
+
+
 # Rows-only (no oracle): each engine's sketch implementation differs, so
 # cross-engine value equality is impossible by design; accuracy and the
 # partition-merge property are pinned by tests/test_sketches.py.

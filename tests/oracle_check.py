@@ -11,6 +11,13 @@ from datetime import datetime
 def _canon(v) -> str:
     if v is None:
         return "<NULL>"
+    try:  # pandas NaT/NaN scalars (e.g. unmatched LEFT-join timestamps)
+        import pandas as pd
+
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
