@@ -30,7 +30,19 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row gains the most recent right-side
     payload with ``right.ts <= left.ts`` for the same key (NULLs when no
-    earlier right row exists)."""
+    earlier right row exists).
+
+    Determinism: when several right rows share one (key, ts) the carried
+    payload is the struct-max of their ``right_cols`` (the window sorts
+    on the payload struct as the final tie-break), so output does not
+    depend on partitioning or input order."""
+    reserved = {"__ts", "__side", "__rv", "__carried"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves temp column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)}"
+        )
     l_tagged = left.select(
         "*",
         F.col(left_ts).alias("__ts"),
@@ -48,9 +60,13 @@ def asof_join(
         F.struct(*right_cols).alias("__rv"),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # __rv last in the sort: among equal-(ts, side) right rows the max
+    # payload struct wins — a deterministic tie-break (left rows all
+    # carry NULL __rv, so their relative order cannot matter: they only
+    # read the running last(), never write it).
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("__rv", ignorenulls=True).over(w)

@@ -170,6 +170,14 @@ def apply_changes_to_path(
     content first because Spark refuses to overwrite a path it is still
     reading; a production deployment on object storage would stage to a
     temp prefix or use a transactional table format's MERGE instead.
+
+    Dynamic overwrite only replaces partitions PRESENT in the written
+    data — a partition whose every row was DELETED produces no output
+    rows, so its old directory would silently survive. Touched
+    partitions that received no output are therefore removed explicitly
+    through the Hadoop FileSystem API (works on any Hadoop-supported
+    store). The two collects are metadata-sized: touched-partition
+    values, never data rows.
     """
     if (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -178,12 +186,32 @@ def apply_changes_to_path(
     ):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     target = spark.read.parquet(target_path)
-    rows, _ = apply_changes_partitioned(
+    rows, touched = apply_changes_partitioned(
         target, diff, key, partition_col, change_col
     )
-    rows.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-        partition_col
-    ).parquet(target_path)
+    rows = rows.localCheckpoint(eager=True)
+    touched_vals = {r[0] for r in touched.collect()}
+    written_vals = {
+        r[0] for r in rows.select(partition_col).distinct().collect()
+    }
+    rows.write.mode("overwrite").partitionBy(partition_col).parquet(
+        target_path
+    )
+    emptied = touched_vals - written_vals
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for v in emptied:
+            # Spark's partition-dir naming for scalar values; NULL
+            # partitions write __HIVE_DEFAULT_PARTITION__.
+            dirname = (
+                "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            )
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{target_path}/{partition_col}={dirname}"
+            )
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
 
 
 def sync(

@@ -242,8 +242,10 @@ def near_dup_components(
     each round joins labels to neighbours and takes the min; converges
     in O(diameter) rounds (label propagation halves long chains each
     step). ``localCheckpoint`` cuts lineage per round so the plan does
-    not grow with iterations. The per-round convergence check compares
-    label sums — one tiny aggregate, not a collect of data rows.
+    not grow with iterations. Labels are the doc ids themselves (min is
+    well-defined for any orderable id type — string keys work), and the
+    per-round convergence check counts rows whose label still shrinks —
+    one tiny aggregate, not a collect of data rows.
     """
     pairs = near_dup_pairs(df, text_col, id_col, threshold).select(
         "id_a", "id_b"
@@ -254,29 +256,26 @@ def near_dup_components(
         .localCheckpoint(eager=True)
     )
     labels = df.select(
-        F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("comp")
+        F.col(id_col).alias("src"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
-    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.src)
             .groupBy(edges.src.alias("src"))
             .agg(F.min("comp").alias("n_comp"))
         )
-        labels = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        joined = labels.join(neighbor_min, "src", "left").localCheckpoint(
+            eager=True
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = joined.filter(F.col("n_comp") < F.col("comp")).count()
+        labels = joined.select(
+            "src",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+            ).alias("comp"),
+        ).localCheckpoint(eager=True)
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("src").alias(id_col), F.col("comp").alias("component_id"))
 
 

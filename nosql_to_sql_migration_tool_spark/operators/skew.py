@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+_SALTABLE_JOINS = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -27,7 +31,20 @@ def salted_join(
     join; the salt is a deterministic spread (crc32 of the full fact
     row's key + a per-row component would break join semantics, so the
     spread uses ``monotonically_increasing_id`` — distribution-only,
-    never part of the result)."""
+    never part of the result).
+
+    Only fact-preserving join types are allowed: with a right/full outer
+    join each dim row unmatched under one salt would surface as up to
+    ``n_salts`` spurious null-extended copies (the dim side is
+    replicated), so those types raise instead of silently corrupting."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTABLE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"({sorted(_SALTABLE_JOINS)}); got how={how!r} — the replicated "
+            f"dim side makes right/full outer results wrong"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )

@@ -11,19 +11,21 @@ from datetime import datetime
 def _canon(v) -> str:
     if v is None:
         return "<NULL>"
-    try:  # pandas NaT/NaN scalars (e.g. unmatched LEFT-join timestamps)
+    if isinstance(v, float):  # incl. numpy float64 — checked BEFORE pd.isna
+        if math.isnan(v):
+            # NaN is NOT canonicalized to <NULL>: an engine returning NaN
+            # where the other returns NULL must fail the check
+            return "NaN"
+        # round to absorb cross-engine ULP noise in float aggregates;
+        # queries should already round/cast explicitly where it matters
+        return f"{v:.6f}"
+    try:  # pandas NaT scalars (e.g. unmatched LEFT-join timestamps)
         import pandas as pd
 
         if pd.isna(v):
             return "<NULL>"
     except (TypeError, ValueError):
         pass
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round to absorb cross-engine ULP noise in float aggregates;
-        # queries should already round/cast explicitly where it matters
-        return f"{v:.6f}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)

@@ -51,3 +51,29 @@ def test_asof_is_merge_shaped(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # merge form: window over a union — no join operator at all
     assert "Join" not in plan
+
+
+def test_asof_deterministic_on_right_ts_ties(spark):
+    """Several right rows at the identical (key, ts): the carried payload
+    is the struct-max — pinned, not partitioning-dependent."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k long, lts string"
+    ).withColumn("lts", F.to_timestamp("lts"))
+    dup_rows = [(1, "2024-01-01 10:00:00", f"tag{i:02d}") for i in range(8)]
+    for n_parts in (1, 4, 7):
+        right = (
+            spark.createDataFrame(dup_rows, "k long, rts string, tag string")
+            .withColumn("rts", F.to_timestamp("rts"))
+            .repartition(n_parts)
+        )
+        out = asof_join(left, right, "k", "lts", "rts", ["rts", "tag"]).collect()
+        assert len(out) == 1 and out[0]["asof_tag"] == "tag07"
+
+
+def test_asof_rejects_reserved_column_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 2, 3)], "k long, lts long, __ts long")
+    right = spark.createDataFrame([(1, 2, 3)], "k long, rts long, v long")
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join(left, right, "k", "lts", "rts", ["v"])

@@ -76,3 +76,12 @@ def test_salted_join_spreads_hot_key(spark):
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
     )
     assert salted_fact.select("__salt").distinct().count() > 1
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full outer would surface per-salt null-extended dim copies —
+    the operator must refuse rather than silently corrupt."""
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(df, df, "k", n_salts=2, how=how)

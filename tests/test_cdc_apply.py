@@ -90,6 +90,26 @@ def test_partition_scoped_apply_touches_only_changed_dirs(spark, tmp_path):
     assert _same_rows(result, source)
 
 
+def test_apply_removes_fully_deleted_partition_dir(spark, tmp_path):
+    """A diff that deletes EVERY row of a partition (and adds none) must
+    remove that partition's directory — dynamic overwrite alone would
+    leave the old files in place because no output row targets it."""
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    target_path = str(tmp_path / "customer_target")
+    customer.write.partitionBy("c_nationkey").parquet(target_path)
+    assert os.path.isdir(os.path.join(target_path, "c_nationkey=3"))
+
+    # source = customer minus ALL of nation 3 → every nation-3 row DELETED
+    source = customer.filter(F.col("c_nationkey") != 3)
+    state = snapshot_state(customer, "c_custkey")
+    diff, _ = sync(source, state, "c_custkey")
+    apply_changes_to_path(spark, target_path, diff, "c_custkey", "c_nationkey")
+
+    assert not os.path.exists(os.path.join(target_path, "c_nationkey=3"))
+    result = spark.read.parquet(target_path).select(*source.columns)
+    assert _same_rows(result, source)
+
+
 def test_full_sync_with_no_state_classifies_all_new(spark):
     customer = load_table(spark, SF_DIR_SMOKE, "customer")
     diff, new_state = sync(customer, None, "c_custkey")

@@ -118,3 +118,29 @@ def test_simhash_finds_exact_copies(spark, docs):
     base = load_table(spark, SF_DIR_SMOKE, "documents")
     planted = base.filter(F.col("doc_id") % 10 == 0).count()
     assert exact.count() == planted
+
+
+def test_near_dup_components_string_ids(spark):
+    """String-keyed corpora must work: labels propagate the id itself
+    (min over strings), never a numeric cast (which NULLs out)."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    chain = spark.createDataFrame(
+        [
+            ("doc-a", base),
+            ("doc-b", "xq zz " + base),
+            ("doc-c", "xq zz yy ww " + base),
+            ("doc-z", "totally different words entirely unrelated content "
+                      "here nothing shared with the chain at all " * 4),
+        ],
+        "doc_id string, text string",
+    )
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in near_dup_components(chain, threshold=0.6).collect()
+    }
+    assert comps["doc-a"] == comps["doc-b"] == comps["doc-c"] == "doc-a"
+    assert comps["doc-z"] == "doc-z"
