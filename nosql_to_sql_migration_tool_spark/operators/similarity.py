@@ -159,6 +159,201 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# Unsupervised IVF: deterministic seeded k-means (Lloyd's) coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _nearest_cluster(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-cosine cluster id as ONE codegen projection: the centroids
+    are plan literals, so assignment is a per-row array_min over
+    (-cosine, cid) structs — no join, no shuffle, no row explosion.
+    Rounded cosine + min-cid tie-break keep it engine-deterministic."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-cosine(vec, _vec_lit(c))).alias("ns"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )["cid"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means over an UNLABELED corpus — the real
+    coarse quantizer for IVF (``centroids_by_label`` needs labels a
+    training corpus rarely has).
+
+    Determinism contract (mirrored verbatim by ``kmeans_ivf_sql``):
+    - seeds = the ``n_clusters`` vectors with smallest
+      ``md5(cast(id as string))`` (ties by id), cid = 0.. in that order;
+    - assignment = argmax of 6-dp-rounded cosine, ties to the lower cid;
+    - update = per-dimension mean rounded to 6 dp;
+    - exactly ``n_iter`` fixed iterations (no data-dependent stopping).
+
+    Scale: each iteration is one codegen assignment projection plus one
+    explode + combinable avg; the only driver traffic is the
+    (n_clusters x dim) centroid matrix per round — metadata-sized, the
+    same order as the LSH hyperplane literals. Returns plain Python
+    centroids ready to embed as broadcast literals."""
+    vecs = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    seeds = (
+        vecs.select(
+            "__v", F.md5(F.col("__id").cast("string")).alias("__m"), "__id"
+        )
+        .orderBy("__m", "__id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
+    for _ in range(n_iter):
+        assigned = vecs.select(
+            "__v", _nearest_cluster(F.col("__v"), cents).alias("__cid")
+        )
+        per_dim = (
+            assigned.select(
+                "__cid", F.posexplode("__v").alias("__d", "__val")
+            )
+            .groupBy("__cid", "__d")
+            .agg(F.round(F.avg("__val"), 6).alias("__c"))
+        )
+        rows = (
+            per_dim.groupBy("__cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__d", "__c"))).alias(
+                    "__dc"
+                )
+            )
+            .select(
+                "__cid",
+                F.transform(F.col("__dc"), lambda s: s["__c"]).alias("__cent"),
+            )
+            .collect()
+        )
+        cents = sorted((r["__cid"], list(r["__cent"])) for r in rows)
+    return cents
+
+
+def kmeans_ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with LEARNED buckets: k-means coarse quantizer, probe the
+    ``n_probe`` centroids closest to the query, brute-force only inside
+    those buckets. Output ``(id, cluster, cos_sim)`` top-k.
+
+    At scale the corpus is written partitioned by ``cluster`` so the
+    probe is a partition-pruned scan of n_probe/n_clusters of the data;
+    here the assignment is the same literal-centroid projection and the
+    probe is a broadcast semi-join. ``n_probe = n_clusters`` degrades to
+    exact brute force (the recall pytest pins this)."""
+    cents = kmeans_centroids(df, n_clusters, n_iter, vec_col, id_col)
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cid, c) for cid, c in cents], "cluster int, centroid array<double>"
+    )
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("__q")))
+    probed = F.broadcast(
+        cents_df.crossJoin(q)
+        .select(
+            "cluster", cosine(F.col("centroid"), F.col("__q")).alias("__cc")
+        )
+        .orderBy(F.col("__cc").desc(), "cluster")
+        .limit(n_probe)
+        .select("cluster")
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cluster(as_double(F.col(vec_col)), cents).alias("cluster"),
+    )
+    candidates = assigned.join(probed, "cluster", "left_semi")
+    scored = candidates.crossJoin(q).select(
+        F.col(id_col),
+        F.col("cluster"),
+        cosine(as_double(F.col(vec_col)), F.col("__q")).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def kmeans_ivf_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id = 0",
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for ``kmeans_ivf_topk``: the SAME seeded Lloyd's
+    iterations unrolled as a CTE chain (fixed n_iter makes that legal) —
+    an independent reconstruction, not a result dump."""
+
+    def assign(prev: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT id, v, cid FROM ("
+            f"SELECT vecs.id, vecs.v, {prev}.cid, "
+            f"row_number() OVER (PARTITION BY vecs.id ORDER BY "
+            f"{cosine_sql('vecs.v', prev + '.centroid')} DESC, {prev}.cid)"
+            f" AS rn FROM vecs CROSS JOIN {prev}) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"vecs AS (SELECT {id_col} AS id, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v "
+        f"FROM {table})",
+        f"q AS (SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) "
+        f"AS qv FROM {table} WHERE {query_pred})",
+        f"seeds AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS m FROM vecs "
+        f"ORDER BY m, id LIMIT {n_clusters})",
+        "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
+        "AS INT) AS cid, v AS centroid FROM seeds)",
+    ]
+    for i in range(n_iter):
+        ctes.append(assign(f"cents{i}", f"assign{i}"))
+        ctes.append(
+            f"cents{i + 1} AS (SELECT cid, list(c ORDER BY d) AS centroid "
+            f"FROM (SELECT cid, d, round(avg(val), 6) AS c FROM ("
+            f"SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val "
+            f"FROM assign{i}) GROUP BY cid, d) GROUP BY cid)"
+        )
+    last = f"cents{n_iter}"
+    ctes.append(
+        f"probed AS (SELECT cid FROM {last}, q "
+        f"ORDER BY {cosine_sql('centroid', 'qv')} DESC, cid LIMIT {n_probe})"
+    )
+    ctes.append(assign(last, "final"))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT f.id AS {id_col}, f.cid AS cluster, "
+        f"{cosine_sql('f.v', 'qv')} AS cos_sim "
+        "FROM final f JOIN probed USING (cid), q "
+        f"ORDER BY cos_sim DESC, {id_col} LIMIT {k}"
+    )
+
+
 def _plane_lit(plane: list[float]) -> Column:
     return F.array(*[F.lit(c) for c in plane])
 

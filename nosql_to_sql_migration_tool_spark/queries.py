@@ -1094,40 +1094,30 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
 
 
-_IVF_TOPK_ORACLE = f"""
-WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
-),
-dims AS (
-  SELECT label, generate_subscripts(embedding, 1) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-),
-per_dim AS (SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i),
-cents AS (
-  SELECT label, list(c ORDER BY i) AS centroid FROM per_dim GROUP BY label
-),
-probed AS (
-  SELECT label FROM cents, q
-  ORDER BY {cosine_sql('centroid', 'qv')} DESC, label
-  LIMIT 2
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    kmeans_ivf_sql,
 )
-SELECT e.vec_id, e.label, {cosine_sql('e.embedding', 'qv')} AS cos_sim
-FROM embeddings e JOIN probed USING (label), q
-ORDER BY cos_sim DESC, vec_id
-LIMIT 10
-"""
 
 
-@query("ivf_topk", _IVF_TOPK_ORACLE)
+@query(
+    "ivf_topk",
+    kmeans_ivf_sql(n_clusters=8, n_iter=3, n_probe=2, k=10),
+)
 def q_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: per-label centroids (coarse quantizer), probe the
-    2 closest buckets, brute-force only inside them — the
-    partition-pruned scale path next to the LSH pair variant."""
-    from nosql_to_sql_migration_tool_spark.operators.similarity import ivf_topk
+    """IVF ANN with UNSUPERVISED learned buckets: deterministic seeded
+    k-means coarse quantizer (md5-ranked seeds, 3 fixed Lloyd's rounds,
+    6-dp rounding), probe the 2 closest centroids, brute-force only
+    inside them. The oracle unrolls the identical iterations as a
+    DuckDB CTE chain — partition-pruned scale path, no label crutch."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_ivf_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, n_probe=2)
+    return kmeans_ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10, n_probe=2,
+        n_clusters=8, n_iter=3,
+    )
 
 
 _EMB_NEAR_DUP_ORACLE = f"""

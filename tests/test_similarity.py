@@ -78,3 +78,51 @@ def test_lsh_recovers_planted_pairs(spark):
     assert len(near_found) >= 0.95 * len(near_expected)
     for p in pairs:
         assert p["cos_sim"] >= 0.9
+
+
+def test_kmeans_ivf_full_probe_exact_and_recall(spark):
+    """Learned-bucket IVF: probing every cluster must reproduce exact
+    brute-force top-k; a 2-of-8 probe must still recall a useful share
+    of the true top-10 (the sf0.001 corpus has no planted structure, so
+    the bound is modest but must hold deterministically)."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+
+    full = kmeans_ivf_topk(
+        emb, query, k=10, n_probe=8, n_clusters=8, n_iter=2
+    ).select("vec_id", "cos_sim")
+    exact = cosine_topk(emb, query, k=10)
+    assert [r.asDict() for r in full.collect()] == [
+        r.asDict() for r in exact.collect()
+    ]
+
+    probed = kmeans_ivf_topk(
+        emb, query, k=10, n_probe=2, n_clusters=8, n_iter=2
+    ).collect()
+    assert len(probed) == 10
+    assert len({r["cluster"] for r in probed}) <= 2
+    truth = {r["vec_id"] for r in exact.collect()}
+    recall = len({r["vec_id"] for r in probed} & truth) / len(truth)
+    assert recall >= 0.3, recall
+    # determinism: a second run returns the identical ranking
+    again = kmeans_ivf_topk(
+        emb, query, k=10, n_probe=2, n_clusters=8, n_iter=2
+    ).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in probed]
+
+
+def test_kmeans_centroids_shape_and_determinism(spark):
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, n_clusters=4, n_iter=2)
+    assert [cid for cid, _ in cents] == sorted({cid for cid, _ in cents})
+    assert all(len(c) == 64 for _, c in cents)
+    assert cents == kmeans_centroids(emb, n_clusters=4, n_iter=2)
