@@ -830,6 +830,60 @@ def q_orders_asof_last_event(spark, sf_dir):
     )
 
 
+@query(
+    "events_in_order_windows",
+    """
+WITH w AS (
+  SELECT o_orderkey, o_custkey % 50 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 29) * INTERVAL 1 DAY
+           + (o_custkey % 24) * INTERVAL 1 HOUR AS w_start
+  FROM orders
+),
+w2 AS (SELECT *, w_start + INTERVAL 2 HOUR AS w_end FROM w)
+SELECT o_orderkey, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w2 JOIN events e
+  ON e.user_id = w2.user_id AND e.ts BETWEEN w_start AND w_end
+GROUP BY o_orderkey
+""",
+)
+def q_events_in_order_windows(spark, sf_dir):
+    """Range/interval join: events falling inside each order's 2-hour
+    window (same user), aggregated per order. Spark side bucketizes the
+    range to an equi-join (operators/ranges.py — never a nested-loop
+    product); the oracle is DuckDB's native range join (IEJoin)."""
+    from nosql_to_sql_migration_tool_spark.operators.ranges import (
+        interval_join,
+    )
+
+    windows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).alias("user_id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+                "o_orderkey % 29, o_custkey % 24, 0, 0)"
+            ).alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        events, windows, "ts", "w_start", "w_end",
+        keys=["user_id"], bucket_width_s=7200,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 # Rows-only (no oracle): each engine's sketch implementation differs, so
 # cross-engine value equality is impossible by design; accuracy and the
 # partition-merge property are pinned by tests/test_sketches.py.
