@@ -63,7 +63,40 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    _regression_report(timings, Path(__file__).resolve().parent)
     print(json.dumps(result), flush=True)
+
+
+def _regression_report(timings: dict[str, float], repo: Path) -> None:
+    """Compare against the newest prior BENCH_r*.json the driver
+    recorded and flag >1.5x per-query slowdowns on stderr (stdout stays
+    the one-JSON-line contract). A silent-regression guard: round 1's
+    bench breakage went unnoticed because nothing diffed rounds."""
+    prev_runs = sorted(repo.glob("BENCH_r*.json"))
+    prev = None
+    for p in reversed(prev_runs):
+        try:
+            parsed = json.loads(p.read_text()).get("parsed")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed and parsed.get("queries"):
+            prev = (p.name, parsed["queries"])
+            break
+    if prev is None:
+        return
+    name, old = prev
+    flagged = []
+    for q, t in timings.items():
+        if q in old and old[q] > 0.2 and t > 1.5 * old[q]:
+            flagged.append(f"{q}: {old[q]:.2f}s -> {t:.2f}s")
+    total_old, total_new = sum(old.values()), sum(timings.values())
+    print(
+        f"bench: vs {name}: total {total_old:.1f}s -> {total_new:.1f}s "
+        f"({len(timings)} vs {len(old)} queries)",
+        file=sys.stderr,
+    )
+    for line in flagged:
+        print(f"bench: REGRESSION {line}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -131,8 +131,22 @@ def band_hashes_sql(sig_expr: str) -> str:
     return f"[{bands}]"
 
 
-def minhash_sig_table(
+def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The shared ``(id, __sh)`` shingle-set projection every near-dup
+    operator consumes. Callers running SEVERAL dedup queries over the
+    same corpus should build this once and ``persist()`` it — the
+    shingle build dominates the family's cost, and signatures,
+    candidates and Jaccard verification all derive from it."""
+    return with_shingles(df, text_col, out_col="__sh", keep=(id_col,))
+
+
+def minhash_sig_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Signature as a TABLE ``(id, __h0..__hN)``: explode shingles to
     rows, hash each shingle N_HASHES ways, min-aggregate per doc.
@@ -141,9 +155,12 @@ def minhash_sig_table(
     step inside whole-stage codegen and evaluates the shingle build
     exactly once — the array-expression formulation fell out of codegen
     and was ~40x slower at sf0.1. Cost: one narrow shuffle of
-    (id, 12 hashes) partial-min rows — map-side combine applies."""
-    sh = with_shingles(df, text_col, keep=(id_col,)).select(
-        F.col(id_col), F.explode("__shingles").alias("__s")
+    (id, 12 hashes) partial-min rows — map-side combine applies.
+    ``shingles`` optionally supplies a precomputed (possibly persisted)
+    ``shingle_sets`` projection shared across the dedup family."""
+    sh_sets = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
+    sh = sh_sets.select(
+        F.col(id_col), F.explode("__sh").alias("__s")
     )
     hashed = sh.select(
         id_col,
@@ -158,12 +175,15 @@ def minhash_sig_table(
 
 
 def minhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b: documents
     sharing at least one (band index, band hash) bucket. The join is a
     bucket equi-join — never an all-pairs product."""
-    sig = minhash_sig_table(df, text_col, id_col)
+    sig = minhash_sig_table(df, text_col, id_col, shingles)
     bands_arr = F.array(
         *[
             F.md5(
@@ -200,16 +220,20 @@ def near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact n-gram
     Jaccard over the distinct shingle sets. Output:
-    ``(id_a, id_b, jaccard)`` with jaccard >= threshold, rounded 6 dp."""
-    shingle_sets = with_shingles(df, text_col, out_col="__sh", keep=(id_col,))
-    cands = minhash_candidates(df, text_col, id_col)
-    a = shingle_sets.select(
+    ``(id_a, id_b, jaccard)`` with jaccard >= threshold, rounded 6 dp.
+    The one shingle projection feeds BOTH the signature build and the
+    Jaccard verify (pass a persisted ``shingle_sets`` to also share it
+    across sibling queries)."""
+    sh_sets = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
+    cands = minhash_candidates(df, text_col, id_col, sh_sets)
+    a = sh_sets.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
     )
-    b = shingle_sets.select(
+    b = sh_sets.select(
         F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
     )
     jac = F.round(

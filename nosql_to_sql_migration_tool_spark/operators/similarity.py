@@ -168,19 +168,28 @@ def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def _nearest_cluster(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Argmax-cosine cluster id as ONE codegen projection: the centroids
-    are plan literals, so assignment is a per-row array_min over
-    (-cosine, cid) structs — no join, no shuffle, no row explosion.
-    Rounded cosine + min-cid tie-break keep it engine-deterministic."""
+def _nearest_cluster(
+    vec: Column, norm: Column, cents: list[tuple[int, list[float], float]]
+) -> Column:
+    """Argmax-cosine cluster id as ONE projection: the centroids (and
+    their norms) are plan literals, so assignment is a per-row array_min
+    over (-cosine, cid) structs — no join, no shuffle, no row explosion.
+    The row norm is a precomputed column and each centroid norm a
+    literal, so only ONE vector fold per centroid runs per row (the
+    naive per-centroid cosine() would fold three). Rounded cosine +
+    min-cid tie-break keep it engine-deterministic."""
     return F.array_min(
         F.array(
             *[
                 F.struct(
-                    (-cosine(vec, _vec_lit(c))).alias("ns"),
+                    (
+                        -F.round(
+                            dot(vec, _vec_lit(c)) / (norm * F.lit(cn)), 6
+                        )
+                    ).alias("ns"),
                     F.lit(cid).alias("cid"),
                 )
-                for cid, c in cents
+                for cid, c, cn in cents
             ]
         )
     )["cid"]
@@ -192,10 +201,10 @@ def kmeans_centroids(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[tuple[int, list[float]]]:
+) -> list[tuple[int, list[float], float]]:
     """Deterministic Lloyd's k-means over an UNLABELED corpus — the real
     coarse quantizer for IVF (``centroids_by_label`` needs labels a
-    training corpus rarely has).
+    training corpus rarely has). Returns ``(cid, centroid, norm)``.
 
     Determinism contract (mirrored verbatim by ``kmeans_ivf_sql``):
     - seeds = the ``n_clusters`` vectors with smallest
@@ -203,27 +212,32 @@ def kmeans_centroids(
     - assignment = argmax of 6-dp-rounded cosine, ties to the lower cid;
     - update = per-dimension mean rounded to 6 dp;
     - exactly ``n_iter`` fixed iterations (no data-dependent stopping).
+    Every norm is computed by the ENGINE's left-fold dot (never Python
+    arithmetic), so the collected literals are bit-identical to what the
+    oracle engine derives on its side.
 
-    Scale: each iteration is one codegen assignment projection plus one
-    explode + combinable avg; the only driver traffic is the
-    (n_clusters x dim) centroid matrix per round — metadata-sized, the
-    same order as the LSH hyperplane literals. Returns plain Python
-    centroids ready to embed as broadcast literals."""
+    Scale: each iteration is one assignment projection plus one explode
+    + combinable avg; the only driver traffic is the (n_clusters x dim)
+    centroid matrix per round — metadata-sized, the same order as the
+    LSH hyperplane literals. Returns plain Python centroids ready to
+    embed as broadcast literals."""
     vecs = df.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
-    )
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
     seeds = (
         vecs.select(
-            "__v", F.md5(F.col("__id").cast("string")).alias("__m"), "__id"
+            "__v", "__n",
+            F.md5(F.col("__id").cast("string")).alias("__m"), "__id",
         )
         .orderBy("__m", "__id")
         .limit(n_clusters)
         .collect()
     )
-    cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
+    cents = [(i, list(r["__v"]), r["__n"]) for i, r in enumerate(seeds)]
     for _ in range(n_iter):
         assigned = vecs.select(
-            "__v", _nearest_cluster(F.col("__v"), cents).alias("__cid")
+            "__v",
+            _nearest_cluster(F.col("__v"), F.col("__n"), cents).alias("__cid"),
         )
         per_dim = (
             assigned.select(
@@ -243,9 +257,14 @@ def kmeans_centroids(
                 "__cid",
                 F.transform(F.col("__dc"), lambda s: s["__c"]).alias("__cent"),
             )
+            .select(
+                "__cid",
+                "__cent",
+                F.sqrt(dot(F.col("__cent"), F.col("__cent"))).alias("__cn"),
+            )
             .collect()
         )
-        cents = sorted((r["__cid"], list(r["__cent"])) for r in rows)
+        cents = sorted((r["__cid"], list(r["__cent"]), r["__cn"]) for r in rows)
     return cents
 
 
@@ -271,28 +290,44 @@ def kmeans_ivf_topk(
     cents = kmeans_centroids(df, n_clusters, n_iter, vec_col, id_col)
     spark = df.sparkSession
     cents_df = spark.createDataFrame(
-        [(cid, c) for cid, c in cents], "cluster int, centroid array<double>"
+        [(cid, c, cn) for cid, c, cn in cents],
+        "cluster int, centroid array<double>, cn double",
     )
-    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("__q")))
+    q = F.broadcast(
+        query.select(as_double(F.col(vec_col)).alias("__q")).withColumn(
+            "__qn", F.sqrt(dot(F.col("__q"), F.col("__q")))
+        )
+    )
     probed = F.broadcast(
         cents_df.crossJoin(q)
         .select(
-            "cluster", cosine(F.col("centroid"), F.col("__q")).alias("__cc")
+            "cluster",
+            F.round(
+                dot(F.col("centroid"), F.col("__q"))
+                / (F.col("cn") * F.col("__qn")),
+                6,
+            ).alias("__cc"),
         )
         .orderBy(F.col("__cc").desc(), "cluster")
         .limit(n_probe)
         .select("cluster")
     )
-    assigned = df.select(
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    assigned = vecs.select(
         F.col(id_col),
-        F.col(vec_col),
-        _nearest_cluster(as_double(F.col(vec_col)), cents).alias("cluster"),
+        "__v",
+        "__n",
+        _nearest_cluster(F.col("__v"), F.col("__n"), cents).alias("cluster"),
     )
     candidates = assigned.join(probed, "cluster", "left_semi")
     scored = candidates.crossJoin(q).select(
         F.col(id_col),
         F.col("cluster"),
-        cosine(as_double(F.col(vec_col)), F.col("__q")).alias("cos_sim"),
+        F.round(
+            dot(F.col("__v"), F.col("__q")) / (F.col("__n") * F.col("__qn")), 6
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -309,46 +344,59 @@ def kmeans_ivf_sql(
 ) -> str:
     """DuckDB oracle for ``kmeans_ivf_topk``: the SAME seeded Lloyd's
     iterations unrolled as a CTE chain (fixed n_iter makes that legal) —
-    an independent reconstruction, not a result dump."""
+    an independent reconstruction, not a result dump. Norms are
+    precomputed per vector/centroid exactly as the Spark side does, so
+    the rounded scores divide bit-identical factors."""
+
+    def norm(expr: str) -> str:
+        return f"sqrt({dot_sql(expr, expr)})"
+
+    def score(v: str, vn: str, c: str, cn: str) -> str:
+        return f"round({dot_sql(v, c)} / ({vn} * {cn}), 6)"
 
     def assign(prev: str, name: str) -> str:
         return (
-            f"{name} AS (SELECT id, v, cid FROM ("
-            f"SELECT vecs.id, vecs.v, {prev}.cid, "
+            f"{name} AS (SELECT id, v, vn, cid FROM ("
+            f"SELECT vecs.id, vecs.v, vecs.vn, {prev}.cid, "
             f"row_number() OVER (PARTITION BY vecs.id ORDER BY "
-            f"{cosine_sql('vecs.v', prev + '.centroid')} DESC, {prev}.cid)"
-            f" AS rn FROM vecs CROSS JOIN {prev}) WHERE rn = 1)"
+            f"{score('vecs.v', 'vecs.vn', prev + '.centroid', prev + '.cn')}"
+            f" DESC, {prev}.cid) AS rn FROM vecs CROSS JOIN {prev}) "
+            f"WHERE rn = 1)"
         )
 
     ctes = [
-        f"vecs AS (SELECT {id_col} AS id, "
+        f"vecs0 AS (SELECT {id_col} AS id, "
         f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v "
         f"FROM {table})",
-        f"q AS (SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) "
-        f"AS qv FROM {table} WHERE {query_pred})",
-        f"seeds AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS m FROM vecs "
-        f"ORDER BY m, id LIMIT {n_clusters})",
+        f"vecs AS (SELECT id, v, {norm('v')} AS vn FROM vecs0)",
+        f"q AS (SELECT qv, {norm('qv')} AS qn FROM ("
+        f"SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) "
+        f"AS qv FROM {table} WHERE {query_pred}))",
+        f"seeds AS (SELECT id, v, vn, md5(CAST(id AS VARCHAR)) AS m "
+        f"FROM vecs ORDER BY m, id LIMIT {n_clusters})",
         "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
-        "AS INT) AS cid, v AS centroid FROM seeds)",
+        "AS INT) AS cid, v AS centroid, vn AS cn FROM seeds)",
     ]
     for i in range(n_iter):
         ctes.append(assign(f"cents{i}", f"assign{i}"))
         ctes.append(
-            f"cents{i + 1} AS (SELECT cid, list(c ORDER BY d) AS centroid "
+            f"cents{i + 1} AS (SELECT cid, centroid, {norm('centroid')} AS cn "
+            f"FROM (SELECT cid, list(c ORDER BY d) AS centroid "
             f"FROM (SELECT cid, d, round(avg(val), 6) AS c FROM ("
             f"SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val "
-            f"FROM assign{i}) GROUP BY cid, d) GROUP BY cid)"
+            f"FROM assign{i}) GROUP BY cid, d) GROUP BY cid))"
         )
     last = f"cents{n_iter}"
     ctes.append(
         f"probed AS (SELECT cid FROM {last}, q "
-        f"ORDER BY {cosine_sql('centroid', 'qv')} DESC, cid LIMIT {n_probe})"
+        f"ORDER BY {score('centroid', 'cn', 'qv', 'qn')} DESC, cid "
+        f"LIMIT {n_probe})"
     )
     ctes.append(assign(last, "final"))
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT f.id AS {id_col}, f.cid AS cluster, "
-        f"{cosine_sql('f.v', 'qv')} AS cos_sim "
+        f"{score('f.v', 'f.vn', 'qv', 'qn')} AS cos_sim "
         "FROM final f JOIN probed USING (cid), q "
         f"ORDER BY cos_sim DESC, {id_col} LIMIT {k}"
     )
@@ -388,17 +436,22 @@ def embedding_near_dup(
 ) -> DataFrame:
     """LSH-bucketed near-duplicate pairs ``(id_a, id_b, cos_sim)``:
     same (band index, band bits) bucket, id_a < id_b, exact cosine >=
-    threshold. The join is keyed by bucket — linear, not quadratic."""
+    threshold. The join is keyed by bucket — linear, not quadratic.
+
+    Shuffle-width discipline: the band explode and bucket join carry
+    ONLY (id, band) — the 64-double vectors would otherwise ride through
+    the explode and double the candidate shuffle's width. Vectors rejoin
+    once per distinct candidate pair for the exact-cosine verify (the
+    same narrow-candidates shape as dedup.near_dup_pairs)."""
     sigs = df.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("__v"),
     ).select(
-        id_col, "__v", lsh_bits(F.col("__v")).alias("__bits")
+        id_col, lsh_bits(F.col("__v")).alias("__bits")
     )
     n_bands = N_PLANES // band_chars
     bands = sigs.select(
         id_col,
-        "__v",
         F.posexplode(
             F.array(
                 *[
@@ -408,20 +461,25 @@ def embedding_near_dup(
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        "band_idx", "band_val",
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-        "band_idx", "band_val",
-    )
-    pairs = (
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    cands = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("__va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("__vb")
+    )
+    pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
         )
-        .distinct()
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
