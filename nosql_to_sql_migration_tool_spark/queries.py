@@ -345,22 +345,43 @@ def q_catalog_listing(spark, sf_dir):
 from nosql_to_sql_migration_tool_spark.operators.infer import infer_schema  # noqa: E402
 from nosql_to_sql_migration_tool_spark.fixtures import ragged_documents  # noqa: E402
 
+# Fully recursive reconstruction: a DuckDB recursive CTE walks every
+# document exactly as operators/infer.py's _walk does — object children
+# extend the dotted path, array elements append '[]' (one row per
+# element) — so NESTED props data is independently re-derived, not
+# assumed flat (the round-1/round-2 flat-only oracle would have gone
+# silently wrong on nested data).
 _INFER_PROPS_ORACLE = """
-WITH kv AS (
-  SELECT event_id, unnest(json_keys(props::JSON)) AS path, props
-  FROM events WHERE props IS NOT NULL
+WITH RECURSIVE
+doc AS (SELECT event_id, props::JSON AS j FROM events WHERE props IS NOT NULL),
+nodes AS (
+  SELECT event_id, key AS path, '$."' || key || '"' AS jp
+  FROM (SELECT event_id, unnest(json_keys(j)) AS key FROM doc)
+  UNION ALL
+  SELECT event_id, path || c['p'] AS path, jp || c['j'] AS jp FROM (
+    SELECT n.event_id, n.path, n.jp,
+           unnest(CASE json_type(d.j, n.jp)
+             WHEN 'OBJECT' THEN list_transform(json_keys(d.j, n.jp),
+                    k -> {'p': '.' || k, 'j': '."' || k || '"'})
+             WHEN 'ARRAY' THEN list_transform(
+                    generate_series(0, json_array_length(d.j, n.jp)::BIGINT - 1),
+                    i -> {'p': '[]', 'j': '[' || CAST(i AS VARCHAR) || ']'})
+             ELSE CAST([] AS STRUCT(p VARCHAR, j VARCHAR)[])
+           END) AS c
+    FROM nodes n JOIN doc d USING (event_id)
+  )
 ),
 typed AS (
-  SELECT event_id, path,
-         CASE json_type(props::JSON, '$.' || path)
+  SELECT n.event_id, n.path,
+         CASE coalesce(json_type(d.j, n.jp), 'NULL')
            WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
            WHEN 'INTEGER' THEN 'integer' WHEN 'DOUBLE' THEN 'number'
            WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
            WHEN 'NULL' THEN 'null' WHEN 'OBJECT' THEN 'object'
            WHEN 'ARRAY' THEN 'array' END AS dtype,
-         CASE WHEN json_type(props::JSON, '$.' || path) = 'VARCHAR'
-              THEN length(json_extract_string(props, '$.' || path)) END AS str_len
-  FROM kv
+         CASE WHEN json_type(d.j, n.jp) = 'VARCHAR'
+              THEN length(json_extract_string(d.j, n.jp)) END AS str_len
+  FROM nodes n JOIN doc d USING (event_id)
 ),
 hist AS (SELECT path, dtype, count(*) AS cnt FROM typed GROUP BY 1, 2),
 maj AS (
@@ -790,6 +811,38 @@ def q_orders_status_cube(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+""",
+)
+def q_orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the arbitrary-set sibling of ROLLUP/CUBE:
+    (priority, status) detail plus BOTH independent one-dimension
+    subtotals, a combination neither rollup nor cube expresses alone.
+    Still one grouping-set aggregation pass, map-side combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [
+            ["o_orderpriority", "o_orderstatus"],
+            ["o_orderpriority"],
+            ["o_orderstatus"],
+        ],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("total"),
     )
 
 

@@ -86,17 +86,48 @@ def test_sample_bound_limits_walk(spark):
     assert by["name"].n_docs == 2  # only the bounded sample was walked
 
 
-def test_events_props_is_flat(duck):
-    """The infer_props_schema ORACLE only walks top-level JSON keys; the
-    Spark operator recurses. Parity holds because events.props is flat —
-    this guard makes a future data change fail loudly here rather than
-    silently in the oracle (ADVICE.md round 1)."""
-    nested = duck.execute(
-        """
-        SELECT count(*) FROM (
-          SELECT unnest(json_keys(props::JSON)) AS key, props FROM events
-          WHERE props IS NOT NULL
-        ) WHERE json_type(props::JSON, '$.' || key) IN ('OBJECT', 'ARRAY')
-        """
-    ).fetchone()[0]
-    assert nested == 0
+def test_props_oracle_recurses_like_the_operator(spark):
+    """The infer_props_schema oracle is now a RECURSIVE DuckDB walk
+    (queries.py _INFER_PROPS_ORACLE); on deeply nested documents it must
+    reproduce the Spark operator's exploded stats exactly — closing the
+    round-1/round-2 gap where the flat-only oracle would have gone
+    silently wrong on nested props data."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.queries import _INFER_PROPS_ORACLE
+
+    nested = [
+        (1, '{"a": 1, "b": {"c": "hi", "d": [1, 2]}, '
+            '"e": ["x", {"f": true}], "g": null}'),
+        (2, '{"a": 2.5, "b": {"c": "longer string"}, "e": []}'),
+        (3, '{"a": "typed-conflict", '
+            '"h": {"deep": {"deeper": [{"z": 9}]}}}'),
+        (4, None),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, " + ("NULL" if j is None else f"'{j}'") + ")"
+            for i, j in nested
+        )
+        + ") t(event_id, props)"
+    )
+    duck_stats = (
+        con.sql(_INFER_PROPS_ORACLE)
+        .df()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    sp = (
+        infer_schema(
+            spark.createDataFrame(nested, "event_id long, props string"),
+            "props",
+            "event_id",
+        )
+        .toPandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    cols = ["path", "n_docs", "n_values", "max_len", "majority_type"]
+    assert sp[cols].astype(str).equals(duck_stats[cols].astype(str))
