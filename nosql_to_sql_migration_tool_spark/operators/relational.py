@@ -139,3 +139,23 @@ def upsert_last_wins(df: DataFrame, key: str, order_col: str) -> DataFrame:
         F.max_by(F.struct(*data_cols), F.col(order_col)).alias("__row")
     )
     return packed.select(key, *[F.col(f"__row.{c}").alias(c) for c in data_cols])
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, bounds: dict[str, str], key: str
+) -> DataFrame:
+    """Per-stratum deterministic sample: each stratum gets its own
+    md5(key) hex bound (so e.g. a rare class can be kept at 100% while a
+    dominant class is cut to 5% — the class-rebalancing primitive of a
+    training-data pipeline). Strata absent from ``bounds`` are dropped.
+
+    Pure narrow filter — no shuffle, no per-group windows; the same
+    rows survive under any partitioning or engine (the md5 contract of
+    ``deterministic_sample``)."""
+    expr = None
+    for stratum, bound in sorted(bounds.items()):
+        cond = (F.col(strata_col) == stratum) & (
+            F.md5(F.col(key).cast("string")) < F.lit(bound)
+        )
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr if expr is not None else F.lit(False))

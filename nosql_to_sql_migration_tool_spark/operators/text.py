@@ -235,6 +235,42 @@ def fingerprints_sql(text_expr: str) -> dict[str, str]:
     }
 
 
+def bigram_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus bigram histogram: consecutive token pairs (order-preserving,
+    NOT distinct per doc — language-model-style counts), one combinable
+    count shuffle. Tokens materialize once per row before the slice map
+    (the ``shingles_from_tokens`` lesson)."""
+    toks_df = df.select(tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    bigrams = toks_df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def bigram_frequencies_sql(text_expr: str, min_count: int = 1) -> str:
+    toks = _tokens_sql(text_expr)
+    return (
+        "SELECT bigram, count(*) AS cnt FROM ("
+        f"  SELECT unnest(list_transform(generate_series(1, len(t) - 1), "
+        f"i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bigram "
+        f"FROM (SELECT {toks} AS t FROM documents) WHERE len(t) >= 2"
+        f") GROUP BY bigram HAVING count(*) >= {min_count}"
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -1063,6 +1063,117 @@ def q_token_frequencies(spark, sf_dir):
     return token_frequencies(docs)
 
 
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    bigram_frequencies,
+    bigram_frequencies_sql,
+)
+
+
+@query("corpus_bigrams", bigram_frequencies_sql("text", min_count=2))
+def q_corpus_bigrams(spark, sf_dir):
+    """Corpus bigram counts (order-preserving consecutive token pairs) —
+    the n-gram LM statistic next to the unigram histogram; same
+    explode + combinable count shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_frequencies(docs, min_count=2)
+
+
+_QUALITY_SQL = text_stats_sql("text")
+
+@query(
+    "quality_filtered_docs",
+    f"SELECT doc_id, {_QUALITY_SQL['quality_score']} AS quality_score, "
+    f"{lang_guess_sql('text')} AS lang_guess FROM documents "
+    f"WHERE {_QUALITY_SQL['quality_score']} >= 0.3 "
+    f"AND {lang_guess_sql('text')} = 'en'",
+)
+def q_quality_filtered_docs(spark, sf_dir):
+    """The canonical corpus-cleaning filter: keep English documents above
+    a quality threshold. Pure codegen predicate over the per-doc stats —
+    a narrow filter that composes with every downstream dedup/sampling
+    stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_lang_guess(with_text_stats(docs))
+        .filter((F.col("quality_score") >= 0.3) & (F.col("lang_guess") == "en"))
+        .select("doc_id", "quality_score", "lang_guess")
+    )
+
+
+_STRATA_BOUNDS = {"BUILDING": "ff", "AUTOMOBILE": "20", "MACHINERY": "08"}
+
+_STRATIFIED_ORACLE = "SELECT * FROM customer WHERE " + " OR ".join(
+    f"(c_mktsegment = '{s}' AND md5(CAST(c_custkey AS VARCHAR)) < '{b}')"
+    for s, b in sorted(_STRATA_BOUNDS.items())
+)
+
+
+@query("stratified_customer_sample", _STRATIFIED_ORACLE)
+def q_stratified_customer_sample(spark, sf_dir):
+    """Class-rebalancing sample: per-stratum md5(key) bounds keep ~100%
+    of BUILDING, ~12.5% of AUTOMOBILE, ~3% of MACHINERY and drop the
+    rest — deterministic under any partitioning, zero shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    return R.stratified_sample(
+        customer, "c_mktsegment", _STRATA_BOUNDS, "c_custkey"
+    )
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         AS avg_qty,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: one scan, map-side-combinable
+    decimal sums (exact accumulation — float-order drift cannot occur),
+    averages derived from the exact sums rather than engine avg()."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    ).cast(T.DecimalType(18, 6))
+    qty_sum = F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum.cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (qty_sum.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (
+            F.sum(F.col("l_discount").cast(T.DecimalType(18, 6))).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication: exact, MinHash LSH, n-gram Jaccard, SimHash (SURVEY.md
 # §2C / M7a). Near-dup candidates come from an LSH bucket join — never an

@@ -22,3 +22,25 @@ def test_all_queries_run(spark):
     for name, fn in QUERIES.items():
         df = fn(spark, SF_DIR_CORRECTNESS)
         assert df.count() >= 0, name
+
+
+def test_stratified_sample_respects_bounds(spark):
+    from nosql_to_sql_migration_tool_spark.operators.relational import (
+        stratified_sample,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    out = stratified_sample(
+        customer, "c_mktsegment", {"BUILDING": "ff", "MACHINERY": "10"},
+        "c_custkey",
+    )
+    segs = {r["c_mktsegment"] for r in out.select("c_mktsegment").distinct().collect()}
+    assert segs <= {"BUILDING", "MACHINERY"}
+    n_building_all = customer.filter("c_mktsegment = 'BUILDING'").count()
+    n_building_kept = out.filter("c_mktsegment = 'BUILDING'").count()
+    n_mach_all = customer.filter("c_mktsegment = 'MACHINERY'").count()
+    n_mach_kept = out.filter("c_mktsegment = 'MACHINERY'").count()
+    assert n_building_kept == n_building_all  # 'ff' bound ~= keep all
+    assert 0 < n_mach_kept < n_mach_all / 2   # '10' bound ~= 6%

@@ -80,3 +80,18 @@ def test_token_frequencies(spark):
         for r in token_frequencies(_df(spark, "a b a", "b a")).collect()
     }
     assert freqs == {"a": 3, "b": 2}
+
+
+def test_bigram_frequencies_counts_consecutive_pairs(spark):
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        bigram_frequencies,
+    )
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b",), ("solo",), ("",)], "text string"
+    )
+    counts = {
+        r["bigram"]: r["cnt"] for r in bigram_frequencies(df).collect()
+    }
+    # "a b a b" -> [a b, b a, a b]; "a b" -> [a b]; short/empty contribute none
+    assert counts == {"a b": 3, "b a": 1}
