@@ -256,6 +256,7 @@ def near_dup_components(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     max_iterations: int = 20,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Transitive closure of near-duplication: ``(id, component_id)``
     where component_id is the min doc id reachable through verified
@@ -270,8 +271,12 @@ def near_dup_components(
     well-defined for any orderable id type — string keys work), and the
     per-round convergence check counts rows whose label still shrinks —
     one tiny aggregate, not a collect of data rows.
+
+    Only ids that appear in some edge iterate — on a mostly-unique
+    corpus that is a small fraction of the documents; singletons join
+    back as their own component at the end (one left join, no rounds).
     """
-    pairs = near_dup_pairs(df, text_col, id_col, threshold).select(
+    pairs = near_dup_pairs(df, text_col, id_col, threshold, shingles).select(
         "id_a", "id_b"
     )
     edges = (
@@ -279,28 +284,37 @@ def near_dup_components(
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
-    labels = df.select(
-        F.col(id_col).alias("src"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.src)
-            .groupBy(edges.src.alias("src"))
+            edges.join(labels, edges.dst == F.col("node"))
+            .groupBy(edges.src.alias("node"))
             .agg(F.min("comp").alias("n_comp"))
         )
-        joined = labels.join(neighbor_min, "src", "left").localCheckpoint(
+        joined = labels.join(neighbor_min, "node", "left").localCheckpoint(
             eager=True
         )
         n_changed = joined.filter(F.col("n_comp") < F.col("comp")).count()
         labels = joined.select(
-            "src",
+            "node",
             F.least(
                 F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
             ).alias("comp"),
-        ).localCheckpoint(eager=True)
+        )
         if n_changed == 0:
             break
-    return labels.select(F.col("src").alias(id_col), F.col("comp").alias("component_id"))
+    connected = labels.select(
+        F.col("node").alias(id_col), F.col("comp").alias("component_id")
+    )
+    return df.select(id_col).join(connected, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component_id"), F.col(id_col)).alias("component_id"),
+    )
 
 
 def dedup_near(

@@ -1295,6 +1295,52 @@ def q_simhash_signatures(spark, sf_dir):
     return with_simhash(docs)
 
 
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+"""
+
+
+@query("near_dup_component_labels", _COMPONENTS_ORACLE)
+def q_near_dup_component_labels(spark, sf_dir):
+    """Transitive closure of near-duplication: every doc labeled with the
+    min id reachable through verified near-dup pairs, so edit CHAINS
+    a~b~c collapse into one group. Spark runs iterative min-label
+    propagation (O(diameter) rounds, lineage cut per round); the oracle
+    is an independent DuckDB recursive-CTE reachability closure — an
+    iterative distributed algorithm still pinned by cross-engine SQL."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return near_dup_components(
+        docs, shingles=_dedup_shingles(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (SURVEY.md §2C / M7b): brute-force
 # cosine top-k baseline + hyperplane-LSH near-dup pairs (the scale path)
