@@ -27,15 +27,28 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     prefix: str = "asof_",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row gains the most recent right-side
     payload with ``right.ts <= left.ts`` for the same key (NULLs when no
     earlier right row exists).
 
+    ``tolerance_s`` bounds staleness: a carried payload older than the
+    left timestamp by more than this many seconds is nulled out (the
+    max-staleness contract of market-data-style as-of joins). Timestamps
+    compare through a double cast (epoch seconds), so numeric ts columns
+    work too.
+
     Determinism: when several right rows share one (key, ts) the carried
     payload is the struct-max of their ``right_cols`` (the window sorts
     on the payload struct as the final tie-break), so output does not
     depend on partitioning or input order."""
+    if tolerance_s is not None and right_ts not in right_cols:
+        raise ValueError(
+            f"tolerance_s requires the right timestamp {right_ts!r} in "
+            f"right_cols (the staleness check reads it from the carried "
+            f"payload)"
+        )
     reserved = {"__ts", "__side", "__rv", "__carried"}
     clash = reserved & set(left.columns) | reserved & set(right.columns)
     if clash:
@@ -70,14 +83,21 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("__rv", ignorenulls=True).over(w)
-    return (
-        unioned.withColumn("__carried", carried)
-        .filter(F.col("__side") == 1)
-        .select(
-            *left.columns,
-            *[
-                F.col(f"__carried.{c}").alias(f"{prefix}{c}")
-                for c in right_cols
-            ],
+    with_carried = unioned.withColumn("__carried", carried).filter(
+        F.col("__side") == 1
+    )
+    if tolerance_s is not None:
+        fresh = (
+            F.col("__ts").cast("double")
+            - F.col(f"__carried.{right_ts}").cast("double")
+        ) <= F.lit(float(tolerance_s))
+        with_carried = with_carried.withColumn(
+            "__carried", F.when(fresh, F.col("__carried"))
         )
+    return with_carried.select(
+        *left.columns,
+        *[
+            F.col(f"__carried.{c}").alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
     )

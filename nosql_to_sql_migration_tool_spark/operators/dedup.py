@@ -322,13 +322,14 @@ def dedup_near(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy near-dedup: drop every document that is the higher-id side
     of a verified near-dup pair (min-id survivor per pair — the standard
     single-pass policy; long edit-chains may keep middle elements, which
     full transitive closure via iterated joins or graph connected
     components would collapse further)."""
-    losers = near_dup_pairs(df, text_col, id_col, threshold).select(
+    losers = near_dup_pairs(df, text_col, id_col, threshold, shingles).select(
         F.col("id_b").alias(id_col)
     ).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -814,6 +814,78 @@ def q_orders_status_cube(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+_PROFILE_ORACLE = (
+    "WITH s AS (SELECT "
+    + ", ".join(
+        f"count(*) FILTER ({c} IS NULL) AS nn_{c}, "
+        f"count(DISTINCT {c}) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    + " FROM customer) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, nn_{c} AS n_nulls, nd_{c} AS n_distinct "
+        f"FROM s"
+        for c in _PROFILE_COLS
+    )
+)
+
+
+@query("customer_profile", _PROFILE_ORACLE)
+def q_customer_profile(spark, sf_dir):
+    """Per-column null/distinct profile of ``customer`` in one scan —
+    2xN aggregates in a single combinable pass, unpivoted to long form
+    (the pre-migration profiling that sizes VARCHARs and decides
+    nullability)."""
+    from nosql_to_sql_migration_tool_spark.operators.validation import (
+        profile_columns,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    return profile_columns(customer, _PROFILE_COLS)
+
+
+@query(
+    "orders_asof_recent_event",
+    """
+WITH l AS (
+  SELECT o_orderkey, o_custkey % 50 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 29) * INTERVAL 1 DAY
+           + (o_custkey % 24) * INTERVAL 1 HOUR AS ots
+  FROM orders
+),
+r AS (SELECT user_id, ts, event_type FROM events)
+SELECT l.o_orderkey, l.user_id, l.ots,
+       CASE WHEN r.ts >= l.ots - INTERVAL 6 HOUR THEN r.ts END AS asof_ts,
+       CASE WHEN r.ts >= l.ots - INTERVAL 6 HOUR THEN r.event_type END
+         AS asof_event_type
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ots >= r.ts
+""",
+)
+def q_orders_asof_recent_event(spark, sf_dir):
+    """Bounded-staleness as-of join: the most recent event only counts
+    if it is at most 6 hours old at the order's timestamp — the
+    max-staleness variant every market-data as-of API carries. Same
+    linear merge, one extra null-out predicate."""
+    from nosql_to_sql_migration_tool_spark.operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("user_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+            "o_orderkey % 29, o_custkey % 24, 0, 0)"
+        ).alias("ots"),
+    )
+    events = load_table(spark, sf_dir, "events")
+    return asof_join(
+        orders, events, "user_id", "ots", "ts", ["ts", "event_type"],
+        tolerance_s=6 * 3600,
+    )
+
+
 @query(
     "orders_grouping_sets",
     """
@@ -1293,6 +1365,59 @@ def q_simhash_signatures(spark, sf_dir):
     parity) — Hamming-comparable near-dup signature."""
     docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
     return with_simhash(docs)
+
+
+@query(
+    "dedup_exact_survivors",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL})
+SELECT doc_id FROM docs
+QUALIFY row_number() OVER (
+  PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  ORDER BY doc_id) = 1
+""",
+)
+def q_dedup_exact_survivors(spark, sf_dir):
+    """The REPLACE-style exact-dedup output itself: one surviving doc id
+    (min id) per canonical text — min_by over a packed struct, one
+    combinable shuffle, no window sort."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import dedup_exact
+
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return dedup_exact(docs).select("doc_id")
+
+
+@query(
+    "dedup_near_survivors",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+losers AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+)
+SELECT d.doc_id FROM docs d LEFT JOIN losers l ON d.doc_id = l.id_b
+WHERE l.id_b IS NULL
+""",
+)
+def q_dedup_near_survivors(spark, sf_dir):
+    """Greedy near-dedup survivors: drop every doc that is the higher-id
+    side of a verified near-dup pair — the anti-join consuming the LSH
+    pipeline's output (the actual corpus-cleaning step, not just the
+    pair list)."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import dedup_near
+
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return dedup_near(
+        docs, shingles=_dedup_shingles(spark, sf_dir)
+    ).select("doc_id")
 
 
 _COMPONENTS_ORACLE = f"""

@@ -77,3 +77,27 @@ def test_asof_rejects_reserved_column_names(spark):
     right = spark.createDataFrame([(1, 2, 3)], "k long, rts long, v long")
     with pytest.raises(ValueError, match="reserve"):
         asof_join(left, right, "k", "lts", "rts", ["v"])
+
+
+def test_asof_tolerance_nulls_stale_payloads(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (1, "2024-01-01 10:30:00")],
+        "k long, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a")], "k long, rts string, tag string"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = {
+        str(r["lts"]): (r["asof_tag"], r["asof_rts"])
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["rts", "tag"],
+            tolerance_s=3600,
+        ).collect()
+    }
+    assert out["2024-01-01 10:30:00"][0] == "a"      # 30 min old: fresh
+    assert out["2024-01-01 12:00:00"] == (None, None)  # 2 h old: stale
+
+    import pytest
+
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(left, right, "k", "lts", "rts", ["tag"], tolerance_s=60)
