@@ -123,6 +123,7 @@ def test_kmeans_centroids_shape_and_determinism(spark):
 
     emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
     cents = kmeans_centroids(emb, n_clusters=4, n_iter=2)
-    assert [cid for cid, _ in cents] == sorted({cid for cid, _ in cents})
-    assert all(len(c) == 64 for _, c in cents)
+    assert [cid for cid, _, _ in cents] == sorted({cid for cid, _, _ in cents})
+    assert all(len(c) == 64 for _, c, _ in cents)
+    assert all(cn > 0 for _, _, cn in cents)
     assert cents == kmeans_centroids(emb, n_clusters=4, n_iter=2)
