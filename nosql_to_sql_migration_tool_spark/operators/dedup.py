@@ -335,6 +335,59 @@ def dedup_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def contamination_scores(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every corpus document, the
+    fraction of its distinct shingles that also appear in the eval set —
+    ``(id, n_shingles, n_overlap, contamination)`` rounded 6 dp.
+
+    Plan shape: the eval side collapses to its DISTINCT shingle set
+    (typically tiny next to the corpus — benchmarks are small) and the
+    overlap is an explode + equi-join on the shingle string + combinable
+    count; AQE broadcasts the eval side at realistic sizes. Never an
+    all-pairs document comparison."""
+    corp_sets = (
+        shingles
+        if shingles is not None
+        else shingle_sets(corpus, text_col, id_col)
+    )
+    corp = corp_sets.select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    )
+    eval_shingles = (
+        shingle_sets(eval_set, text_col, id_col)
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    overlap = (
+        corp.join(eval_shingles, "__s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = corp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_shingles"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

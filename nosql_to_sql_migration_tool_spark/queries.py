@@ -1420,6 +1420,88 @@ def q_dedup_near_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
+_CONTAMINATION_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({word_shingles_sql('text')}) AS s
+    FROM documents WHERE doc_id % 97 = 0
+  )
+),
+corp AS (
+  SELECT doc_id, unnest({word_shingles_sql('text')}) AS s FROM documents
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+ov AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM corp c JOIN ev USING (s) GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_shingles, coalesce(o.n_overlap, 0) AS n_overlap,
+       round(coalesce(o.n_overlap, 0) * 1.0 / t.n_shingles, 6)
+         AS contamination
+FROM tot t LEFT JOIN ov o USING (doc_id)
+"""
+
+
+@query("contamination_scores", _CONTAMINATION_ORACLE)
+def q_contamination_scores(spark, sf_dir):
+    """Benchmark decontamination: per-document fraction of distinct
+    3-token shingles that also occur in a (simulated) eval set — the
+    scan that keeps test data out of a training corpus. Eval side
+    collapses to its distinct shingle set (broadcast-sized for real
+    benchmarks); overlap is a shingle equi-join + combinable count."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        contamination_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_scores(
+        docs, docs.filter(F.col("doc_id") % 97 == 0)
+    )
+
+
+@query(
+    "events_value_delta",
+    """
+SELECT user_id, ts,
+       round(value - lag(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+FROM events
+""",
+)
+def q_events_value_delta(spark, sf_dir):
+    """Per-user consecutive value delta (lag window) — one shuffle on the
+    partition key, in-partition sort, deterministic (ts, event_id)
+    ordering."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@query(
+    "order_price_quartiles_assign",
+    """
+SELECT o_orderkey,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def q_order_price_quartiles_assign(spark, sf_dir):
+    """Per-priority price quartile assignment (ntile) — grouped window,
+    never a global single-partition sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE docs AS ({DUPLICATED_DOCUMENTS_SQL}),
 {_MINHASH_BUCKETS_SQL},
