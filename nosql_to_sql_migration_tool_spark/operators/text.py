@@ -271,6 +271,70 @@ def bigram_frequencies_sql(text_expr: str, min_count: int = 1) -> str:
     )
 
 
+def assign_training_windows(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk training-window assignment: documents hash into
+    ``n_buckets`` independent streams, order by id within a stream, and
+    each doc lands in window ``floor(exclusive_cumsum_tokens / budget)``
+    — the standard LLM-batching approximation (concatenate the stream,
+    split into fixed token windows; a doc may straddle two windows).
+    Output ``(id, bucket, window_id, n_tokens, offset)``.
+
+    Scale: the cumulative sum is a per-bucket window — one shuffle on
+    bucket, in-partition sort by id; buckets bound partition width and
+    parallelism, there is never a global sort. Deterministic given ids.
+    """
+    with_counts = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return with_counts.select(
+        id_col,
+        "bucket",
+        F.floor(pre / F.lit(budget_tokens)).alias("window_id"),
+        "n_tokens",
+        (pre % F.lit(budget_tokens)).alias("offset"),
+    )
+
+
+def assign_training_windows_sql(
+    budget_tokens: int = 256, n_buckets: int = 16, table: str = "documents"
+) -> str:
+    toks = _tokens_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {n_buckets} AS bucket,
+         len({toks}) AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+    PARTITION BY bucket ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT doc_id, bucket,
+       CAST(floor(pre / {budget_tokens}) AS BIGINT) AS window_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(pre % {budget_tokens} AS BIGINT) AS offset
+FROM c
+"""
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -1420,6 +1420,25 @@ def q_dedup_near_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    assign_training_windows,
+    assign_training_windows_sql,
+)
+
+
+@query(
+    "doc_training_windows",
+    assign_training_windows_sql(budget_tokens=256, n_buckets=16),
+)
+def q_doc_training_windows(spark, sf_dir):
+    """Concat-and-chunk training-window assignment: per-bucket token
+    cumsum chunks the corpus into fixed 256-token windows (the LLM
+    batch-packing approximation) — one shuffle on bucket, per-bucket
+    sort, no global ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_training_windows(docs, budget_tokens=256, n_buckets=16)
+
+
 _CONTAMINATION_ORACLE = f"""
 WITH ev AS (
   SELECT DISTINCT s FROM (
