@@ -17,7 +17,7 @@ sinks cannot retract rows (SURVEY.md §7.2 item 5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 from pyspark.sql.utils import AnalysisException
@@ -103,3 +103,31 @@ def stream_window_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of ``dedup.dedup_exact``. State holds one row per
+    key and ages out with the watermark, so memory is bounded by key
+    cardinality inside the horizon, not stream length — the property
+    that makes at-least-once sources (Kafka replays, retried drops)
+    safe to consume at scale."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_enrich(
+    events: DataFrame, dim: DataFrame, key: str
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the (small,
+    broadcastable) static dimension — no streaming state at all, the
+    canonical fact-stream x dim-table shape. The static side is re-read
+    per batch, so slowly-changing dims pick up updates between batches."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -118,3 +118,60 @@ def test_stream_window_matches_batch(spark, tmp_path):
     streamed = spark.sql("SELECT * FROM win_counts")
     batch = tumbling_window_agg(events)
     assert _same_rows(streamed, batch)
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed (at-least-once) event
+    batch must come out exactly once."""
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_dedup,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events").limit(200)
+    stream_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # write the same events TWICE — simulated source replay
+    events.write.mode("overwrite").parquet(stream_dir)
+    events.write.mode("append").parquet(stream_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    deduped = stream_dedup(stream, ["event_id"], "ts")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_enrich_joins_static_dim(spark, tmp_path):
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_enrich,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events").limit(100)
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("string"))
+    )
+    stream_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events.write.parquet(stream_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    q = (
+        stream_enrich(stream, dim, "user_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 100
+    assert out.filter(F.col("tier").isNull()).count() == 0
