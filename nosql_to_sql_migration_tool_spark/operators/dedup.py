@@ -257,6 +257,7 @@ def near_dup_components(
     threshold: float = 0.6,
     max_iterations: int = 20,
     shingles: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Transitive closure of near-duplication: ``(id, component_id)``
     where component_id is the min doc id reachable through verified
@@ -276,9 +277,9 @@ def near_dup_components(
     corpus that is a small fraction of the documents; singletons join
     back as their own component at the end (one left join, no rounds).
     """
-    pairs = near_dup_pairs(df, text_col, id_col, threshold, shingles).select(
-        "id_a", "id_b"
-    )
+    if pairs is None:
+        pairs = near_dup_pairs(df, text_col, id_col, threshold, shingles)
+    pairs = pairs.select("id_a", "id_b")
     edges = (
         pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
@@ -323,15 +324,16 @@ def dedup_near(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     shingles: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy near-dedup: drop every document that is the higher-id side
     of a verified near-dup pair (min-id survivor per pair — the standard
     single-pass policy; long edit-chains may keep middle elements, which
     full transitive closure via iterated joins or graph connected
     components would collapse further)."""
-    losers = near_dup_pairs(df, text_col, id_col, threshold, shingles).select(
-        F.col("id_b").alias(id_col)
-    ).distinct()
+    if pairs is None:
+        pairs = near_dup_pairs(df, text_col, id_col, threshold, shingles)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -194,7 +194,10 @@ def word_shingles_sql(text_expr: str, k: int = SHINGLE_K) -> str:
 
 
 def with_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Document fingerprints: ``exact_fp`` (md5 of whitespace-canonical
     lowercased text — exact-dedup key) and ``shingle_fp`` (lexicographic
@@ -204,13 +207,19 @@ def with_fingerprints(
     The shingle min is computed explode-then-aggregate (shingles built
     once, codegen-friendly, map-side combinable min) and joined back to
     the cheap per-row exact hash — the same restructure that made the
-    12-permutation MinHash 10x faster (operators/dedup.py)."""
+    12-permutation MinHash 10x faster (operators/dedup.py). ``shingles``
+    optionally supplies a precomputed ``(id, __sh)`` projection shared
+    with sibling queries over the same corpus."""
     text = F.col(text_col)
     canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     exact = df.select("*", F.md5(canon).alias("exact_fp"))
+    sh_src = (
+        shingles
+        if shingles is not None
+        else with_shingles(df, text_col, out_col="__sh", keep=(id_col,))
+    )
     shingle_min = (
-        with_shingles(df, text_col, keep=(id_col,))
-        .select(F.col(id_col), F.explode("__shingles").alias("__s"))
+        sh_src.select(F.col(id_col), F.explode("__sh").alias("__s"))
         .groupBy(id_col)
         .agg(F.min(F.md5(F.col("__s"))).alias("shingle_fp"))
     )

