@@ -468,6 +468,149 @@ def q_infer_ragged_schema(spark, sf_dir):
     return infer_schema(ragged_documents(customer), "doc", "doc_id")
 
 
+@query(
+    "props_typed_rollup",
+    """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events GROUP BY event_type
+""",
+)
+def q_props_typed_rollup(spark, sf_dir):
+    """The full inference circle: infer the schemaless column's schema
+    (sample-bounded walk), build a typed StructType from the stats,
+    ``from_json``-parse the WHOLE column with it, aggregate the typed
+    field — schemaless-to-SQL end to end, with DuckDB extracting the
+    same typed values independently."""
+    from nosql_to_sql_migration_tool_spark.operators.infer import (
+        infer_schema,
+        spark_schema_from_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stats = [
+        r.asDict()
+        for r in infer_schema(events, "props", "event_id", sample_docs=200)
+        .collect()
+    ]
+    schema = spark_schema_from_stats(stats)
+    return (
+        events.select(
+            "event_type", F.from_json("props", schema).alias("__p")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__p.k")).alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "invalid_props_quarantine",
+    """
+SELECT CASE WHEN json_valid(CASE WHEN event_id % 13 = 0
+                            THEN '{"k": oops' ELSE props END)
+            THEN 'ok' ELSE 'quarantined' END AS status,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_invalid_props_quarantine(spark, sf_dir):
+    """Corrupt-document quarantine: deterministically mangle a slice of
+    the JSON column, parse permissively, and count rows whose parse
+    failed — the malformed-input path every real migration hits
+    (reference swallows parse errors row by row; here it is one
+    distributed classify + count)."""
+    events = load_table(spark, sf_dir, "events")
+    mangled = events.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 13 == 0, F.lit('{"k": oops')
+        ).otherwise(F.col("props")),
+    )
+    # PERMISSIVE from_json yields a struct with a populated corrupt-
+    # record column for malformed input (NOT a null struct) — the
+    # standard Spark quarantine pattern.
+    parsed = mangled.withColumn(
+        "__p",
+        F.from_json(
+            "props",
+            "k bigint, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    status = F.when(
+        F.col("__p._corrupt").isNotNull(), F.lit("quarantined")
+    ).otherwise(F.lit("ok"))
+    return (
+        parsed.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "orders_status_pivot",
+    """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_orders_status_pivot(spark, sf_dir):
+    """PIVOT: status values become columns (explicit value list keeps
+    the plan a single grouped aggregation — no extra value-discovery
+    job, deterministic column order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .toDF("o_orderpriority", "n_f", "n_o", "n_p")
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ["n_f", "n_o", "n_p"]
+        ],
+    )
+
+
+@query(
+    "user_value_running_total",
+    """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+""",
+)
+def q_user_value_running_total(spark, sf_dir):
+    """Per-user running total (cumulative window) — exact decimal
+    accumulation in deterministic (ts, event_id) order, presented as
+    double; one shuffle on the partition key."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(T.DecimalType(18, 2)))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC apply: MERGE semantics on an immutable store (Sync.ps1:179-247 apply
 # step; golden matrix Tests/Sync.Tests.ps1:76-130)
