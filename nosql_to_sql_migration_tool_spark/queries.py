@@ -469,6 +469,109 @@ def q_infer_ragged_schema(spark, sf_dir):
 
 
 @query(
+    "fk_orphans",
+    """
+SELECT o.o_orderkey FROM orders o LEFT JOIN customer c
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+""",
+)
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity check: orders whose customer does not exist
+    (anti-join) — the FK-orphan scan a migration validation runs after
+    loading related tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).select("o_orderkey")
+
+
+@query(
+    "order_price_histogram",
+    """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+)
+def q_order_price_histogram(spark, sf_dir):
+    """Fixed-width value histogram — combinable count per bin, the
+    distribution profile behind partition/skew planning."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 50000).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "top_tokens",
+    """
+SELECT token, count(*) AS cnt FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+GROUP BY token
+ORDER BY cnt DESC, token LIMIT 20
+""",
+)
+def q_top_tokens(spark, sf_dir):
+    """Deterministic top-20 vocabulary: corpus token counts ordered
+    (count desc, token) — TakeOrderedAndProject over the combinable
+    histogram, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_frequencies(docs)
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "view_purchase_funnel",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS first_view,
+         min(ts) FILTER (event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(first_view) AS n_viewed,
+       count(CASE WHEN first_purchase > first_view
+                  THEN 1 END) AS n_converted
+FROM f
+""",
+)
+def q_view_purchase_funnel(spark, sf_dir):
+    """Two-step funnel: users whose first purchase follows their first
+    view — one conditional-min aggregation per user plus a global
+    rollup; no joins, no window sort."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_view"), F.lit(1))
+        ).alias("n_converted"),
+    )
+
+
+@query(
     "props_typed_rollup",
     """
 SELECT event_type, count(*) AS n,
