@@ -469,6 +469,62 @@ def q_infer_ragged_schema(spark, sf_dir):
 
 
 @query(
+    "supplier_nation_revenue",
+    """
+SELECT n.n_name AS nation, count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_supplier_nation_revenue(spark, sf_dir):
+    """Supplier-side revenue by nation (lineitem->supplier->nation) —
+    the supply-chain twin of revenue_per_nation; small dims broadcast,
+    exact decimal revenue accumulation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "brand_type_share",
+    """
+SELECT p.p_brand, p.p_type, count(*) AS n_parts,
+       CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS retail_total,
+       CAST(max(p.p_size) AS INT) AS max_size
+FROM part p GROUP BY p.p_brand, p.p_type
+""",
+)
+def q_brand_type_share(spark, sf_dir):
+    """Part catalog rollup by (brand, type) — covers the part table's
+    scan/agg path with exact decimal totals."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("retail_total"),
+        F.max("p_size").cast("int").alias("max_size"),
+    )
+
+
+@query(
     "fk_orphans",
     """
 SELECT o.o_orderkey FROM orders o LEFT JOIN customer c
@@ -1808,6 +1864,44 @@ def q_order_price_quartiles_assign(spark, sf_dir):
     return orders.select(
         "o_orderkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+sigs AS (SELECT doc_id, {simhash_sql('text')} AS sh FROM docs),
+bands AS (
+  SELECT doc_id, sh, generate_subscripts(b, 1) AS band_idx,
+         unnest(b) AS band_val
+  FROM (SELECT doc_id, sh,
+               [substr(sh, 1, 8), substr(sh, 9, 8),
+                substr(sh, 17, 8), substr(sh, 25, 8)] AS b
+        FROM sigs)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(generate_series(1, 32),
+              i -> substr(a.sh, i, 1) <> substr(b.sh, i, 1))) AS INT)
+           AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@query("simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4x8-bit bands bucket-join (pigeonhole
+    guarantees any pair within Hamming 3 shares a band), exact Hamming
+    verify — the banded candidate join previously pinned only by
+    pytest, now cross-engine-verified."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return simhash_candidates(docs, max_hamming=3)
 
 
 _COMPONENTS_ORACLE = f"""
