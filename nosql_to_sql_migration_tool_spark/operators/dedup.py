@@ -461,14 +461,27 @@ def simhash_candidates(
 ) -> DataFrame:
     """SimHash near-dup pairs via banding (any ``max_hamming`` < number of
     bands guarantees candidates share one identical band — pigeonhole):
-    bucket-join on (band index, band substring), verify by Hamming."""
+    bucket-join on (band index, band substring), verify by Hamming.
+
+    Shuffle discipline (the lesson from embedding_near_dup, doubled):
+    the band join carries ONLY (id, band) and candidate pairs dedupe
+    BEFORE verification, so Hamming evaluates once per distinct pair —
+    as ``bit_count(sig_a XOR sig_b)`` over the signature packed into a
+    long, not a 32-element array walk. On low-entropy corpora simhash
+    buckets get wide (many near-identical signatures); the narrow join
+    plus integer Hamming keeps the candidate stage cheap, and AQE
+    handles the residual bucket skew."""
     sigs = with_simhash(df, text_col, id_col).withColumnRenamed(
         "simhash", "__sh"
     )
-    n_bands = SIMHASH_BITS // band_chars
-    bands = sigs.select(
+    packed = sigs.select(
         id_col,
         "__sh",
+        F.conv(F.col("__sh"), 2, 10).cast("long").alias("__sl"),
+    )
+    n_bands = SIMHASH_BITS // band_chars
+    bands = packed.select(
+        id_col,
         F.posexplode(
             F.array(
                 *[
@@ -478,18 +491,25 @@ def simhash_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"),
-        "band_idx", "band_val",
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"),
-        "band_idx", "band_val",
-    )
-    return (
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    cands = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming(F.col("__sh_a"), F.col("__sh_b")).alias("hamming"))
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sa = packed.select(F.col(id_col).alias("id_a"), F.col("__sl").alias("__sa"))
+    sb = packed.select(F.col(id_col).alias("id_b"), F.col("__sl").alias("__sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))
+            ).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
