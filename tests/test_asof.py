@@ -101,3 +101,56 @@ def test_asof_tolerance_nulls_stale_payloads(spark):
 
     with pytest.raises(ValueError, match="right_cols"):
         asof_join(left, right, "k", "lts", "rts", ["tag"], tolerance_s=60)
+
+
+def test_asof_matches_bruteforce_argmax_on_random_data(spark):
+    """Randomized (seeded) cross-check: the merge-form as-of join must
+    equal the naive join + per-left argmax (greatest right ts <= left
+    ts, payload tie-broken max) on small data."""
+    import random
+
+    rng = random.Random(99)
+    left = spark.createDataFrame(
+        [
+            (rng.randint(1, 4), rng.randint(0, 1000))
+            for _ in range(80)
+        ],
+        "k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (rng.randint(1, 4), rng.randint(0, 1000), rng.randint(0, 50))
+            for _ in range(60)
+        ],
+        "k long, rts long, payload long",
+    )
+    got = asof_join(left, right, "k", "lts", "rts", ["rts", "payload"])
+    naive = (
+        left.join(right, "k")
+        .filter(F.col("rts") <= F.col("lts"))
+        .groupBy("k", "lts")
+        .agg(F.max(F.struct("rts", "payload")).alias("m"))
+        .select("k", "lts", F.col("m.rts").alias("asof_rts"),
+                F.col("m.payload").alias("asof_payload"))
+    )
+    # left rows with no match carry NULLs in `got`; drop them for the
+    # comparison and check their count separately
+    matched = got.filter(F.col("asof_rts").isNotNull()).select(
+        "k", "lts", "asof_rts", "asof_payload"
+    )
+    assert sorted(map(tuple, matched.distinct().collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    n_unmatched = got.filter(F.col("asof_rts").isNull()).count()
+    have_match = (
+        left.join(right, "k")
+        .filter(F.col("rts") <= F.col("lts"))
+        .select("k", "lts")
+        .distinct()
+        .count()
+    )
+    # distinct (k, lts) pairs partition into matched/unmatched
+    total_pairs = left.select("k", "lts").distinct().count()
+    matched_pairs = matched.select("k", "lts").distinct().count()
+    assert matched_pairs == have_match
+    assert got.count() == left.count()

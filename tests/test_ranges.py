@@ -81,3 +81,55 @@ def test_interval_join_rejects_reserved_name(spark):
     )
     with pytest.raises(ValueError, match="__bkt"):
         interval_join(pts, ivs, "ts", "s", "e", keys=["k"])
+
+
+def test_interval_join_matches_bruteforce_on_random_data(spark):
+    """Randomized (seeded) cross-check: bucketized interval join must
+    equal the naive cross-join + range-filter on small data, across
+    bucket widths that do and don't divide the interval lengths."""
+    import random
+
+    rng = random.Random(20240813)
+    pts_rows = [
+        (rng.randint(1, 3), f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00")
+        for _ in range(60)
+    ]
+    iv_rows = []
+    for i in range(25):
+        start_h = rng.randint(0, 20)
+        dur_m = rng.randint(1, 300)
+        iv_rows.append(
+            (rng.randint(1, 3), f"iv{i}",
+             f"2024-01-01 {start_h:02d}:00:00", dur_m)
+        )
+    pts = _points(spark, pts_rows)
+    ivs = (
+        spark.createDataFrame(
+            iv_rows, "k long, iv string, s string, dur int"
+        )
+        .withColumn("s", F.to_timestamp("s"))
+        .withColumn(
+            "e", F.col("s") + F.expr("make_interval(0,0,0,0,0,dur,0)")
+        )
+        .drop("dur")
+    )
+    naive = (
+        pts.crossJoin(
+            ivs.select(
+                F.col("k").alias("ik"), "iv", "s", "e"
+            )
+        )
+        .filter(
+            (F.col("k") == F.col("ik"))
+            & (F.col("ts") >= F.col("s"))
+            & (F.col("ts") <= F.col("e"))
+        )
+        .select("k", "ts", "iv")
+    )
+    for width in (3600, 1800, 777):
+        got = interval_join(
+            pts, ivs, "ts", "s", "e", keys=["k"], bucket_width_s=width
+        ).select("k", "ts", "iv")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), f"width={width}"
