@@ -134,3 +134,35 @@ def test_incremental_migration_rounds(spark, tmp_path):
         spark, changed, "c_custkey", "customer", out, "c_nationkey"
     )
     assert set(third.validation) == {"UNCHANGED"}
+
+
+def test_clean_corpus_pipeline(spark):
+    """End-to-end corpus cleaning: quality gate -> exact dedup -> near
+    dedup -> decontamination -> packing, with monotone shrinking counts
+    and windows only over survivors."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        duplicated_documents,
+    )
+    from nosql_to_sql_migration_tool_spark.pipeline import clean_corpus
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = duplicated_documents(load_table(spark, SF_DIR_SMOKE, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    clean, windows, rep = clean_corpus(docs, eval_set, report=True)
+
+    assert rep is not None
+    assert (
+        rep.n_input >= rep.n_quality >= rep.n_exact >= rep.n_near
+        >= rep.n_clean > 0
+    )
+    # exact dedup actually removed the planted byte-identical copies
+    assert rep.n_exact < rep.n_quality
+    # every window row is a surviving document, exactly once
+    assert windows.count() == rep.n_clean
+    assert windows.join(clean, "doc_id", "left_anti").count() == 0
+    # eval members that survived this far are heavily contaminated by
+    # construction (they ARE the eval set) and must have been dropped
+    assert clean.filter(F.col("doc_id") % 97 == 0).count() == 0
