@@ -133,3 +133,18 @@ def test_interval_join_matches_bruteforce_on_random_data(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, naive.collect())
         ), f"width={width}"
+
+
+def test_interval_join_without_keys(spark):
+    """Keyless form: every point joins every covering interval."""
+    pts = _points(spark, [(1, "2024-01-01 10:30:00"), (2, "2024-01-01 10:30:00")])
+    ivs = _intervals(
+        spark,
+        [
+            (9, "A", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+            (9, "B", "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+            (9, "C", "2024-01-01 11:00:01", "2024-01-01 12:00:00"),
+        ],
+    ).drop("k")
+    out = interval_join(pts.drop("k"), ivs, "ts", "s", "e")
+    assert sorted(r["iv"] for r in out.collect()) == ["A", "A", "B", "B"]

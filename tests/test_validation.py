@@ -98,3 +98,39 @@ def test_count_reconcile(spark):
     row = count_reconcile(customer, customer.limit(10)).collect()[0]
     assert row["source_count"] > row["target_count"]
     assert not row["count_match"]
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.validation import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, y string"
+    )
+    prof = {
+        r["col_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df, ["x", "y"]).collect()
+    }
+    assert prof == {"x": (1, 3), "y": (1, 2)}
+    # single scan: exactly one aggregate over the source, no union of scans
+    plan = (
+        profile_columns(df, ["x", "y"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_stratified_sample_empty_bounds_returns_nothing(spark):
+    from nosql_to_sql_migration_tool_spark.operators.relational import (
+        stratified_sample,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    assert stratified_sample(customer, "c_mktsegment", {}, "c_custkey").count() == 0
