@@ -2247,3 +2247,361 @@ def q_child_array_of_primitives(spark, sf_dir):
     Sql_Schema_Generator.ps1:347-402)."""
     docs = nested_customer(load_table(spark, sf_dir, "customer"))
     return N.explode_array_of_primitives(docs, "_id", "tags", "customer")
+
+# ---------------------------------------------------------------------------
+# Analytics widening: sessionization, correlated-subquery patterns, and the
+# classic warehouse report shapes (TPC-H Q3/Q10/Q14 analogues) a migrated
+# workload runs immediately after landing in SQL. Each is a pure built-in
+# plan (no Python on the data path) with one grouped shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionized",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+def q_events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap): lag + cumulative
+    flag-sum inside one user_id partition, then a combinable per-session
+    rollup. One shuffle on user_id serves both windows and the groupBy —
+    the partitioning is reused across stages, which is exactly the shape
+    that holds at 100 TB (sessions never cross the user partition).
+    Deterministic ordering tie-break on (ts, event_id)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "customers_above_nation_avg",
+    """
+WITH stats AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         sum(CAST(c_acctbal AS DECIMAL(18,2)))
+           OVER (PARTITION BY c_nationkey) AS nation_sum,
+         count(*) OVER (PARTITION BY c_nationkey) AS nation_n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(bal AS DOUBLE) AS acctbal
+FROM stats WHERE bal * nation_n > nation_sum
+""",
+)
+def q_customers_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery pattern (balance above the nation average),
+    decorrelated into a single window pass: bal*n > sum compares in exact
+    DECIMAL so the boundary rows never flip on float summation order.
+    One shuffle on c_nationkey; the nation dim broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey")
+    bal = F.col("c_acctbal").cast(T.DecimalType(18, 2))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_nationkey",
+            bal.alias("bal"),
+            F.sum(bal).over(w).alias("nation_sum"),
+            F.count(F.lit(1)).over(w).alias("nation_n"),
+        )
+        .where(F.col("bal") * F.col("nation_n") > F.col("nation_sum"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("bal").cast("double").alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+WITH monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month,
+         sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month,
+       CAST(promo_rev AS DOUBLE) AS promo_revenue,
+       CAST(total_rev AS DOUBLE) AS total_revenue,
+       round(CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+         AS promo_share
+FROM monthly
+""",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """Promotion revenue share per ship month (TPC-H Q14 shape): the
+    part dim broadcasts into the lineitem scan, revenue accumulates in
+    exact DECIMAL (conditional sum), and the share divides only after
+    both sums are exact — the double division is then bit-identical
+    cross-engine. One combinable shuffle on ship_month."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    zero = F.lit(0).cast(T.DecimalType(18, 4))
+    monthly = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).alias("promo_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+    )
+    return monthly.select(
+        "ship_month",
+        F.col("promo_rev").cast("double").alias("promo_revenue"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        F.round(
+            F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("promo_share"),
+    )
+
+
+@query(
+    "shipping_priority_top10",
+    """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority_top10(spark, sf_dir):
+    """Shipping-priority report (TPC-H Q3 shape): date filters push to
+    both parquet scans, grouped exact-DECIMAL revenue, then a global
+    top-10 via TakeOrderedAndProject (never a full sort). Ties break on
+    l_orderkey so the LIMIT frontier is deterministic; ordering on the
+    exact DECIMAL keeps the cut identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    return (
+        o.where(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+        .join(
+            l.where(F.col("l_shipdate") > F.lit(cut).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .orderBy(F.col("rev_exact").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_exact").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "returned_revenue_top20",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS returned_revenue,
+       count(*) AS n_items
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_revenue_top20(spark, sf_dir):
+    """Returned-item revenue report (TPC-H Q10 shape): the returnflag
+    filter pushes to the lineitem scan, fact-fact join shuffles on the
+    order key, customer/nation dims broadcast, top-20 via
+    TakeOrderedAndProject with a c_custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).alias("rev_exact"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("rev_exact").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_exact").cast("double").alias("returned_revenue"),
+            "n_items",
+        )
+    )
+
+
+@query(
+    "customer_order_gaps",
+    """
+SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+       min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+       CASE WHEN count(*) > 1
+            THEN round(CAST(date_diff('day', min(o_orderdate),
+                                      max(o_orderdate)) AS DOUBLE)
+                       / (count(*) - 1), 6)
+       END AS avg_gap_days
+FROM orders GROUP BY o_custkey
+""",
+)
+def q_customer_order_gaps(spark, sf_dir):
+    """Per-customer order cadence: span-days over (n-1) intervals — a
+    single combinable min/max/count shuffle, no window sort. datediff
+    counts day boundaries on both engines, so the double division starts
+    from identical integers."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .select(
+            "c_custkey",
+            "n_orders",
+            "first_order",
+            "last_order",
+            F.when(
+                F.col("n_orders") > 1,
+                F.round(
+                    F.datediff("last_order", "first_order").cast("double")
+                    / (F.col("n_orders") - 1),
+                    6,
+                ),
+            ).alias("avg_gap_days"),
+        )
+    )
+
+
+@query(
+    "customer_spend_deciles",
+    """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, total_spend,
+         ntile(10) OVER (ORDER BY total_spend, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(total_spend) AS DOUBLE) AS decile_spend,
+       CAST(min(total_spend) AS DOUBLE) AS min_spend,
+       CAST(max(total_spend) AS DOUBLE) AS max_spend
+FROM ranked GROUP BY decile
+""",
+)
+def q_customer_spend_deciles(spark, sf_dir):
+    """Customer-value decile table: exact-DECIMAL spend, global ntile(10)
+    with an o_custkey tie-break, per-decile rollup. The global window
+    ranks only the pre-aggregated per-customer frame (|customers| rows,
+    not |orders|) — at 100 TB that frame is the small output of a
+    combinable shuffle, so the single-partition ntile stays cheap; for
+    billion-customer corpora swap ntile for a quantile-cut join."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias(
+            "total_spend"
+        )
+    )
+    ranked = spend.select(
+        "total_spend",
+        F.ntile(10)
+        .over(Window.orderBy("total_spend", "o_custkey"))
+        .alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("total_spend").cast("double").alias("decile_spend"),
+        F.min("total_spend").cast("double").alias("min_spend"),
+        F.max("total_spend").cast("double").alias("max_spend"),
+    )
