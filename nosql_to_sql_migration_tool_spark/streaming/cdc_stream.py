@@ -131,3 +131,77 @@ def stream_enrich(
     canonical fact-stream x dim-table shape. The static side is re-read
     per batch, so slowly-changing dims pick up updates between batches."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: attribute each purchase to the
+    same user's preceding view within ``max_delay`` — the canonical
+    two-stream correlation (click->conversion) shape.
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` to a finite interval after ``view_ts``, so Spark can
+    age out buffered state on both sides; without the time bound the
+    join state would grow with stream length. Inner join + event-time
+    range is the supported append-mode shape. State per key is bounded
+    by (watermark + max_delay) of events, independent of total stream
+    length — the property that keeps a 100 TB/day stream joinable."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {max_delay}"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def stream_session_counts(
+    events_stream: DataFrame,
+    checkpoint_path: str,
+    query_name: str,
+    gap: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming session windows (gap timeout) into a memory sink — the
+    streaming twin of ``operators/windows.session_window_agg``. Session
+    merging is stateful (adjacent windows within ``gap`` coalesce as
+    late events arrive); the watermark bounds how long an open session
+    can wait for more events before it is finalized."""
+    from nosql_to_sql_migration_tool_spark.operators.windows import (
+        session_window_agg,
+    )
+
+    agg = session_window_agg(
+        events_stream.withWatermark("ts", watermark), gap
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

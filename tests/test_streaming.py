@@ -175,3 +175,64 @@ def test_stream_enrich_joins_static_dim(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 100
     assert out.filter(F.col("tier").isNull()).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream attribution join == the same join run
+    in batch over the identical inputs."""
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_stream_attribution_join,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    views = events.where(F.col("event_type") == "view")
+    purchases = events.where(F.col("event_type") == "purchase")
+    v_dir, p_dir = str(tmp_path / "views"), str(tmp_path / "purch")
+    views.coalesce(2).write.parquet(v_dir)
+    purchases.coalesce(2).write.parquet(p_dir)
+
+    v_stream = spark.readStream.schema(events.schema).parquet(v_dir)
+    p_stream = spark.readStream.schema(events.schema).parquet(p_dir)
+    joined = stream_stream_attribution_join(v_stream, p_stream)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = stream_stream_attribution_join(
+        spark.read.parquet(v_dir), spark.read.parquet(p_dir)
+    )
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.count() > 0
+    assert _same_rows(streamed, batch)
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    """Streaming session windows (stateful merge) == batch
+    session_window_agg over the same events."""
+    from nosql_to_sql_migration_tool_spark.operators.windows import (
+        session_window_agg,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_session_counts,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    stream_dir = str(tmp_path / "events_stream")
+    events.coalesce(2).write.parquet(stream_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    q = stream_session_counts(
+        stream, str(tmp_path / "sckpt"), query_name="sess_counts"
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.sql("SELECT * FROM sess_counts")
+    batch = session_window_agg(events)
+    assert streamed.count() > 0
+    assert _same_rows(streamed, batch)
