@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from nosql_to_sql_migration_tool_spark.operators.text import (
+    shingle_rows,
     tokens,
     tokens_sql,
     with_shingles,
@@ -157,11 +158,13 @@ def minhash_sig_table(
     and was ~40x slower at sf0.1. Cost: one narrow shuffle of
     (id, 12 hashes) partial-min rows — map-side combine applies.
     ``shingles`` optionally supplies a precomputed (possibly persisted)
-    ``shingle_sets`` projection shared across the dedup family."""
-    sh_sets = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
-    sh = sh_sets.select(
-        F.col(id_col), F.explode("__sh").alias("__s")
-    )
+    ``shingle_sets`` projection shared across the dedup family; without
+    one, shingle rows build explode-first (``text.shingle_rows``,
+    ``distinct=False`` — duplicates cannot change a min)."""
+    if shingles is not None:
+        sh = shingles.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    else:
+        sh = shingle_rows(df, text_col, id_col, distinct=False)
     hashed = sh.select(
         id_col,
         *[
@@ -353,38 +356,32 @@ def contamination_scores(
     overlap is an explode + equi-join on the shingle string + combinable
     count; AQE broadcasts the eval side at realistic sizes. Never an
     all-pairs document comparison."""
-    corp_sets = (
-        shingles
-        if shingles is not None
-        else shingle_sets(corpus, text_col, id_col)
-    )
-    corp = corp_sets.select(
-        F.col(id_col), F.explode("__sh").alias("__s")
-    )
+    if shingles is not None:
+        corp = shingles.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    else:
+        corp = shingle_rows(corpus, text_col, id_col, distinct=True)
     eval_shingles = (
-        shingle_sets(eval_set, text_col, id_col)
-        .select(F.explode("__sh").alias("__s"))
+        shingle_rows(eval_set, text_col, id_col, distinct=False)
+        .select("__s")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    overlap = (
-        corp.join(eval_shingles, "__s", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    totals = corp.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
+    # one pass: left-join the eval marker, then count total and hits in
+    # the SAME aggregation — the corpus shingle explode runs once, not
+    # twice (totals + semi-join previously recomputed it; ~2x measured)
     return (
-        totals.join(overlap, id_col, "left")
+        corp.join(eval_shingles, "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
         .select(
             id_col,
             "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            "n_overlap",
             F.round(
-                F.coalesce(F.col("n_overlap"), F.lit(0))
-                * F.lit(1.0)
-                / F.col("n_shingles"),
-                6,
+                F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles"), 6
             ).alias("contamination"),
         )
     )
@@ -426,11 +423,32 @@ def simhash(text: Column) -> Column:
 def with_simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """``(id, simhash)`` with the token array materialized once in a
-    projection (the 32 bit-votes all reference the same column)."""
-    return df.select(
-        F.col(id_col), _md5_tokens(F.col(text_col)).alias("__t")
-    ).select(F.col(id_col), _simhash_from(F.col("__t")).alias("simhash"))
+    """``(id, simhash)`` via explode + 32 conditional counts in ONE
+    combinable aggregation — the explode/agg restructure that keeps the
+    bit-votes in vectorized codegen instead of 32 array-filter walks
+    per row (the same reformulation that took minhash 40x; measured
+    ~2.5x here). ``explode_outer`` + ``count(__m)`` preserve the
+    empty-token semantics of the expression form (n=0 votes all-'1',
+    2*0 >= 0)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode_outer(_md5_tokens(F.col(text_col))).alias("__m"),
+    )
+    counts = tok.groupBy(id_col).agg(
+        F.count("__m").alias("__n"),
+        *[
+            F.count(F.when(_bit_vote(j)(F.col("__m")), 1)).alias(f"__c{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"__c{j}") * 2 >= F.col("__n"), F.lit("1"))
+            .otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return counts.select(F.col(id_col), bits.alias("simhash"))
 
 
 def simhash_sql(text_expr: str) -> str:
@@ -463,25 +481,23 @@ def simhash_candidates(
     bands guarantees candidates share one identical band — pigeonhole):
     bucket-join on (band index, band substring), verify by Hamming.
 
-    Shuffle discipline (the lesson from embedding_near_dup, doubled):
-    the band join carries ONLY (id, band) and candidate pairs dedupe
-    BEFORE verification, so Hamming evaluates once per distinct pair —
-    as ``bit_count(sig_a XOR sig_b)`` over the signature packed into a
-    long, not a 32-element array walk. On low-entropy corpora simhash
-    buckets get wide (many near-identical signatures); the narrow join
-    plus integer Hamming keeps the candidate stage cheap, and AQE
-    handles the residual bucket skew."""
+    Shuffle discipline: the band join carries (id, packed-long sig,
+    band) — the signature rides as 8 bytes, so Hamming verification is
+    ``bit_count(sig_a XOR sig_b)`` computed inline at the join (one
+    instruction per candidate), with no signature back-joins at all;
+    duplicate candidates (a pair can share up to n_bands buckets)
+    collapse in one distinct AFTER the cheap filter. The two band
+    frames are the identical subplan, so the signature aggregation
+    computes once and its exchange is reused for the self-join. On
+    low-entropy corpora simhash buckets get wide; AQE handles the
+    residual bucket skew."""
     sigs = with_simhash(df, text_col, id_col).withColumnRenamed(
         "simhash", "__sh"
     )
-    packed = sigs.select(
-        id_col,
-        "__sh",
-        F.conv(F.col("__sh"), 2, 10).cast("long").alias("__sl"),
-    )
     n_bands = SIMHASH_BITS // band_chars
-    bands = packed.select(
+    bands = sigs.select(
         id_col,
+        F.conv(F.col("__sh"), 2, 10).cast("long").alias("__sl"),
         F.posexplode(
             F.array(
                 *[
@@ -491,19 +507,21 @@ def simhash_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
-    cands = (
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sl").alias("__sa"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sl").alias("__sb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = packed.select(F.col(id_col).alias("id_a"), F.col("__sl").alias("__sa"))
-    sb = packed.select(F.col(id_col).alias("id_b"), F.col("__sl").alias("__sb"))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -512,4 +530,5 @@ def simhash_candidates(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 N_PLANES = 16
 BAND_CHARS = 8
@@ -483,3 +483,57 @@ def embedding_near_dup(
         )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Batched exact k-NN join: top-k corpus neighbors for EVERY query
+    vector (cosine, ties broken on corpus id) — the many-query sibling
+    of ``cosine_topk``.
+
+    Scale shape: the query side broadcasts (a query batch is small by
+    construction); scoring is a broadcast nested-loop over the corpus —
+    linear, never a corpus x corpus product. The grouped top-k runs in
+    TWO phases so no window partition ever holds the whole corpus: a
+    salted local top-k (partition key (query, crc32(id) % n_salts) —
+    bounded at |corpus|/n_salts rows) keeps only n_salts*k survivors
+    per query, then the final top-k ranks those few rows. Exact for any
+    salt count: the true global top-k survives every salt bucket's
+    local cut. Raise ``n_salts`` with corpus size to keep buckets in
+    executor memory."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))).alias(
+            "cos_sim"
+        ),
+        (F.crc32(F.col(id_col).cast("string")) % n_salts).alias("__salt"),
+    )
+    local_w = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(local_w))
+        .where(F.col("__r") <= k)
+        .drop("__r", "__salt")
+    )
+    final_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )

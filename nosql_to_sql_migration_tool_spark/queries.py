@@ -2835,3 +2835,80 @@ def q_part_name_fuzzy_pairs(spark, sf_dir):
         F.when(flip, F.col("na")).otherwise(F.col("nb")).alias("name_b"),
         "edit_distance",
     )
+
+# ---------------------------------------------------------------------------
+# Batched k-NN join + keyword relevance (TF-IDF) — the retrieval pair:
+# vector neighbors for a query batch, lexical scores for a term set.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    cosine_sql,
+    knn_join,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    tfidf_scores,
+)
+
+
+@query(
+    "knn_batch",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 199 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {cosine_sql('e.embedding', 'q.qv')} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_knn_batch(spark, sf_dir):
+    """Batched exact k-NN join: top-5 cosine neighbors for every query
+    vector in a small batch — broadcast nested-loop scoring + salted
+    two-phase grouped top-k (operators/similarity.knn_join), so no
+    window partition ever holds the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 199 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(emb, queries_df, k=5)
+
+
+_TFIDF_TERMS = ("spark", "table", "window")
+
+
+@query(
+    "tfidf_keyword_scores",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok
+  WHERE tok IN ('spark', 'table', 'window') GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id,
+       round(CAST(sum(CAST(round(tf * (n * 1.0 / df), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+GROUP BY doc_id
+""",
+)
+def q_tfidf_keyword_scores(spark, sf_dir):
+    """Lexical retrieval scores for a fixed term set: tf * (N/df) summed
+    per doc (log-free IDF — ln() libm rounding differs across engines;
+    the reciprocal keeps ranking order and bit-exact parity). The term
+    filter prunes the exploded token stream to |terms| x matching docs
+    immediately; df/N are broadcast scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_scores(docs, _TFIDF_TERMS)
