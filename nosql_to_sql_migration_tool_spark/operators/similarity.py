@@ -168,8 +168,15 @@ def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _vec_sql_lit(vec: list[float]) -> str:
+    """Literal double array as SQL text. ``repr`` round-trips Python
+    floats exactly and Spark's decimal-string->double parse is
+    correctly rounded, so the binary value matches ``F.lit``."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 def _nearest_cluster(
-    vec: Column, norm: Column, cents: list[tuple[int, list[float], float]]
+    vec: str, norm: str, cents: list[tuple[int, list[float], float]]
 ) -> Column:
     """Argmax-cosine cluster id as ONE projection: the centroids (and
     their norms) are plan literals, so assignment is a per-row array_min
@@ -177,22 +184,22 @@ def _nearest_cluster(
     The row norm is a precomputed column and each centroid norm a
     literal, so only ONE vector fold per centroid runs per row (the
     naive per-centroid cosine() would fold three). Rounded cosine +
-    min-cid tie-break keep it engine-deterministic."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        -F.round(
-                            dot(vec, _vec_lit(c)) / (norm * F.lit(cn)), 6
-                        )
-                    ).alias("ns"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c, cn in cents
-            ]
-        )
-    )["cid"]
+    min-cid tie-break keep it engine-deterministic.
+
+    The whole expression is ONE ``F.expr`` SQL string: building it as
+    nested Column calls issued ~n_clusters*dim Py4J round-trips for the
+    literal coordinates — ~1.2s of pure driver chatter PER Lloyd's
+    iteration, rebuilt every round because the centroids change. The
+    JVM parses the generated text in milliseconds; ``vec``/``norm`` are
+    column NAMES interpolated into the text."""
+    structs = ",".join(
+        "named_struct('ns', -round("
+        f"aggregate(zip_with({vec}, {_vec_sql_lit(c)}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v) / ({norm} * {float(cn)!r}D), 6), "
+        f"'cid', {cid})"
+        for cid, c, cn in cents
+    )
+    return F.expr(f"array_min(array({structs}))['cid']")
 
 
 def kmeans_centroids(
@@ -237,7 +244,7 @@ def kmeans_centroids(
     for _ in range(n_iter):
         assigned = vecs.select(
             "__v",
-            _nearest_cluster(F.col("__v"), F.col("__n"), cents).alias("__cid"),
+            _nearest_cluster("__v", "__n", cents).alias("__cid"),
         )
         per_dim = (
             assigned.select(
@@ -319,7 +326,7 @@ def kmeans_ivf_topk(
         F.col(id_col),
         "__v",
         "__n",
-        _nearest_cluster(F.col("__v"), F.col("__n"), cents).alias("cluster"),
+        _nearest_cluster("__v", "__n", cents).alias("cluster"),
     )
     candidates = assigned.join(probed, "cluster", "left_semi")
     scored = candidates.crossJoin(q).select(

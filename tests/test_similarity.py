@@ -127,3 +127,30 @@ def test_kmeans_centroids_shape_and_determinism(spark):
     assert all(len(c) == 64 for _, c, _ in cents)
     assert all(cn > 0 for _, _, cn in cents)
     assert cents == kmeans_centroids(emb, n_clusters=4, n_iter=2)
+
+
+def test_knn_join_matches_per_query_brute_force(spark):
+    """The salted two-phase grouped top-k must be EXACT: for every query
+    in the batch, knn_join's neighbor list equals the single-query
+    cosine_topk ranking (same tie-break), for any salt count."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for n_salts in (1, 7):
+        got = knn_join(emb, queries, k=5, n_salts=n_salts).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            expect = cosine_topk(
+                emb, emb.filter(F.col("vec_id") == qid), k=5
+            ).collect()
+            assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
+                (r["vec_id"], r["cos_sim"]) for r in expect
+            ], (qid, n_salts)

@@ -95,3 +95,61 @@ def test_bigram_frequencies_counts_consecutive_pairs(spark):
     }
     # "a b a b" -> [a b, b a, a b]; "a b" -> [a b]; short/empty contribute none
     assert counts == {"a b": 3, "b a": 1}
+
+
+def test_shingle_rows_matches_shingle_sets_explode(spark):
+    """The explode-first row builder must produce exactly the shingle
+    set that shingle_sets -> explode produces, for long, short and
+    empty docs alike; distinct=False may only add duplicates."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        shingle_sets,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        shingle_rows,
+    )
+
+    df = _df(
+        spark,
+        "a b c d e f g",
+        "a b c d e a b c d e",  # repeated shingles
+        "one two",  # shorter than k
+        "",
+    )
+    via_sets = {
+        (r["doc_id"], r["__s"])
+        for r in shingle_sets(df)
+        .select("doc_id", F.explode("__sh").alias("__s"))
+        .collect()
+    }
+    via_rows = {
+        (r["doc_id"], r["__s"]) for r in shingle_rows(df).collect()
+    }
+    assert via_rows == via_sets
+    dup_rows = shingle_rows(df, distinct=False).collect()
+    assert {(r["doc_id"], r["__s"]) for r in dup_rows} == via_sets
+    # the repeated-shingle doc contributes duplicate rows without distinct
+    assert len(dup_rows) > len(via_sets)
+
+
+def test_tfidf_scores_hand_computed(spark):
+    """tf * (N/df) on a 4-doc fixture, verified against hand arithmetic."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        tfidf_scores,
+    )
+
+    df = _df(
+        spark,
+        "spark spark table",  # tf(spark)=2 tf(table)=1
+        "table window",
+        "window window window",
+        "nothing relevant here",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in tfidf_scores(df, ("spark", "table", "window")).collect()
+    }
+    # N=4; df(spark)=1, df(table)=2, df(window)=2
+    assert got[0] == round(2 * 4 / 1 + 1 * 4 / 2, 6)
+    assert got[1] == round(1 * 4 / 2 + 1 * 4 / 2, 6)
+    assert got[2] == round(3 * 4 / 2, 6)
+    assert 3 not in got  # no matching terms -> no row
