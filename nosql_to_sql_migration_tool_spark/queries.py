@@ -2912,3 +2912,397 @@ def q_tfidf_keyword_scores(spark, sf_dir):
     immediately; df/N are broadcast scalars."""
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_scores(docs, _TFIDF_TERMS)
+
+# ---------------------------------------------------------------------------
+# TPC-H subquery shapes: EXISTS / correlated scalar / IN+HAVING / disjunctive
+# predicates / scalar-max — the decorrelated-join forms Catalyst itself
+# produces, declared explicitly so the plan is the one we want at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_exists",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def q_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join on the
+    order key (no row duplication, no distinct needed), then one
+    combinable count per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    sem = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "small_qty_part_revenue",
+    """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+)
+def q_small_qty_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery, decorrelated to a
+    per-part avg aggregate joined back (the exact rewrite Catalyst's
+    subquery planner performs). Quantities are integral doubles, so the
+    avg is an exact small-int sum / count — bit-identical across
+    engines; the revenue sum accumulates in DECIMAL."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    per_part = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qbar")
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(per_part), F.col("__pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("__qbar"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(T.DecimalType(18, 2))
+                ).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "local_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join where the supplier join carries the
+    extra same-nation equality (customer and supplier co-located).
+    nation/region broadcast; the date filter pushes to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+""",
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery = left-semi
+    join against the qualifying key set (broadcast — the HAVING output
+    is tiny by construction)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "__ok")),
+            F.col("o_orderkey") == F.col("__ok"),
+            "left_semi",
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
+            .cast("double")
+            .alias("sum_qty")
+        )
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q_disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
+    clauses across the join. The common p_size lower bound and brand IN
+    superset are derivable by constraint propagation, so the scan still
+    prunes; the residual disjunction evaluates post-join in codegen."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, count(*) AS n_custs,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+""",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: global scalar threshold (exact DECIMAL sum then
+    ONE division — float-order-proof) broadcast into the filter, NOT
+    EXISTS as a left-anti join against the recent-order keys (the date
+    predicate pushes into the anti side's scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(T.DecimalType(18, 2))).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("__ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey").alias("__ck")),
+            F.col("c_custkey") == F.col("__ck"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(T.DecimalType(18, 2)))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+""",
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. The two nation dims broadcast under different aliases; the
+    pair disjunction evaluates after both joins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("__nk1") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("__nk2") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-max subquery over an aggregate view,
+    rejoined by EXACT equality — legal only because the revenue totals
+    are DECIMAL end to end (float sums would make equality
+    engine-dependent)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast(T.DecimalType(18, 4))
+            ).alias("__tr")
+        )
+    )
+    best = rev.agg(F.max("__tr").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("__tr") == F.col("__mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__tr").cast("double").alias("total_revenue"),
+        )
+    )
