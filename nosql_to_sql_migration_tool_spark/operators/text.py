@@ -446,3 +446,79 @@ def tfidf_scores(
     return per_term.groupBy(id_col).agg(
         F.round(F.sum("__score").cast("double"), 6).alias("score")
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation strength for the corpus's frequent bigrams:
+    ``lift = c_ab * N / (c_a * c_b)`` with N = total token occurrences
+    (the log-free PMI — ln() libm rounding differs across engines; the
+    ratio preserves ranking). Every input is an exact integer count, so
+    the one double division is correctly rounded and bit-identical on
+    any engine; 6-dp round + (lift, bigram) ordering make the top-N
+    deterministic.
+
+    Plan: unigram histogram + bigram histogram (both combinable
+    shuffles over the same token stream), bigrams join their two
+    unigram counts via broadcast (the min_count filter shrinks the
+    bigram side first), TakeOrderedAndProject for the top-N."""
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_tok = uni.agg(F.sum("__c").alias("__n"))
+    bi = bigram_frequencies(df, text_col, min_count=min_count)
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    ua = uni.select(F.col("__tok").alias("__t1"), F.col("__c").alias("__c1"))
+    ub = uni.select(F.col("__tok").alias("__t2"), F.col("__c").alias("__c2"))
+    return (
+        bi.withColumn("__w1", w1)
+        .withColumn("__w2", w2)
+        .join(F.broadcast(ua), F.col("__w1") == F.col("__t1"))
+        .join(F.broadcast(ub), F.col("__w2") == F.col("__t2"))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "bigram",
+            F.col("cnt"),
+            F.round(
+                F.col("cnt") * F.lit(1.0) * F.col("__n")
+                / (F.col("__c1") * F.col("__c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(top_n)
+    )
+
+
+def bigram_lift_sql(
+    text_expr: str, min_count: int = 5, top_n: int = 50
+) -> str:
+    toks = _tokens_sql(text_expr)
+    return f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS tok FROM documents
+),
+uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+n AS (SELECT sum(c) AS n FROM uni),
+bi AS (
+  SELECT bigram, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bigram
+    FROM (SELECT {toks} AS t FROM documents) WHERE len(t) >= 2
+  ) GROUP BY bigram HAVING count(*) >= {min_count}
+)
+SELECT bigram, cnt,
+       round(cnt * 1.0 * n.n / (u1.c * u2.c), 6) AS lift
+FROM bi
+JOIN uni u1 ON str_split(bi.bigram, ' ')[1] = u1.tok
+JOIN uni u2 ON str_split(bi.bigram, ' ')[2] = u2.tok
+CROSS JOIN n
+ORDER BY lift DESC, bigram LIMIT {top_n}
+"""

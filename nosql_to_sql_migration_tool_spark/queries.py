@@ -3306,3 +3306,120 @@ def q_top_supplier(spark, sf_dir):
             F.col("__tr").cast("double").alias("total_revenue"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: deterministic splits, epoch shuffles, vocabulary
+# coverage, length-bucketed batching, collocation lift (operators/traindata,
+# operators/text.bigram_lift).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    length_bucketed_batches,
+    shuffle_positions,
+    split_bucket_sql,
+    vocab_coverage,
+    with_split,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    bigram_lift,
+    bigram_lift_sql,
+)
+
+
+@query(
+    "train_test_split",
+    f"""
+SELECT split, count(*) AS n_docs FROM (
+  SELECT CASE WHEN {split_bucket_sql('doc_id')} < 90 THEN 'train'
+              WHEN {split_bucket_sql('doc_id')} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+""",
+)
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash train/val/test split (90/5/5): the bucket is a
+    pure md5 projection of the key, so growing the corpus never moves an
+    existing row between splits — the property that keeps a 100 TB
+    corpus's eval set stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_split(docs, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "corpus_shuffle_order",
+    """
+SELECT CAST(row_number() OVER (
+         ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INT) AS position,
+       doc_id
+FROM documents
+""",
+)
+def q_corpus_shuffle_order(spark, sf_dir):
+    """Deterministic epoch shuffle: position = rank of md5(salt|key).
+    A different salt yields an independent permutation per epoch; at
+    scale the md5 is a write-time sort key (range-partitioned parallel
+    sort), not a single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_positions(docs, "doc_id", salt="epoch0")
+
+
+@query(
+    "vocab_coverage_report",
+    f"""
+WITH tok AS (
+  SELECT unnest({_TOK_SQL}) AS tok FROM documents
+),
+hist AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+vocab AS (SELECT tok FROM hist ORDER BY cnt DESC, tok LIMIT 10)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN cnt
+                ELSE 0 END) AS BIGINT) AS covered_tokens,
+       round((sum(cnt) - sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                             THEN cnt ELSE 0 END)) * 1.0 / sum(cnt), 6)
+         AS oov_rate
+FROM hist
+""",
+)
+def q_vocab_coverage_report(spark, sf_dir):
+    """Top-N-vocabulary coverage: exact occurrence counts covered by the
+    10 most frequent tokens and the resulting OOV rate — the tokenizer-
+    budget planning statistic, one corpus scan + a broadcast vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=10)
+
+
+@query(
+    "length_bucketed_batches",
+    f"""
+SELECT doc_id, n_tokens,
+       CAST(floor(n_tokens / 64.0) AS INT) AS len_bucket,
+       CAST(floor((row_number() OVER (
+              PARTITION BY CAST(floor(n_tokens / 64.0) AS INT)
+              ORDER BY n_tokens, doc_id
+            ) - 1) / 8.0) AS INT) AS batch_id
+FROM (
+  SELECT doc_id, len({_TOK_SQL}) AS n_tokens FROM documents
+)
+""",
+)
+def q_length_bucketed_batches(spark, sf_dir):
+    """Padding-minimizing batch assembly: bucket docs by token-length
+    band (64 tokens), number consecutive groups of 8 within each bucket
+    in deterministic (n_tokens, id) order. The window partitions by
+    bucket, never globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucketed_batches(docs, batch_size=8, bucket_tokens=64)
+
+
+@query("bigram_lift", bigram_lift_sql("text", min_count=5, top_n=50))
+def q_bigram_lift(spark, sf_dir):
+    """Collocation lift for frequent bigrams: c_ab * N / (c_a * c_b)
+    over exact integer counts (log-free PMI — cross-engine-stable),
+    deterministic top-50."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lift(docs, min_count=5, top_n=50)

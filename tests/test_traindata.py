@@ -1,0 +1,81 @@
+"""Training-data prep operators: split stability under corpus growth,
+shuffle permutation properties, batch-size bounds, vocabulary coverage
+arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (
+    length_bucketed_batches,
+    shuffle_positions,
+    vocab_coverage,
+    with_split,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_split_stable_under_growth(spark):
+    """Adding rows must never move an existing row between splits, and
+    proportions must be roughly 90/5/5."""
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    small = docs.filter(F.col("doc_id") < 30)
+    full_assign = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    small_assign = {
+        r["doc_id"]: r["split"]
+        for r in with_split(small, "doc_id").select("doc_id", "split").collect()
+    }
+    for k, v in small_assign.items():
+        assert full_assign[k] == v
+    n = len(full_assign)
+    n_train = sum(1 for v in full_assign.values() if v == "train")
+    assert 0.8 * n <= n_train <= 0.97 * n
+
+
+def test_shuffle_positions_is_permutation_and_salted(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    n = docs.count()
+    e0 = shuffle_positions(docs, "doc_id", salt="epoch0").collect()
+    assert sorted(r["position"] for r in e0) == list(range(1, n + 1))
+    # deterministic across runs
+    again = shuffle_positions(docs, "doc_id", salt="epoch0").collect()
+    assert {(r["position"], r["doc_id"]) for r in e0} == {
+        (r["position"], r["doc_id"]) for r in again
+    }
+    # a different salt is a different permutation
+    e1 = shuffle_positions(docs, "doc_id", salt="epoch1").collect()
+    assert {(r["position"], r["doc_id"]) for r in e0} != {
+        (r["position"], r["doc_id"]) for r in e1
+    }
+
+
+def test_length_bucketed_batches_bounds(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    rows = length_bucketed_batches(docs, batch_size=8, bucket_tokens=64).collect()
+    assert len(rows) == docs.count()
+    sizes = {}
+    for r in rows:
+        assert r["len_bucket"] == r["n_tokens"] // 64
+        sizes.setdefault((r["len_bucket"], r["batch_id"]), []).append(
+            r["n_tokens"]
+        )
+    for (bucket, batch), toks in sizes.items():
+        assert len(toks) <= 8
+        # every doc in a batch sits in the batch's length bucket
+        assert all(t // 64 == bucket for t in toks)
+
+
+def test_vocab_coverage_arithmetic(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c d"), (2, "a e")],
+        "doc_id long, text string",
+    )
+    r = vocab_coverage(df, vocab_size=2).collect()[0]
+    # counts: a=4 b=2 c=1 d=1 e=1 -> vocab {a,b} covers 6 of 9
+    assert r["total_tokens"] == 9
+    assert r["covered_tokens"] == 6
+    assert abs(r["oov_rate"] - 3 / 9) < 1e-6  # rate rounds to 6 dp
