@@ -358,3 +358,51 @@ SELECT c_custkey + {NEW_KEY_OFFSET},
 FROM customer
 WHERE c_custkey % 13 = 0
 """
+
+
+def noisy_documents(documents: DataFrame) -> DataFrame:
+    """Cleaning fixture: the (markup-free, PII-free by construction)
+    documents corpus with deterministic noise injected.
+
+      doc_id % 5 == 0 -> wrapped in HTML with an entity and a per-doc
+                         email address appended
+      doc_id % 5 == 1 -> a phone number and a per-doc IPv4 appended
+      otherwise       -> unchanged
+    """
+    base = documents.select("doc_id", "text")
+    k = F.col("doc_id")
+    html = base.filter(k % 5 == 0).withColumn(
+        "text",
+        F.concat(
+            F.lit("<p>Hello &amp; welcome</p> "),
+            F.col("text"),
+            F.lit(" <br/>contact: user"),
+            k.cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+    pii = base.filter(k % 5 == 1).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" call 555-123-4567 or ping 10.0.0."),
+            (k % 250).cast("string"),
+        ),
+    )
+    rest = base.filter((k % 5 != 0) & (k % 5 != 1))
+    return html.unionByName(pii).unionByName(rest)
+
+
+NOISY_DOCUMENTS_SQL = """
+SELECT doc_id,
+       '<p>Hello &amp; welcome</p> ' || text || ' <br/>contact: user'
+         || CAST(doc_id AS VARCHAR) || '@example.com' AS text
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id,
+       text || ' call 555-123-4567 or ping 10.0.0.'
+         || CAST(doc_id % 250 AS VARCHAR) AS text
+FROM documents WHERE doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, text FROM documents WHERE doc_id % 5 NOT IN (0, 1)
+"""

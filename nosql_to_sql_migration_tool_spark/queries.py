@@ -3423,3 +3423,35 @@ def q_bigram_lift(spark, sf_dir):
     deterministic top-50."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lift(docs, min_count=5, top_n=50)
+
+
+# ---------------------------------------------------------------------------
+# Corpus scrubbing: HTML strip + PII masking (operators/cleaning) over a
+# deterministically-noised fixture (the raw corpus is clean by construction).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    NOISY_DOCUMENTS_SQL,
+    noisy_documents,
+)
+from nosql_to_sql_migration_tool_spark.operators.cleaning import (  # noqa: E402
+    with_clean_text,
+    with_clean_text_sql,
+)
+
+
+@query(
+    "clean_documents",
+    f"""
+WITH docs AS ({NOISY_DOCUMENTS_SQL})
+SELECT {with_clean_text_sql('text')} FROM docs
+""",
+)
+def q_clean_documents(spark, sf_dir):
+    """The scrub pass: strip markup/entities, mask emails -> IPv4 ->
+    phone runs (in that order — the phone pattern would swallow dotted
+    IPs), count each PII class per document. Pure regexp_replace chain
+    in codegen; patterns restricted to the Java-regex/RE2 common
+    subset so both engines transform identically."""
+    docs = noisy_documents(load_table(spark, sf_dir, "documents"))
+    return with_clean_text(docs)
