@@ -532,3 +532,34 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_new_docs(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: of an incoming batch, keep only the
+    documents whose canonical exact fingerprint appears neither in the
+    existing corpus nor earlier (min id) in the batch itself. Output
+    ``(id, exact_fp)`` survivors.
+
+    This is the steady-state shape of corpus growth at 100 TB: the
+    corpus side reduces to its distinct fingerprint set (in production
+    a pre-materialized index table, here a projection), the batch
+    anti-joins against it, and batch-internal dups collapse with one
+    combinable min. The full corpus text never reshuffles — only
+    fingerprints move."""
+    canon = lambda c: F.md5(  # noqa: E731 — tiny local expression builder
+        F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    )
+    corpus_fps = corpus.select(canon(F.col(text_col)).alias("__fp")).distinct()
+    batch = incoming.select(
+        F.col(id_col), canon(F.col(text_col)).alias("exact_fp")
+    )
+    fresh = batch.join(
+        corpus_fps, batch.exact_fp == corpus_fps.__fp, "left_anti"
+    )
+    first = fresh.groupBy("exact_fp").agg(F.min(id_col).alias(id_col))
+    return first.select(id_col, "exact_fp")

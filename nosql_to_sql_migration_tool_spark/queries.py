@@ -3455,3 +3455,144 @@ def q_clean_documents(spark, sf_dir):
     subset so both engines transform identically."""
     docs = noisy_documents(load_table(spark, sf_dir, "documents"))
     return with_clean_text(docs)
+
+
+# ---------------------------------------------------------------------------
+# Exact-order statistics, pinned-determinism correlation, incremental ingest.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
+    incremental_new_docs,
+)
+
+
+@query(
+    "median_price_by_priority",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_median_price_by_priority(spark, sf_dir):
+    """EXACT interpolated percentiles per group (Spark `percentile`,
+    not approx_percentile): both engines sort the group and interpolate
+    identically, so the doubles match bit-for-bit; 2-dp round guards
+    the midpoint division. Exact order statistics shuffle the full
+    column — approx sketches (operators/sketches.py) are the 100 TB
+    default; this is the auditable exact path."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias(
+            "p90_price"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "quantity_price_correlation",
+    """
+WITH s AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT n,
+       round((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM s
+""",
+)
+def q_quantity_price_correlation(spark, sf_dir):
+    """Pearson correlation rebuilt from EXACT decimal moment sums (the
+    built-in `corr` accumulates doubles in partition order — its last
+    ulp is partitioning-dependent, unacceptable for a cross-engine
+    contract). Five combinable decimal sums in ONE pass, then a fixed
+    expression-order double formula both engines evaluate identically."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast(T.DecimalType(38, 6))  # noqa: E731
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("l_quantity"))).cast("double").alias("sx"),
+        F.sum(d(F.col("l_extendedprice"))).cast("double").alias("sy"),
+        F.sum(d(F.col("l_quantity") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(d(F.col("l_quantity") * F.col("l_quantity")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(d(F.col("l_extendedprice") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "ingest_new_docs",
+    """
+WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+corpus_fps AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fp
+  FROM corpus
+),
+batch AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_fp
+  FROM incoming
+)
+SELECT min(doc_id) AS doc_id, exact_fp
+FROM batch
+WHERE exact_fp NOT IN (SELECT fp FROM corpus_fps)
+GROUP BY exact_fp
+""",
+)
+def q_ingest_new_docs(spark, sf_dir):
+    """Incremental corpus ingestion: an incoming batch (fresh docs plus
+    planted copies of corpus docs) dedupes against the existing corpus
+    by fingerprint anti-join, then first-id-wins within the batch. Only
+    fingerprints shuffle — the steady-state growth path for a 100 TB
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    k = F.col("doc_id")
+    incoming = (
+        docs.filter(k >= 400)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(k % 10 == 0).select(
+                (k + F.lit(100_000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_new_docs(corpus, incoming)
