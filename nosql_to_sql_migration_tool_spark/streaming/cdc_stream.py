@@ -205,3 +205,45 @@ def stream_session_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_window_append(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Append-mode windowed counts to a parquet sink: windows emit ONCE,
+    when the watermark passes their end — the mode where late-data
+    semantics actually bite (complete mode would silently re-emit).
+    Events later than the watermark horizon are dropped by contract;
+    state for closed windows is freed, which is what bounds memory on
+    an unbounded stream."""
+    from nosql_to_sql_migration_tool_spark.operators.windows import (
+        tumbling_window_agg,
+    )
+
+    agg = tumbling_window_agg(
+        events_stream.withWatermark("ts", watermark), size
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_clean_corpus(docs_stream: DataFrame) -> DataFrame:
+    """Streaming scrub pass: the batch cleaning operator applied to a
+    document stream unchanged — it is a stateless projection chain, so
+    it composes with any source/sink with zero streaming state. The
+    proof that the corpus-hygiene surface is streaming-safe end to end."""
+    from nosql_to_sql_migration_tool_spark.operators.cleaning import (
+        with_clean_text,
+    )
+
+    return with_clean_text(docs_stream)

@@ -236,3 +236,83 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
     batch = session_window_agg(events)
     assert streamed.count() > 0
     assert _same_rows(streamed, batch)
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Append-mode windowed agg across two availableNow runs sharing a
+    checkpoint: the second batch's too-late event (hours behind the
+    watermark) must NOT reopen or change its already-finalized window."""
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_window_append,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    # batch 1: two events in hour 0, then events through hour 6 so the
+    # 2h watermark passes hour 0's window end
+    batch1 = [(i, t0 + dt.timedelta(hours=h), 1, "view", 1.0)
+              for i, h in enumerate([0, 0, 3, 4, 5, 6])]
+    mk(batch1).write.mode("overwrite").parquet(stream_dir)
+    stream = spark.readStream.schema(mk(batch1).schema).parquet(stream_dir)
+    q = stream_window_append(stream, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(out_dir)
+    hour0 = [r for r in first.collect() if r["window_start"].hour == 0]
+    assert len(hour0) == 1 and hour0[0]["n"] == 2
+
+    # batch 2: one event back in hour 0 — beyond the watermark, dropped
+    mk([(100, t0, 1, "view", 1.0)]).write.mode("append").parquet(stream_dir)
+    stream2 = spark.readStream.schema(mk(batch1).schema).parquet(stream_dir)
+    q2 = stream_window_append(stream2, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    after = spark.read.parquet(out_dir)
+    hour0_after = [
+        r for r in after.collect() if r["window_start"].hour == 0
+    ]
+    # still exactly one finalized hour-0 window with the original count
+    assert len(hour0_after) == 1 and hour0_after[0]["n"] == 2
+
+
+def test_stream_clean_corpus_matches_batch(spark, tmp_path):
+    """The scrub pass is stateless — streaming it over the noisy corpus
+    must produce exactly the batch operator's rows."""
+    from nosql_to_sql_migration_tool_spark.fixtures import noisy_documents
+    from nosql_to_sql_migration_tool_spark.operators.cleaning import (
+        with_clean_text,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_clean_corpus,
+    )
+
+    docs = noisy_documents(
+        load_table(spark, SF_DIR_SMOKE, "documents")
+    ).limit(200)
+    stream_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("overwrite").parquet(stream_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = (
+        stream_clean_corpus(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _same_rows(spark.read.parquet(out_dir), with_clean_text(docs))
