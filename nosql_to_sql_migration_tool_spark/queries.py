@@ -3501,13 +3501,13 @@ def q_median_price_by_priority(spark, sf_dir):
     """
 WITH s AS (
   SELECT count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
               AS DOUBLE) AS sxy,
-         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
               AS DOUBLE) AS sxx,
-         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6)))
               AS DOUBLE) AS syy
   FROM lineitem
 )
@@ -3523,9 +3523,11 @@ def q_quantity_price_correlation(spark, sf_dir):
     built-in `corr` accumulates doubles in partition order — its last
     ulp is partitioning-dependent, unacceptable for a cross-engine
     contract). Five combinable decimal sums in ONE pass, then a fixed
-    expression-order double formula both engines evaluate identically."""
+    expression-order double formula both engines evaluate identically.
+    DECIMAL(18,6) elements stay long-backed (38 would force BigDecimal
+    per row, ~1.6x slower); the sums auto-widen past 18 digits."""
     l = load_table(spark, sf_dir, "lineitem")
-    d = lambda c: c.cast(T.DecimalType(38, 6))  # noqa: E731
+    d = lambda c: c.cast(T.DecimalType(18, 6))  # noqa: E731
     s = l.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(d(F.col("l_quantity"))).cast("double").alias("sx"),
@@ -3596,3 +3598,114 @@ def q_ingest_new_docs(spark, sf_dir):
         )
     )
     return incremental_new_docs(corpus, incoming)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: cohort retention, z-score outliers from exact moments.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    """
+WITH first_seen AS (
+  SELECT user_id,
+         date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) / 7 AS INT) AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       week_offset,
+       count(*) AS n_active
+FROM activity
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week (both
+    engines truncate weeks to Monday), counted once per (cohort,
+    week-offset). The offset is day-difference of week starts / 7 —
+    exact integer arithmetic, no calendar-unit ambiguity. Two
+    combinable shuffles on user_id; the per-user grain never re-sorts
+    globally."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
+    "event_value_outliers",
+    """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - m.sx / m.n) /
+             sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)), 6) AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE e.value IS NOT NULL
+  AND abs((e.value - m.sx / m.n) /
+          sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n))) > 3.0
+""",
+)
+def q_event_value_outliers(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3) with mean/variance rebuilt
+    from EXACT decimal moment sums (built-in stddev accumulates doubles
+    in partition order — last-ulp nondeterminism would flip boundary
+    rows). The tiny per-type moment table broadcasts back onto the
+    stream; one pass computes both moments. DECIMAL(18,6) elements
+    stay long-backed (38 would force BigDecimal per row, ~1.6x slower);
+    sums auto-widen, and every input fits 18 digits by data contract."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = lambda c: c.cast(T.DecimalType(18, 6))  # noqa: E731
+    m = events.groupBy(F.col("event_type").alias("__et")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d(F.col("value"))).cast("double").alias("__sx"),
+        F.sum(d(F.col("value") * F.col("value"))).cast("double").alias(
+            "__sxx"
+        ),
+    )
+    mean = F.col("__sx") / F.col("__n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("__sxx") / F.col("__n") - mean * mean
+    )
+    return (
+        events.join(
+            F.broadcast(m), F.col("event_type") == F.col("__et")
+        )
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
