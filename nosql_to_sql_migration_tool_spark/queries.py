@@ -3709,3 +3709,82 @@ def q_event_value_outliers(spark, sf_dir):
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "events_hourly_dense",
+    """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour_start, t.event_type,
+       coalesce(a.n, 0) AS n_events,
+       last_value(a.total IGNORE NULLS) OVER (
+         PARTITION BY t.event_type ORDER BY s.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_total
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN actual a
+  ON a.hour_start = s.hour_start AND a.event_type = t.event_type
+""",
+)
+def q_events_hourly_dense(spark, sf_dir):
+    """Time-series densification: a complete hour x event-type spine
+    (sequence-explode — generated, never scanned), zero-filled counts,
+    and last-observation-carried-forward totals per type. The spine is
+    metadata-sized and broadcast; LOCF is one window per type ordered
+    by the (unique) hour — at 100 TB the partition key keeps every
+    window a single type's spine, thousands of rows, not the corpus."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = events.select("event_type").distinct()
+    actual = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("__h"),
+        F.col("event_type").alias("__et"),
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("__total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(
+            actual,
+            (F.col("__h") == F.col("hour_start"))
+            & (F.col("__et") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
+            F.last("__total", ignorenulls=True).over(w).alias("locf_total"),
+        )
+    )
