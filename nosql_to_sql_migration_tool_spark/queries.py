@@ -3788,3 +3788,41 @@ def q_events_hourly_dense(spark, sf_dir):
             F.last("__total", ignorenulls=True).over(w).alias("locf_total"),
         )
     )
+
+
+@query(
+    "lateral_top_orders",
+    """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON true
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def q_lateral_top_orders(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the per-row
+    top-k join form, run through the spark.sql surface (both engines
+    parse the same text modulo the ON clause). Catalyst decorrelates it
+    to the same windowed top-k the DataFrame form would plan, so
+    there's no per-customer re-execution at scale."""
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+    )
