@@ -497,6 +497,169 @@ def bigram_lift(
     )
 
 
+# Gopher-style repetition / quality rule thresholds (Rae et al. 2021,
+# "Scaling Language Models" §A1.1 quality filtering; C4's heuristics are
+# the same family). Values are module constants so the Spark plan and
+# the DuckDB oracle can never disagree on a boundary.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_LEN_LO = 2.0
+GOPHER_MEAN_LEN_HI = 12.0
+GOPHER_TOP_BIGRAM_MAX = 0.20
+GOPHER_DUP_5GRAM_MAX = 0.30
+
+
+def _gram_rows(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """Non-distinct k-gram rows (id, __g) for docs with >= k tokens —
+    explode-first over an integer sequence (the ``shingle_rows`` lesson);
+    shorter docs contribute NO grams (repetition ratios must not count a
+    degenerate whole-text gram as '100% repeated')."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return (
+        toked.where(F.size("__toks") >= k)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1))
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), k)).alias(
+                "__g"
+            ),
+        )
+    )
+
+
+def repetition_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics + keep flag:
+
+    - ``n_tokens``, ``mean_token_len`` — length rules (pure map);
+    - ``top_bigram_share`` — fraction of bigram occurrences taken by the
+      most frequent bigram (template/boilerplate signal);
+    - ``dup_5gram_frac`` — fraction of 5-gram occurrences that are
+      repeats of an earlier 5-gram in the same doc (looping generation);
+    - ``keep`` (0/1) — AND of the threshold rules above. INT rather than
+      BOOLEAN so the cross-engine hash never depends on bool rendering.
+
+    Plan: per-row stats stay in codegen; each gram family is one
+    explode -> count shuffle keyed by (doc, gram) then a combinable
+    per-doc aggregate that reuses the same hash partitioning. Docs
+    shorter than k contribute no grams and coalesce to share 0.0 —
+    short docs are judged by the length rule, not fake repetition. At
+    100 TB both shuffles carry (id, gram-hash, count) rows only."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    base = toked.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.col("__toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+            )
+            * F.lit(1.0)
+            / F.greatest(n, F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+    bi = (
+        _gram_rows(df, 2, text_col, id_col)
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("__c") * F.lit(1.0) / F.sum("__c"), 6
+            ).alias("top_bigram_share")
+        )
+    )
+    fv = (
+        _gram_rows(df, 5, text_col, id_col)
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                (F.sum("__c") - F.count(F.lit(1)))
+                * F.lit(1.0)
+                / F.sum("__c"),
+                6,
+            ).alias("dup_5gram_frac")
+        )
+    )
+    joined = (
+        base.join(bi, id_col, "left")
+        .join(fv, id_col, "left")
+        .withColumn(
+            "top_bigram_share", F.coalesce("top_bigram_share", F.lit(0.0))
+        )
+        .withColumn(
+            "dup_5gram_frac", F.coalesce("dup_5gram_frac", F.lit(0.0))
+        )
+    )
+    keep = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_token_len").between(
+            GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI
+        )
+        & (F.col("top_bigram_share") <= GOPHER_TOP_BIGRAM_MAX)
+        & (F.col("dup_5gram_frac") <= GOPHER_DUP_5GRAM_MAX)
+    )
+    return joined.withColumn("keep", keep.cast("int"))
+
+
+def repetition_flags_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of ``repetition_flags`` (same constants, same
+    rounding, same left-join/coalesce shape)."""
+    toks = _tokens_sql(text_expr)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM {table}),
+base AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+               * 1.0 / greatest(len(t), 1), 6) AS mean_token_len
+  FROM t
+),
+bg AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+    FROM t WHERE len(t) >= 2
+  ) GROUP BY doc_id, g
+),
+bga AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_share
+  FROM bg GROUP BY doc_id
+),
+fg AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+           i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS g
+    FROM t WHERE len(t) >= 5
+  ) GROUP BY doc_id, g
+),
+fga AS (
+  SELECT doc_id, round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_5gram_frac
+  FROM fg GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.mean_token_len,
+       coalesce(bga.top_bigram_share, 0.0) AS top_bigram_share,
+       coalesce(fga.dup_5gram_frac, 0.0) AS dup_5gram_frac,
+       CAST(b.n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+            AND b.mean_token_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+            AND coalesce(bga.top_bigram_share, 0.0) <= {GOPHER_TOP_BIGRAM_MAX}
+            AND coalesce(fga.dup_5gram_frac, 0.0) <= {GOPHER_DUP_5GRAM_MAX}
+            AS INT) AS keep
+FROM base b
+LEFT JOIN bga ON b.doc_id = bga.doc_id
+LEFT JOIN fga ON b.doc_id = fga.doc_id
+"""
+
+
 def bigram_lift_sql(
     text_expr: str, min_count: int = 5, top_n: int = 50
 ) -> str:

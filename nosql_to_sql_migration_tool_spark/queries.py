@@ -3619,7 +3619,7 @@ activity AS (
                        date_trunc('week', e.ts)) / 7 AS INT) AS week_offset
   FROM events e JOIN first_seen f ON e.user_id = f.user_id
 )
-SELECT CAST(cohort_week AS DATE) AS cohort_week,
+SELECT cohort_week,
        week_offset,
        count(*) AS n_active
 FROM activity
@@ -3630,9 +3630,12 @@ def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users bucketed by first-seen week (both
     engines truncate weeks to Monday), counted once per (cohort,
     week-offset). The offset is day-difference of week starts / 7 —
-    exact integer arithmetic, no calendar-unit ambiguity. Two
-    combinable shuffles on user_id; the per-user grain never re-sorts
-    globally."""
+    exact integer arithmetic, no calendar-unit ambiguity. The cohort
+    week stays a TIMESTAMP end-to-end: DATE is the one type whose
+    pandas representation differs between the engines (datetime.date
+    vs midnight Timestamp), so a DATE result column would hash-mismatch
+    on representation alone. Two combinable shuffles on user_id; the
+    per-user grain never re-sorts globally."""
     events = load_table(spark, sf_dir, "events")
     first_seen = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -3654,7 +3657,7 @@ def q_cohort_retention(spark, sf_dir):
         .distinct()
     )
     return activity.groupBy(
-        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "cohort_week",
         "week_offset",
     ).agg(F.count(F.lit(1)).alias("n_active"))
 
@@ -3826,3 +3829,25 @@ JOIN LATERAL (
 WHERE c.c_mktsegment = 'BUILDING'
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style corpus quality rules (repetition + length heuristics).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    repetition_flags,
+    repetition_flags_sql,
+)
+
+
+@query("gopher_quality_flags", repetition_flags_sql("documents", "text"))
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-style repetition/length quality rules per document:
+    token-count bounds, mean word length bounds, top-bigram occupancy
+    and duplicate-5-gram fraction, AND-ed into a 0/1 keep flag — the
+    standard pre-training corpus filter family (Rae et al. 2021 §A1.1,
+    C4's heuristics). Per-row stats stay in codegen; each gram family
+    is one combinable (doc, gram) count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_flags(docs)

@@ -153,3 +153,32 @@ def test_tfidf_scores_hand_computed(spark):
     assert got[1] == round(1 * 4 / 2 + 1 * 4 / 2, 6)
     assert got[2] == round(3 * 4 / 2, 6)
     assert 3 not in got  # no matching terms -> no row
+
+
+def test_repetition_flags_edges(spark):
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        repetition_flags,
+    )
+
+    looped = "spam ham " * 20  # one bigram dominates; 5-grams all repeat
+    clean = " ".join(f"w{i} tok{i}" for i in range(20))  # 40 distinct tokens
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_flags(
+            _df(spark, "", "tiny doc", looped.strip(), clean)
+        ).collect()
+    }
+    assert rows[0]["n_tokens"] == 0 and rows[0]["keep"] == 0
+    # 2-token doc: its single bigram occupies 100%; no 5-grams exist
+    # (coalesced to 0) — and the length rule rejects it regardless
+    assert rows[1]["top_bigram_share"] == 1.0
+    assert rows[1]["dup_5gram_frac"] == 0.0
+    assert rows[1]["keep"] == 0
+    # looped doc: "spam ham" is 20 of 39 bigrams; every 5-gram repeats
+    r = rows[2]
+    assert abs(r["top_bigram_share"] - 20 / 39) < 1e-6
+    assert r["dup_5gram_frac"] > 0.9
+    assert r["keep"] == 0
+    # clean doc passes every rule
+    assert rows[3]["keep"] == 1
+    assert rows[3]["dup_5gram_frac"] == 0.0
