@@ -3851,3 +3851,407 @@ def q_gopher_quality_flags(spark, sf_dir):
     is one combinable (doc, gram) count shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return repetition_flags(docs)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogue completion: the remaining classic shapes, adapted where the
+# test tables lack partsupp / commit-receipt dates / shipmode (noted per
+# query). Reference scope is a fixed SQL surface (SURVEY §2B); these prove
+# the engine covers the standard warehouse query family beyond it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure filter + global decimal sum. Every predicate pushes
+    to the parquet scan (PushedFilters on shipdate/discount/quantity);
+    the aggregate is a map-side partial -> single-row final. The
+    discount BETWEEN compares the stored doubles directly — both
+    engines read identical parquet doubles, so the boundary is exact."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                T.DecimalType(18, 4)
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "order_count_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution including the
+    zero-order customers (LEFT join, count of the nullable side). Two
+    combinable shuffles — the second one is tiny (distinct counts).
+    At 100 TB the first agg reuses the join's c_custkey partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+)
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3's share of ASIA-market revenue per year. Two
+    independent joins to nation (consumer side fixes the region,
+    supplier side tags the share nation) — both broadcast. The share is
+    a ratio of two exact decimal sums, divided once as doubles and
+    rounded, so accumulation order can't flip a digit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = load_table(spark, sf_dir, "nation").alias("cn")
+    sn = load_table(spark, sf_dir, "nation").alias("sn")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    zero = F.lit(0).cast(T.DecimalType(18, 4))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("sn.n_name") == "NATION_3", vol).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "part_profit_by_nation_year",
+    """
+SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1
+                AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def q_part_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp table -> supply cost proxied as 10% of
+    retail price): profit by supplier nation and order year for parts
+    matching a name pattern. The p_name filter prunes part before the
+    join; part/supplier/nation broadcast against the lineitem stream."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast(T.DecimalType(18, 4))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "major_revenue_parts",
+    """
+WITH part_rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT sum(revenue) AS t FROM part_rev)
+SELECT p.l_partkey, p.revenue
+FROM part_rev p CROSS JOIN total
+WHERE p.revenue > 0.002 * total.t
+""",
+)
+def q_major_revenue_parts(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp -> lineitem revenue): parts whose
+    revenue exceeds a fraction of the GLOBAL total — HAVING against a
+    scalar subquery. The global total is a one-row broadcast; the
+    threshold multiply and compare are identical double ops on both
+    engines. Note the oracle sums the already-rounded per-part doubles
+    exactly like the Spark side (sum of part_rev, not a second decimal
+    pass), so the scalar matches bit-for-bit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    vol = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(T.DecimalType(18, 4))
+    part_rev = l.groupBy("l_partkey").agg(
+        F.sum(vol).cast("double").alias("revenue")
+    )
+    total = part_rev.agg(F.sum("revenue").alias("t"))
+    return (
+        part_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue") > F.lit(0.002) * F.col("t"))
+        .select("l_partkey", "revenue")
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_count_by_part_attrs(spark, sf_dir):
+    """TPC-H Q16 shape (no partsupp -> shipping lineitems; negative
+    account balance stands in for the complaints filter): distinct
+    supplier counts per part attribute triple, excluding a
+    subquery-defined supplier set. The NOT IN becomes a broadcast
+    left-anti join (safe here: s_suppkey is never NULL); part filters
+    prune before the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "half_quantity_suppliers",
+    """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, sum(qty) AS total FROM sp GROUP BY 1)
+SELECT s.s_name, count(*) AS n_dominant_parts
+FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+WHERE sp.qty > 0.5 * pt.total
+GROUP BY s.s_name
+""",
+)
+def q_half_quantity_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp availqty -> dominance test): per
+    supplier, how many parts' 1996 shipped volume they supplied more
+    than half of. The part total reuses the (supp, part) aggregate —
+    one lineitem scan, two combinable shuffles; the dominance compare
+    runs on identically-derived doubles."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("qty") > F.lit(0.5) * F.col("total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+
+
+@query(
+    "sole_late_shippers",
+    """
+WITH flags AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM flags GROUP BY 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM flags f
+JOIN per_order po ON f.l_orderkey = po.l_orderkey
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.is_late = 1 AND po.n_late = 1 AND po.n_supp >= 2
+GROUP BY s.s_name
+""",
+)
+def q_sole_late_shippers(spark, sf_dir):
+    """TPC-H Q21 shape (late = shipped >60 days after order date, since
+    commit/receipt dates don't exist here): suppliers who were the SOLE
+    late shipper in multi-supplier orders. The EXISTS / NOT EXISTS pair
+    decorrelates into per-(order, supplier) flags + per-order counts —
+    two combinable aggregates over the same orderkey partitioning, no
+    correlated re-execution."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    flags = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        flags.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_late") == 1)
+            & (F.col("n_supp") >= 2)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "late_shipment_priority",
+    """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_late_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_late_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode/receiptdate -> grouped by returnflag,
+    late = shipped >90 days after order): priority-split conditional
+    counts after a fact-fact join. The CASE pair folds into one
+    combinable aggregate pass; integer counts are exact everywhere."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high & late, 1).otherwise(0)).alias(
+                "high_late_count"
+            ),
+            F.sum(F.when(~high & late, 1).otherwise(0)).alias(
+                "low_late_count"
+            ),
+        )
+    )
