@@ -339,6 +339,61 @@ def kmeans_ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def _kmeans_norm_sql(expr: str) -> str:
+    return f"sqrt({dot_sql(expr, expr)})"
+
+
+def _kmeans_score_sql(v: str, vn: str, c: str, cn: str) -> str:
+    return f"round({dot_sql(v, c)} / ({vn} * {cn}), 6)"
+
+
+def _kmeans_assign_sql(prev: str, name: str) -> str:
+    score = _kmeans_score_sql(
+        "vecs.v", "vecs.vn", prev + ".centroid", prev + ".cn"
+    )
+    return (
+        f"{name} AS (SELECT id, v, vn, cid FROM ("
+        f"SELECT vecs.id, vecs.v, vecs.vn, {prev}.cid, "
+        f"row_number() OVER (PARTITION BY vecs.id ORDER BY "
+        f"{score}"
+        f" DESC, {prev}.cid) AS rn FROM vecs CROSS JOIN {prev}) "
+        f"WHERE rn = 1)"
+    )
+
+
+def _kmeans_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    n_iter: int,
+) -> tuple[list[str], str]:
+    """Shared CTE chain for the unrolled seeded Lloyd's reconstruction:
+    returns (ctes, name-of-final-centroid-CTE). The terminal ``final``
+    assignment is appended by each caller."""
+    norm = _kmeans_norm_sql
+    ctes = [
+        f"vecs0 AS (SELECT {id_col} AS id, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v "
+        f"FROM {table})",
+        f"vecs AS (SELECT id, v, {norm('v')} AS vn FROM vecs0)",
+        f"seeds AS (SELECT id, v, vn, md5(CAST(id AS VARCHAR)) AS m "
+        f"FROM vecs ORDER BY m, id LIMIT {n_clusters})",
+        "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
+        "AS INT) AS cid, v AS centroid, vn AS cn FROM seeds)",
+    ]
+    for i in range(n_iter):
+        ctes.append(_kmeans_assign_sql(f"cents{i}", f"assign{i}"))
+        ctes.append(
+            f"cents{i + 1} AS (SELECT cid, centroid, {norm('centroid')} AS cn "
+            f"FROM (SELECT cid, list(c ORDER BY d) AS centroid "
+            f"FROM (SELECT cid, d, round(avg(val), 6) AS c FROM ("
+            f"SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val "
+            f"FROM assign{i}) GROUP BY cid, d) GROUP BY cid))"
+        )
+    return ctes, f"cents{n_iter}"
+
+
 def kmeans_ivf_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -354,58 +409,110 @@ def kmeans_ivf_sql(
     an independent reconstruction, not a result dump. Norms are
     precomputed per vector/centroid exactly as the Spark side does, so
     the rounded scores divide bit-identical factors."""
-
-    def norm(expr: str) -> str:
-        return f"sqrt({dot_sql(expr, expr)})"
-
-    def score(v: str, vn: str, c: str, cn: str) -> str:
-        return f"round({dot_sql(v, c)} / ({vn} * {cn}), 6)"
-
-    def assign(prev: str, name: str) -> str:
-        return (
-            f"{name} AS (SELECT id, v, vn, cid FROM ("
-            f"SELECT vecs.id, vecs.v, vecs.vn, {prev}.cid, "
-            f"row_number() OVER (PARTITION BY vecs.id ORDER BY "
-            f"{score('vecs.v', 'vecs.vn', prev + '.centroid', prev + '.cn')}"
-            f" DESC, {prev}.cid) AS rn FROM vecs CROSS JOIN {prev}) "
-            f"WHERE rn = 1)"
-        )
-
-    ctes = [
-        f"vecs0 AS (SELECT {id_col} AS id, "
-        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v "
-        f"FROM {table})",
-        f"vecs AS (SELECT id, v, {norm('v')} AS vn FROM vecs0)",
+    norm, score = _kmeans_norm_sql, _kmeans_score_sql
+    ctes, last = _kmeans_ctes(table, id_col, vec_col, n_clusters, n_iter)
+    ctes.insert(
+        2,
         f"q AS (SELECT qv, {norm('qv')} AS qn FROM ("
         f"SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) "
         f"AS qv FROM {table} WHERE {query_pred}))",
-        f"seeds AS (SELECT id, v, vn, md5(CAST(id AS VARCHAR)) AS m "
-        f"FROM vecs ORDER BY m, id LIMIT {n_clusters})",
-        "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
-        "AS INT) AS cid, v AS centroid, vn AS cn FROM seeds)",
-    ]
-    for i in range(n_iter):
-        ctes.append(assign(f"cents{i}", f"assign{i}"))
-        ctes.append(
-            f"cents{i + 1} AS (SELECT cid, centroid, {norm('centroid')} AS cn "
-            f"FROM (SELECT cid, list(c ORDER BY d) AS centroid "
-            f"FROM (SELECT cid, d, round(avg(val), 6) AS c FROM ("
-            f"SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val "
-            f"FROM assign{i}) GROUP BY cid, d) GROUP BY cid))"
-        )
-    last = f"cents{n_iter}"
+    )
     ctes.append(
         f"probed AS (SELECT cid FROM {last}, q "
         f"ORDER BY {score('centroid', 'cn', 'qv', 'qn')} DESC, cid "
         f"LIMIT {n_probe})"
     )
-    ctes.append(assign(last, "final"))
+    ctes.append(_kmeans_assign_sql(last, "final"))
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT f.id AS {id_col}, f.cid AS cluster, "
         f"{score('f.v', 'f.vn', 'qv', 'qn')} AS cos_sim "
         "FROM final f JOIN probed USING (cid), q "
         f"ORDER BY cos_sim DESC, {id_col} LIMIT {k}"
+    )
+
+
+def semantic_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-duplicate pairs via CLUSTER BLOCKING: k-means
+    assigns every vector a block, pairwise cosine runs only WITHIN a
+    block, pairs at/above ``threshold`` survive. Output
+    ``(id_a, id_b, cluster, cos_sim)`` with ``id_a < id_b``.
+
+    This is the embedding-space sibling of MinHash banding: the
+    quadratic all-pairs compare collapses to sum-over-blocks of
+    |block|^2 — with balanced clusters that is n^2/k, and at 100 TB the
+    block id is a shuffle/partition key so each block's self-join is
+    node-local. The known tradeoff (documented, inherent to single-
+    assignment blocking): a pair straddling two clusters is missed;
+    raise recall by unioning pairs from a second-nearest-cluster
+    assignment exactly like multi-probe IVF. Scoring reuses the
+    precomputed row norms, and the 6-dp round happens BEFORE the
+    threshold compare, so both engines cut the same boundary."""
+    cents = kmeans_centroids(df, n_clusters, n_iter, vec_col, id_col)
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    assigned = vecs.select(
+        F.col(id_col),
+        "__v",
+        "__n",
+        _nearest_cluster("__v", "__n", cents).alias("cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_near_dup_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB twin of ``semantic_near_dup`` — same unrolled k-means CTE
+    chain, then a within-block self-join on the final assignment."""
+    score = _kmeans_score_sql("a.v", "a.vn", "b.v", "b.vn")
+    ctes, last = _kmeans_ctes(table, id_col, vec_col, n_clusters, n_iter)
+    ctes.append(_kmeans_assign_sql(last, "final"))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT a.id AS id_a, b.id AS id_b, a.cid AS cluster, "
+        f"{score} AS cos_sim "
+        "FROM final a JOIN final b ON a.cid = b.cid AND a.id < b.id "
+        f"WHERE {score} >= {threshold}"
     )
 
 

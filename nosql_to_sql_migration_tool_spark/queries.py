@@ -4255,3 +4255,31 @@ def q_late_shipment_priority(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) near-dup: k-means cluster blocking.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    semantic_near_dup,
+    semantic_near_dup_sql,
+)
+
+
+@query(
+    "semantic_near_dup",
+    semantic_near_dup_sql(
+        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9
+    ),
+)
+def q_semantic_near_dup(spark, sf_dir):
+    """Semantic near-duplicate pairs with k-means cluster BLOCKING (the
+    embedding-space sibling of MinHash banding): pairwise cosine runs
+    only within a learned cluster, so the quadratic compare collapses
+    to n^2/k and each block self-joins node-local at scale. Runs over
+    the planted-duplicate fixture (natural max pairwise cosine in the
+    table is ~0.51); the oracle replays the identical seeded Lloyd's
+    chain and self-join in DuckDB."""
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return semantic_near_dup(emb, threshold=0.9)

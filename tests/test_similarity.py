@@ -154,3 +154,34 @@ def test_knn_join_matches_per_query_brute_force(spark):
             assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
                 (r["vec_id"], r["cos_sim"]) for r in expect
             ], (qid, n_salts)
+
+
+def test_semantic_near_dup_blocking_recall(spark):
+    """Cluster-blocked semantic dedup must (a) keep every surviving pair
+    at/above threshold, (b) recover every planted EXACT copy — an
+    identical vector always lands in its original's cluster, so exact
+    pairs can never straddle blocks — and (c) find no pair among the
+    natural vectors (max natural cosine ~0.51)."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        semantic_near_dup,
+    )
+
+    emb = duplicated_embeddings(load_table(spark, SF_DIR_SMOKE, "embeddings"))
+    pairs = semantic_near_dup(emb, threshold=0.9, n_clusters=4).collect()
+    assert pairs, "planted duplicates must surface"
+    assert all(r["cos_sim"] >= 0.9 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    base_ids = {
+        r["vec_id"]
+        for r in load_table(spark, SF_DIR_SMOKE, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    for k in base_ids:
+        if k % 10 == 0:
+            assert (k, k + 10_000) in found, f"exact copy of {k} missed"
+    natural = [
+        p for p in found if p[0] in base_ids and p[1] in base_ids
+    ]
+    assert natural == []
