@@ -228,9 +228,13 @@ def kmeans_centroids(
     centroid matrix per round — metadata-sized, the same order as the
     LSH hyperplane literals. Returns plain Python centroids ready to
     embed as broadcast literals."""
-    vecs = df.select(
-        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    vecs = (
+        df.select(
+            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .cache()  # read by seeds + every Lloyd's round; id+vec+norm only
+    )
     seeds = (
         vecs.select(
             "__v", "__n",
@@ -464,7 +468,8 @@ def semantic_near_dup(
         "__v",
         "__n",
         _nearest_cluster("__v", "__n", cents).alias("cluster"),
-    )
+    ).cache()  # both self-join sides read it; caching halves the
+    # (n_clusters x dim)-literal assignment evaluation
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),

@@ -465,12 +465,18 @@ def bigram_lift(
     Plan: unigram histogram + bigram histogram (both combinable
     shuffles over the same token stream), bigrams join their two
     unigram counts via broadcast (the min_count filter shrinks the
-    bigram side first), TakeOrderedAndProject for the top-N."""
+    bigram side first), TakeOrderedAndProject for the top-N. The
+    unigram histogram is CACHED: the plan references it three times
+    (N scalar, left-word join, right-word join) and Catalyst builds
+    each reference as its own scan+explode+agg subplan — caching the
+    vocab-sized table cuts the query from four corpus tokenizations
+    to two (measured ~3x at sf0.1). Vocabulary is millions of rows at
+    100 TB corpus scale — executor-memory-sized, safe to cache."""
     uni = (
         df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    ).cache()
     n_tok = uni.agg(F.sum("__c").alias("__n"))
     bi = bigram_frequencies(df, text_col, min_count=min_count)
     w1 = F.split(F.col("bigram"), " ").getItem(0)

@@ -69,16 +69,27 @@ def shuffle_positions(
 ) -> DataFrame:
     """Deterministic global shuffle order: position = rank of
     ``md5(salt|key)``. A different ``salt`` gives an independent
-    permutation per epoch without touching the data. The rank is a
-    single global window ONLY in this materialized form — at scale the
-    md5 itself is the sort key for a write (``df.sort(md5)``), which
-    Spark executes as a range-partitioned parallel sort, so no single
-    partition ever holds the corpus."""
-    m = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
-    w = Window.orderBy(m, F.col(key_col))
-    return df.select(
-        F.row_number().over(w).alias("position"), F.col(key_col)
+    permutation per epoch without touching the data.
+
+    The rank is computed DISTRIBUTED (operators/ranking.py): the first
+    two hex chars of the md5 are a free uniform 256-way monotonic
+    bucketing, each bucket ranks in parallel, bucket offsets are the
+    only driver traffic — no single-partition global window anywhere,
+    so the permutation materializes at any corpus size. Output is
+    bit-identical to ``row_number() OVER (ORDER BY md5, key)``."""
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_rank,
     )
+
+    m = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    with_m = df.select(F.col(key_col), m.alias("__m"))
+    ranked = bucketed_rank(
+        with_m,
+        F.substring(F.col("__m"), 1, 2),
+        [F.col("__m"), F.col(key_col)],
+        out_col="position",
+    )
+    return ranked.select("position", F.col(key_col))
 
 
 def vocab_coverage(

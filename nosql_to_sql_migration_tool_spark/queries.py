@@ -4270,7 +4270,7 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
 @query(
     "semantic_near_dup",
     semantic_near_dup_sql(
-        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9
+        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2
     ),
 )
 def q_semantic_near_dup(spark, sf_dir):
@@ -4282,4 +4282,4 @@ def q_semantic_near_dup(spark, sf_dir):
     table is ~0.51); the oracle replays the identical seeded Lloyd's
     chain and self-join in DuckDB."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return semantic_near_dup(emb, threshold=0.9)
+    return semantic_near_dup(emb, threshold=0.9, n_iter=2)
