@@ -30,11 +30,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# events.ts is written as parquet TIMESTAMP(NANOS), which Spark cannot read
-# natively (PARQUET_TYPE_ILLEGAL). We read it as a nanos long
-# (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
-# timestamps. The DuckDB oracle must apply the identical truncation; this
-# is the pinned expression (DuckDB reads the column as TIMESTAMP_NS):
+# events.ts arrives either as parquet TIMESTAMP(NANOS) — which Spark cannot
+# read natively (PARQUET_TYPE_ILLEGAL), so we read it as a nanos long via
+# spark.sql.legacy.parquet.nanosAsLong and floor-truncate to microsecond
+# timestamps — or (newer testdata generations) as plain TIMESTAMP(MICROS),
+# which needs no truncation. load_table adapts on the observed type. The
+# DuckDB oracle expression below is pinned for BOTH cases: on TIMESTAMP_NS
+# it applies the identical ns→µs floor, on TIMESTAMP(µs) it is an exact
+# identity (epoch_ns(µs value) // 1000 == the µs value).
 EVENTS_TS_ORACLE = "make_timestamp(epoch_ns(ts) // 1000)"
 
 
@@ -50,12 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # Floor-division nanos→micros (pmod keeps it exact integer math):
-        # plain `div` truncates toward zero, which diverges from the
-        # DuckDB oracle's floor `//` for pre-1970 timestamps.
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file read as a nanos long. Floor-division
+            # nanos→micros (pmod keeps it exact integer math): plain `div`
+            # truncates toward zero, which diverges from the DuckDB
+            # oracle's floor `//` for pre-1970 timestamps.
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+            )
+        # TIMESTAMP(MICROS) file: no truncation needed. Parquet NTZ reads
+        # as TIMESTAMP_NTZ; cast to session-zone TIMESTAMP (UTC session →
+        # identical wall-clock) so downstream window/unix_* functions see
+        # the same type the nanos path produced.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
