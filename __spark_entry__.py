@@ -7,21 +7,87 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in ``nosql_to_sql_migration_tool_spark`` — this file
 only adapts the package's query registry to the driver's interface.
+
+The driver verifies a bounded prefix of ``queries()`` per round (50 in
+rounds 1-3), so registration order IS the correctness budget.
+``_ordered_names`` therefore rotates the registry every round: queries
+with no CORRECTNESS_r*.json row yet come first (a judge-prioritized
+head, then registration order), already-verified queries follow
+oldest-verification-first. As the driver records new rounds, the
+rotation advances automatically — no manual reordering per round.
 """
 
 from __future__ import annotations
 
+import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 from nosql_to_sql_migration_tool_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# Highest-priority names for the next verification window (VERDICT r3 §next
+# item 1): the reference's headline normalization pipeline
+# (Sql_Schema_Generator.ps1:57-402), then the k-means family whose quantizer
+# changed this round (must be re-verified), then the dedup/similarity and
+# training-data families the driver has never checked.
+_PRIORITY_HEAD = [
+    "normalize_main_table",
+    "child_nested_object",
+    "child_array_of_objects",
+    "child_array_of_primitives",
+    "ivf_topk",
+    "semantic_near_dup",
+    "semantic_near_dup_multiprobe",
+    "knn_batch",
+    "simhash_near_pairs",
+    "near_dup_component_labels",
+    "dedup_exact_survivors",
+    "dedup_near_survivors",
+    "contamination_scores",
+    "ingest_new_docs",
+    "clean_documents",
+    "train_test_split",
+    "corpus_shuffle_order",
+    "vocab_coverage_report",
+    "length_bucketed_batches",
+    "doc_training_windows",
+]
+
+
+def _verified_round() -> dict[str, int]:
+    """name -> latest round with any recorded driver row (green or not —
+    presence means the driver spent budget on it)."""
+    seen: dict[str, int] = {}
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def _ordered_names() -> list[str]:
+    verified = _verified_round()
+    head = [n for n in _PRIORITY_HEAD if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(head)]
+    # Stable sort: never-verified (rank 0) keep registration order, then
+    # verified names oldest-round-first.
+    rest.sort(key=lambda n: verified.get(n, 0))
+    return head + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,8 +97,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: QUERIES[name] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {name: ORACLES[name] for name in _ordered_names() if name in ORACLES}
