@@ -67,9 +67,24 @@ def paginate(df: DataFrame, order_key: str, skip: int, first: int) -> DataFrame:
     replaced by one partitioned scan; this operator exists for the
     *query* surface (a page of results), where a bounded offset is fine.
     Unbounded driver-side paging over a 100 TB table would be the same
-    anti-pattern as the reference's — use key-range predicates instead
-    (``df.filter(col(key) > last_seen).limit(n)``)."""
+    anti-pattern as the reference's — use ``scan_after`` instead."""
     return df.orderBy(F.col(order_key)).offset(skip).limit(first)
+
+
+def scan_after(df: DataFrame, order_key: str, last_seen, first: int) -> DataFrame:
+    """Cursor (key-range) pagination — the scale-correct extraction loop
+    the reference's O(n²) skip-scan (Data_Migration.ps1:117-119) should
+    have been: WHERE key > last_seen ORDER BY key LIMIT n.
+
+    Each page is a pushed-down range predicate (min/max-pruned at the
+    parquet scan) + TakeOrderedAndProject, so page cost is O(page), not
+    O(rows skipped) — the total extraction over a 100 TB table stays
+    linear instead of quadratic."""
+    return (
+        df.filter(F.col(order_key) > F.lit(last_seen))
+        .orderBy(F.col(order_key))
+        .limit(first)
+    )
 
 
 def deterministic_sample(df: DataFrame, key: str, hex_bound: str = "1a") -> DataFrame:

@@ -202,81 +202,122 @@ def _nearest_cluster(
     return F.expr(f"array_min(array({structs}))['cid']")
 
 
+def _nearest_clusters(
+    vec: str,
+    norm: str,
+    cents: list[tuple[int, list[float], float]],
+    n_probe: int,
+) -> Column:
+    """Top-``n_probe`` cluster ids per row, still ONE literal-centroid
+    projection: sort the (-cosine, cid) structs (same rounded-score +
+    min-cid ordering as ``_nearest_cluster``), slice the prefix. Used by
+    multi-probe blocking; ``n_probe=1`` degenerates to the argmax."""
+    structs = ",".join(
+        "named_struct('ns', -round("
+        f"aggregate(zip_with({vec}, {_vec_sql_lit(c)}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v) / ({norm} * {float(cn)!r}D), 6), "
+        f"'cid', {cid})"
+        for cid, c, cn in cents
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {n_probe}), "
+        "s -> s.cid)"
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_clusters: int = 8,
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_limit: int | None = None,
 ) -> list[tuple[int, list[float], float]]:
     """Deterministic Lloyd's k-means over an UNLABELED corpus — the real
     coarse quantizer for IVF (``centroids_by_label`` needs labels a
     training corpus rarely has). Returns ``(cid, centroid, norm)``.
 
     Determinism contract (mirrored verbatim by ``kmeans_ivf_sql``):
-    - seeds = the ``n_clusters`` vectors with smallest
-      ``md5(cast(id as string))`` (ties by id), cid = 0.. in that order;
+    - training set = the ``train_limit`` vectors with smallest
+      ``md5(cast(id as string))`` (ties by id) — a deterministic uniform
+      sample; ``None`` trains on the full corpus;
+    - seeds = the first ``n_clusters`` of that same md5 ranking,
+      cid = 0.. in that order;
     - assignment = argmax of 6-dp-rounded cosine, ties to the lower cid;
-    - update = per-dimension mean rounded to 6 dp;
+    - update = per-dimension mean (over the training set) rounded to 6 dp;
     - exactly ``n_iter`` fixed iterations (no data-dependent stopping).
     Every norm is computed by the ENGINE's left-fold dot (never Python
     arithmetic), so the collected literals are bit-identical to what the
     oracle engine derives on its side.
 
-    Scale: each iteration is one assignment projection plus one explode
-    + combinable avg; the only driver traffic is the (n_clusters x dim)
-    centroid matrix per round — metadata-sized, the same order as the
-    LSH hyperplane literals. Returns plain Python centroids ready to
-    embed as broadcast literals."""
-    vecs = (
+    Scale: quantizer training is the 100 TB pitfall — full-corpus
+    Lloyd's costs ~2*n_iter extra corpus passes before any query work.
+    With ``train_limit`` set, the md5 ranking is one top-K
+    (TakeOrderedAndProject: per-partition top-K, driver merge of
+    K rows — bounded by construction), every iteration runs on K rows,
+    and the full corpus is only ever assigned ONCE by the caller via
+    the literal-centroid projection. The only driver traffic besides
+    the K-row sample is the (n_clusters x dim) centroid matrix per
+    round. Returns plain Python centroids ready to embed as broadcast
+    literals."""
+    ranked = (
         df.select(
             F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
         )
         .withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-        .cache()  # read by seeds + every Lloyd's round; id+vec+norm only
+        .withColumn("__m", F.md5(F.col("__id").cast("string")))
     )
-    seeds = (
-        vecs.select(
-            "__v", "__n",
-            F.md5(F.col("__id").cast("string")).alias("__m"), "__id",
-        )
-        .orderBy("__m", "__id")
-        .limit(n_clusters)
-        .collect()
-    )
-    cents = [(i, list(r["__v"]), r["__n"]) for i, r in enumerate(seeds)]
-    for _ in range(n_iter):
-        assigned = vecs.select(
-            "__v",
-            _nearest_cluster("__v", "__n", cents).alias("__cid"),
-        )
-        per_dim = (
-            assigned.select(
-                "__cid", F.posexplode("__v").alias("__d", "__val")
-            )
-            .groupBy("__cid", "__d")
-            .agg(F.round(F.avg("__val"), 6).alias("__c"))
-        )
-        rows = (
-            per_dim.groupBy("__cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("__d", "__c"))).alias(
-                    "__dc"
-                )
-            )
-            .select(
-                "__cid",
-                F.transform(F.col("__dc"), lambda s: s["__c"]).alias("__cent"),
-            )
-            .select(
-                "__cid",
-                "__cent",
-                F.sqrt(dot(F.col("__cent"), F.col("__cent"))).alias("__cn"),
-            )
+    if train_limit is not None:
+        ranked = ranked.orderBy("__m", "__id").limit(train_limit)
+    train = ranked.cache()  # read by seeds + every Lloyd's round
+    try:
+        seeds = (
+            train.select("__v", "__n", "__m", "__id")
+            .orderBy("__m", "__id")
+            .limit(n_clusters)
             .collect()
         )
-        cents = sorted((r["__cid"], list(r["__cent"]), r["__cn"]) for r in rows)
-    return cents
+        cents = [(i, list(r["__v"]), r["__n"]) for i, r in enumerate(seeds)]
+        for _ in range(n_iter):
+            assigned = train.select(
+                "__v",
+                _nearest_cluster("__v", "__n", cents).alias("__cid"),
+            )
+            per_dim = (
+                assigned.select(
+                    "__cid", F.posexplode("__v").alias("__d", "__val")
+                )
+                .groupBy("__cid", "__d")
+                .agg(F.round(F.avg("__val"), 6).alias("__c"))
+            )
+            rows = (
+                per_dim.groupBy("__cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("__d", "__c"))
+                    ).alias("__dc")
+                )
+                .select(
+                    "__cid",
+                    F.transform(F.col("__dc"), lambda s: s["__c"]).alias(
+                        "__cent"
+                    ),
+                )
+                .select(
+                    "__cid",
+                    "__cent",
+                    F.sqrt(dot(F.col("__cent"), F.col("__cent"))).alias(
+                        "__cn"
+                    ),
+                )
+                .collect()
+            )
+            cents = sorted(
+                (r["__cid"], list(r["__cent"]), r["__cn"]) for r in rows
+            )
+        return cents
+    finally:
+        train.unpersist()
 
 
 def kmeans_ivf_topk(
@@ -288,17 +329,22 @@ def kmeans_ivf_topk(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_limit: int | None = None,
 ) -> DataFrame:
-    """IVF ANN with LEARNED buckets: k-means coarse quantizer, probe the
-    ``n_probe`` centroids closest to the query, brute-force only inside
-    those buckets. Output ``(id, cluster, cos_sim)`` top-k.
+    """IVF ANN with LEARNED buckets: k-means coarse quantizer (trained
+    on a bounded deterministic sample when ``train_limit`` is set —
+    the 100 TB shape), probe the ``n_probe`` centroids closest to the
+    query, brute-force only inside those buckets. Output
+    ``(id, cluster, cos_sim)`` top-k.
 
     At scale the corpus is written partitioned by ``cluster`` so the
     probe is a partition-pruned scan of n_probe/n_clusters of the data;
     here the assignment is the same literal-centroid projection and the
     probe is a broadcast semi-join. ``n_probe = n_clusters`` degrades to
     exact brute force (the recall pytest pins this)."""
-    cents = kmeans_centroids(df, n_clusters, n_iter, vec_col, id_col)
+    cents = kmeans_centroids(
+        df, n_clusters, n_iter, vec_col, id_col, train_limit
+    )
     spark = df.sparkSession
     cents_df = spark.createDataFrame(
         [(cid, c, cn) for cid, c, cn in cents],
@@ -351,7 +397,9 @@ def _kmeans_score_sql(v: str, vn: str, c: str, cn: str) -> str:
     return f"round({dot_sql(v, c)} / ({vn} * {cn}), 6)"
 
 
-def _kmeans_assign_sql(prev: str, name: str) -> str:
+def _kmeans_assign_sql(
+    prev: str, name: str, source: str = "vecs", rn_bound: int = 1
+) -> str:
     score = _kmeans_score_sql(
         "vecs.v", "vecs.vn", prev + ".centroid", prev + ".cn"
     )
@@ -360,8 +408,8 @@ def _kmeans_assign_sql(prev: str, name: str) -> str:
         f"SELECT vecs.id, vecs.v, vecs.vn, {prev}.cid, "
         f"row_number() OVER (PARTITION BY vecs.id ORDER BY "
         f"{score}"
-        f" DESC, {prev}.cid) AS rn FROM vecs CROSS JOIN {prev}) "
-        f"WHERE rn = 1)"
+        f" DESC, {prev}.cid) AS rn FROM {source} AS vecs CROSS JOIN {prev}) "
+        f"WHERE rn <= {rn_bound})"
     )
 
 
@@ -371,23 +419,37 @@ def _kmeans_ctes(
     vec_col: str,
     n_clusters: int,
     n_iter: int,
+    train_limit: int | None = None,
 ) -> tuple[list[str], str]:
     """Shared CTE chain for the unrolled seeded Lloyd's reconstruction:
     returns (ctes, name-of-final-centroid-CTE). The terminal ``final``
-    assignment is appended by each caller."""
+    assignment (over the FULL ``vecs``) is appended by each caller.
+    ``train_limit`` bounds the Lloyd's iterations to the same md5-ranked
+    sample the Spark quantizer trains on (seeds are its prefix)."""
     norm = _kmeans_norm_sql
     ctes = [
         f"vecs0 AS (SELECT {id_col} AS id, "
         f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v "
         f"FROM {table})",
         f"vecs AS (SELECT id, v, {norm('v')} AS vn FROM vecs0)",
-        f"seeds AS (SELECT id, v, vn, md5(CAST(id AS VARCHAR)) AS m "
-        f"FROM vecs ORDER BY m, id LIMIT {n_clusters})",
+        "ranked AS (SELECT id, v, vn, md5(CAST(id AS VARCHAR)) AS m "
+        "FROM vecs)",
+    ]
+    train = "ranked"
+    if train_limit is not None:
+        ctes.append(
+            f"train AS (SELECT * FROM ranked ORDER BY m, id "
+            f"LIMIT {train_limit})"
+        )
+        train = "train"
+    ctes += [
+        f"seeds AS (SELECT id, v, vn, m FROM {train} "
+        f"ORDER BY m, id LIMIT {n_clusters})",
         "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
         "AS INT) AS cid, v AS centroid, vn AS cn FROM seeds)",
     ]
     for i in range(n_iter):
-        ctes.append(_kmeans_assign_sql(f"cents{i}", f"assign{i}"))
+        ctes.append(_kmeans_assign_sql(f"cents{i}", f"assign{i}", train))
         ctes.append(
             f"cents{i + 1} AS (SELECT cid, centroid, {norm('centroid')} AS cn "
             f"FROM (SELECT cid, list(c ORDER BY d) AS centroid "
@@ -407,6 +469,7 @@ def kmeans_ivf_sql(
     n_iter: int = 3,
     n_probe: int = 2,
     k: int = 10,
+    train_limit: int | None = None,
 ) -> str:
     """DuckDB oracle for ``kmeans_ivf_topk``: the SAME seeded Lloyd's
     iterations unrolled as a CTE chain (fixed n_iter makes that legal) —
@@ -414,7 +477,9 @@ def kmeans_ivf_sql(
     precomputed per vector/centroid exactly as the Spark side does, so
     the rounded scores divide bit-identical factors."""
     norm, score = _kmeans_norm_sql, _kmeans_score_sql
-    ctes, last = _kmeans_ctes(table, id_col, vec_col, n_clusters, n_iter)
+    ctes, last = _kmeans_ctes(
+        table, id_col, vec_col, n_clusters, n_iter, train_limit
+    )
     ctes.insert(
         2,
         f"q AS (SELECT qv, {norm('qv')} AS qn FROM ("
@@ -443,6 +508,7 @@ def semantic_near_dup(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_limit: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via CLUSTER BLOCKING: k-means
     assigns every vector a block, pairwise cosine runs only WITHIN a
@@ -458,8 +524,16 @@ def semantic_near_dup(
     raise recall by unioning pairs from a second-nearest-cluster
     assignment exactly like multi-probe IVF. Scoring reuses the
     precomputed row norms, and the 6-dp round happens BEFORE the
-    threshold compare, so both engines cut the same boundary."""
-    cents = kmeans_centroids(df, n_clusters, n_iter, vec_col, id_col)
+    threshold compare, so both engines cut the same boundary.
+
+    Both self-join sides re-evaluate the assignment projection rather
+    than caching it: the projection is a pure whole-stage-codegen map
+    (one literal-centroid fold per row), and an uncollected ``.cache()``
+    on a returned DataFrame would pin executor storage for the session
+    lifetime — recompute beats a storage leak in a long-lived session."""
+    cents = kmeans_centroids(
+        df, n_clusters, n_iter, vec_col, id_col, train_limit
+    )
     vecs = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
@@ -468,8 +542,7 @@ def semantic_near_dup(
         "__v",
         "__n",
         _nearest_cluster("__v", "__n", cents).alias("cluster"),
-    ).cache()  # both self-join sides read it; caching halves the
-    # (n_clusters x dim)-literal assignment evaluation
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),
@@ -499,6 +572,94 @@ def semantic_near_dup(
     )
 
 
+def semantic_near_dup_multiprobe(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_limit: int | None = None,
+) -> DataFrame:
+    """Multi-probe cluster blocking — the documented recall fix for
+    single-assignment ``semantic_near_dup``: every vector joins its
+    ``n_probe`` nearest blocks (exactly like multi-probe IVF), so a pair
+    straddling two clusters is caught whenever EITHER side's probe set
+    reaches the other's primary block. Candidate volume grows
+    ~n_probe²/k vs n²/k for single assignment — still linear per block,
+    never all-pairs. Output ``(id_a, id_b, cos_sim)`` distinct (a pair
+    sharing two probed blocks would otherwise appear twice; the block id
+    is therefore not part of the output contract)."""
+    cents = kmeans_centroids(
+        df, n_clusters, n_iter, vec_col, id_col, train_limit
+    )
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    assigned = vecs.select(
+        F.col(id_col),
+        "__v",
+        "__n",
+        F.explode(
+            _nearest_clusters("__v", "__n", cents, n_probe)
+        ).alias("cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def semantic_near_dup_multiprobe_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    train_limit: int | None = None,
+) -> str:
+    """DuckDB twin of ``semantic_near_dup_multiprobe`` — same unrolled
+    k-means chain, final assignment keeps rank ≤ n_probe clusters per
+    vector, DISTINCT pairs from the shared-block self-join."""
+    score = _kmeans_score_sql("a.v", "a.vn", "b.v", "b.vn")
+    ctes, last = _kmeans_ctes(
+        table, id_col, vec_col, n_clusters, n_iter, train_limit
+    )
+    ctes.append(_kmeans_assign_sql(last, "final", rn_bound=n_probe))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT DISTINCT a.id AS id_a, b.id AS id_b, {score} AS cos_sim "
+        "FROM final a JOIN final b ON a.cid = b.cid AND a.id < b.id "
+        f"WHERE {score} >= {threshold}"
+    )
+
+
 def semantic_near_dup_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -506,11 +667,14 @@ def semantic_near_dup_sql(
     threshold: float = 0.9,
     n_clusters: int = 8,
     n_iter: int = 3,
+    train_limit: int | None = None,
 ) -> str:
     """DuckDB twin of ``semantic_near_dup`` — same unrolled k-means CTE
     chain, then a within-block self-join on the final assignment."""
     score = _kmeans_score_sql("a.v", "a.vn", "b.v", "b.vn")
-    ctes, last = _kmeans_ctes(table, id_col, vec_col, n_clusters, n_iter)
+    ctes, last = _kmeans_ctes(
+        table, id_col, vec_col, n_clusters, n_iter, train_limit
+    )
     ctes.append(_kmeans_assign_sql(last, "final"))
     return (
         "WITH " + ",\n".join(ctes) + "\n"

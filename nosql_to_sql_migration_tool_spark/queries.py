@@ -296,6 +296,19 @@ def q_paginate_orders(spark, sf_dir):
 
 
 @query(
+    "scan_after_orders",
+    "SELECT * FROM orders WHERE o_orderkey > 1000 "
+    "ORDER BY o_orderkey LIMIT 50",
+)
+def q_scan_after_orders(spark, sf_dir):
+    """Cursor-style key-range page (the scale-correct replacement for the
+    reference's O(n²) skip-scan extraction loop): WHERE key > last_seen
+    ORDER BY key LIMIT n — pushed-down range predicate + top-K, O(page)
+    per page at any corpus size."""
+    return R.scan_after(load_table(spark, sf_dir, "orders"), "o_orderkey", 1000, 50)
+
+
+@query(
     "deterministic_sample",
     "SELECT * FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) < '1a'",
 )
@@ -1326,6 +1339,22 @@ def q_approx_distinct_users(spark, sf_dir):
 
 
 @query(
+    "distinct_users_exact",
+    "SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def q_distinct_users_exact(spark, sf_dir):
+    """Exact distinct-user count — the oracle-checkable companion to
+    ``approx_distinct_users`` (whose HLL estimate is engine-specific by
+    design): pins that the column feeding the sketch aggregates
+    correctly, while test_sketches.py pins the estimate's rsd accuracy
+    against this exact value."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+@query(
     "building_customers_with_orders",
     """
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1991,14 +2020,16 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
 
 @query(
     "ivf_topk",
-    kmeans_ivf_sql(n_clusters=8, n_iter=2, n_probe=2, k=10),
+    kmeans_ivf_sql(n_clusters=8, n_iter=2, n_probe=2, k=10, train_limit=256),
 )
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN with UNSUPERVISED learned buckets: deterministic seeded
     k-means coarse quantizer (md5-ranked seeds, 2 fixed Lloyd's rounds,
-    6-dp rounding), probe the 2 closest centroids, brute-force only
-    inside them. The oracle unrolls the identical iterations as a
-    DuckDB CTE chain — partition-pruned scale path, no label crutch."""
+    6-dp rounding) trained on a bounded 256-vector md5-ranked sample —
+    the 100 TB shape: the full corpus is assigned ONCE, never iterated —
+    probe the 2 closest centroids, brute-force only inside them. The
+    oracle unrolls the identical sampled iterations as a DuckDB CTE
+    chain — partition-pruned scale path, no label crutch."""
     from nosql_to_sql_migration_tool_spark.operators.similarity import (
         kmeans_ivf_topk,
     )
@@ -2006,7 +2037,7 @@ def q_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_ivf_topk(
         emb, emb.filter(F.col("vec_id") == 0), k=10, n_probe=2,
-        n_clusters=8, n_iter=2,
+        n_clusters=8, n_iter=2, train_limit=256,
     )
 
 
@@ -4270,16 +4301,46 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
 @query(
     "semantic_near_dup",
     semantic_near_dup_sql(
-        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2
+        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
+        train_limit=256,
     ),
 )
 def q_semantic_near_dup(spark, sf_dir):
     """Semantic near-duplicate pairs with k-means cluster BLOCKING (the
     embedding-space sibling of MinHash banding): pairwise cosine runs
     only within a learned cluster, so the quadratic compare collapses
-    to n^2/k and each block self-joins node-local at scale. Runs over
-    the planted-duplicate fixture (natural max pairwise cosine in the
-    table is ~0.51); the oracle replays the identical seeded Lloyd's
-    chain and self-join in DuckDB."""
+    to n^2/k and each block self-joins node-local at scale. The
+    quantizer trains on a bounded 256-vector md5-ranked sample (the
+    100 TB shape — the corpus is assigned once, never iterated). Runs
+    over the planted-duplicate fixture (natural max pairwise cosine in
+    the table is ~0.51); the oracle replays the identical sampled
+    Lloyd's chain and self-join in DuckDB."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return semantic_near_dup(emb, threshold=0.9, n_iter=2)
+    return semantic_near_dup(emb, threshold=0.9, n_iter=2, train_limit=256)
+
+
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    semantic_near_dup_multiprobe,
+    semantic_near_dup_multiprobe_sql,
+)
+
+
+@query(
+    "semantic_near_dup_multiprobe",
+    semantic_near_dup_multiprobe_sql(
+        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
+        n_probe=2, train_limit=256,
+    ),
+)
+def q_semantic_near_dup_multiprobe(spark, sf_dir):
+    """Multi-probe cluster blocking — the recall fix for single-
+    assignment blocking: each vector joins its 2 nearest blocks, so a
+    near-dup pair straddling two clusters is caught when either side's
+    probe set covers the other's primary block. Candidate volume
+    ~n_probe²/k of all pairs; pairs distinct because a pair can share
+    both probed blocks. Oracle: same unrolled sampled Lloyd's chain
+    with a rank≤2 final assignment."""
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return semantic_near_dup_multiprobe(
+        emb, threshold=0.9, n_iter=2, n_probe=2, train_limit=256
+    )

@@ -40,3 +40,51 @@ def test_aggregate_is_partial_then_final(spark):
     )
     plan = _plan(df)
     assert "partial_count" in plan, plan
+
+
+def test_scan_after_pushes_range_predicate(spark):
+    """Cursor paging's claim to O(page): the key-range predicate must
+    reach the parquet scan (min/max row-group pruning at scale)."""
+    from nosql_to_sql_migration_tool_spark.operators.relational import (
+        scan_after,
+    )
+
+    df = scan_after(
+        load_table(spark, SF_DIR_SMOKE, "orders"), "o_orderkey", 1000, 50
+    )
+    plan = _plan(df)
+    assert "GreaterThan(o_orderkey,1000)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_partitioned_corpus_prunes_probe_scan(spark, tmp_path):
+    """The kmeans_ivf_topk docstring's 100 TB claim, executed: write the
+    corpus partitioned by the learned cluster id, probe with a cluster
+    filter, and the scan must show partition pruning (only the probed
+    partitions' files are read)."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        _nearest_cluster,
+        as_double,
+        dot,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, n_clusters=4, n_iter=1, train_limit=64)
+    assigned = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("__v"))
+        .withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .select(
+            "vec_id",
+            "__v",
+            _nearest_cluster("__v", "__n", cents).alias("cluster"),
+        )
+    )
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cluster").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("cluster").isin([0, 2]))
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan, plan
+    assert "cluster" in plan.split("PartitionFilters")[1][:200], plan
+    got = {r["cluster"] for r in probe.select("cluster").distinct().collect()}
+    assert got <= {0, 2}

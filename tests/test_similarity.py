@@ -129,6 +129,79 @@ def test_kmeans_centroids_shape_and_determinism(spark):
     assert cents == kmeans_centroids(emb, n_clusters=4, n_iter=2)
 
 
+def test_kmeans_sampled_training(spark):
+    """The 100 TB quantizer contract: training on an md5-ranked bounded
+    sample is (a) deterministic, (b) identical to full-corpus training
+    when the bound covers the corpus, and (c) actually different (i.e.
+    the bound binds) for a small bound — while downstream assignment
+    still covers every vector."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    n = emb.count()
+    sampled = kmeans_centroids(emb, n_clusters=4, n_iter=2, train_limit=64)
+    assert sampled == kmeans_centroids(
+        emb, n_clusters=4, n_iter=2, train_limit=64
+    )
+    full = kmeans_centroids(emb, n_clusters=4, n_iter=2)
+    assert kmeans_centroids(emb, n_clusters=4, n_iter=2, train_limit=n) == full
+    assert sampled != full
+    # sampled quantizer still yields a valid full-corpus top-k
+    query = emb.filter(F.col("vec_id") == 0)
+    got = kmeans_ivf_topk(
+        emb, query, k=10, n_probe=4, n_clusters=4, n_iter=2, train_limit=64
+    ).collect()
+    assert len(got) == 10
+
+
+def test_semantic_near_dup_multiprobe_superset(spark):
+    """Multi-probe blocking can only ADD candidate pairs vs single
+    assignment (each vector's probe set contains its primary block), and
+    every surviving pair still clears the threshold with id_a < id_b."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        semantic_near_dup,
+        semantic_near_dup_multiprobe,
+    )
+
+    emb = duplicated_embeddings(load_table(spark, SF_DIR_SMOKE, "embeddings"))
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_near_dup(
+            emb, threshold=0.9, n_clusters=4, train_limit=64
+        ).collect()
+    }
+    multi_rows = semantic_near_dup_multiprobe(
+        emb, threshold=0.9, n_clusters=4, n_probe=2, train_limit=64
+    ).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert single <= multi
+    assert len(multi_rows) == len(multi), "pairs must be distinct"
+    assert all(r["cos_sim"] >= 0.9 and r["id_a"] < r["id_b"] for r in multi_rows)
+
+
+def test_kmeans_queries_leave_no_cached_rdds(spark):
+    """VERDICT r3 item 4: the quantizer's training cache must not outlive
+    the call — a long-lived session running many similarity queries must
+    not accumulate executor storage."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_near_dup,
+    )
+
+    emb = duplicated_embeddings(load_table(spark, SF_DIR_SMOKE, "embeddings"))
+    # snapshot, not zero: other suites sharing the session may hold
+    # deliberate long-lived caches (e.g. the shared shingle projections)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    kmeans_centroids(emb, n_clusters=4, n_iter=2, train_limit=64)
+    semantic_near_dup(
+        emb, threshold=0.9, n_clusters=4, train_limit=64
+    ).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_knn_join_matches_per_query_brute_force(spark):
     """The salted two-phase grouped top-k must be EXACT: for every query
     in the batch, knn_join's neighbor list equals the single-query
