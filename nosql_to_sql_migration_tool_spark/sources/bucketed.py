@@ -41,10 +41,3 @@ def colocated_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key])
-
-
-def plan_has_exchange(df: DataFrame) -> bool:
-    """True when the physical plan contains a shuffle Exchange —
-    the bucketing assertion helper."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" in plan

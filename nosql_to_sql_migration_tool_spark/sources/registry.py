@@ -47,11 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        # session.get_spark sets nanosAsLong at build time; driver-owned
-        # sessions may not have it, so ensure it here (idempotent — always
-        # the same value, never flipped mid-session).
+        # session.get_spark sets nanosAsLong + UTC at build time; driver-owned
+        # sessions may not have them, so ensure both here (idempotent — always
+        # the same values, never flipped mid-session). UTC matters for the
+        # micros path below: the NTZ→TIMESTAMP cast reinterprets wall-clock
+        # in the session zone, and the DuckDB oracle compares UTC instants.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":

@@ -29,10 +29,24 @@ def duck():
     mirroring the driver's oracle setup."""
     import duckdb
 
-    from nosql_to_sql_migration_tool_spark.sources.registry import TABLES
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        EVENTS_TS_ORACLE,
+        TABLES,
+    )
 
     con = duckdb.connect()
     for t in TABLES:
+        if t == "events":
+            # Apply the driver's pinned ts expression so the local oracle
+            # matches load_table's ns→µs floor for BOTH testdata
+            # generations (TIMESTAMP_NS: identical floor; TIMESTAMP(µs):
+            # exact identity) instead of relying on strftime truncation.
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE "
+                f"({EVENTS_TS_ORACLE} AS ts) FROM "
+                f"'{SF_DIR_CORRECTNESS}/{t}.parquet'"
+            )
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{SF_DIR_CORRECTNESS}/{t}.parquet'"

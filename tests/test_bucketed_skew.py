@@ -10,11 +10,29 @@ from pyspark.sql import functions as F
 from nosql_to_sql_migration_tool_spark.operators.skew import salted_join
 from nosql_to_sql_migration_tool_spark.sources.bucketed import (
     colocated_join,
-    plan_has_exchange,
     write_bucketed,
 )
 from nosql_to_sql_migration_tool_spark.sources.registry import load_table
 from tests.conftest import SF_DIR_SMOKE
+
+
+def _physical_plan(df) -> str:
+    """Formatted physical plan as text — the public explain() surface,
+    captured (plan introspection lives in tests only; package code never
+    touches private APIs)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_has_exchange(df) -> bool:
+    """True when the physical plan contains a shuffle Exchange — the
+    bucketing assertion helper."""
+    return "Exchange" in _physical_plan(df)
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -31,9 +49,7 @@ def test_bucketed_join_has_no_exchange(spark):
         joined = colocated_join(
             spark, "b_customer", "b_orders", "c_custkey", "o_custkey"
         )
-        assert not plan_has_exchange(joined), (
-            joined._jdf.queryExecution().executedPlan().toString()
-        )
+        assert not plan_has_exchange(joined), _physical_plan(joined)
         # and an unbucketed version of the same join DOES shuffle
         plain = customer.join(
             orders, customer.c_custkey == orders.o_custkey
