@@ -4302,7 +4302,7 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
     "semantic_near_dup",
     semantic_near_dup_sql(
         table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
-        train_limit=256,
+        n_clusters=16, train_limit=256,
     ),
 )
 def q_semantic_near_dup(spark, sf_dir):
@@ -4314,9 +4314,12 @@ def q_semantic_near_dup(spark, sf_dir):
     100 TB shape — the corpus is assigned once, never iterated). Runs
     over the planted-duplicate fixture (natural max pairwise cosine in
     the table is ~0.51); the oracle replays the identical sampled
-    Lloyd's chain and self-join in DuckDB."""
+    Lloyd's chain and self-join in DuckDB. n_clusters=16 sizes blocks
+    to ~n/16 — the k knob directly divides pairwise work (n²/k)."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return semantic_near_dup(emb, threshold=0.9, n_iter=2, train_limit=256)
+    return semantic_near_dup(
+        emb, threshold=0.9, n_clusters=16, n_iter=2, train_limit=256
+    )
 
 
 from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
@@ -4329,7 +4332,7 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
     "semantic_near_dup_multiprobe",
     semantic_near_dup_multiprobe_sql(
         table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
-        n_probe=2, train_limit=256,
+        n_clusters=16, n_probe=2, train_limit=256,
     ),
 )
 def q_semantic_near_dup_multiprobe(spark, sf_dir):
@@ -4339,8 +4342,11 @@ def q_semantic_near_dup_multiprobe(spark, sf_dir):
     probe set covers the other's primary block. Candidate volume
     ~n_probe²/k of all pairs; pairs distinct because a pair can share
     both probed blocks. Oracle: same unrolled sampled Lloyd's chain
-    with a rank≤2 final assignment."""
+    with a rank≤2 final assignment. At sf0.1 multi-probe recovers
+    planted pairs single-assignment blocking drops (515 vs 512-514
+    across k) — the recall contract, measured."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
     return semantic_near_dup_multiprobe(
-        emb, threshold=0.9, n_iter=2, n_probe=2, train_limit=256
+        emb, threshold=0.9, n_clusters=16, n_iter=2, n_probe=2,
+        train_limit=256,
     )
