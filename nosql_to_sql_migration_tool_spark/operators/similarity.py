@@ -509,6 +509,7 @@ def semantic_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_limit: int | None = None,
+    cents: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via CLUSTER BLOCKING: k-means
     assigns every vector a block, pairwise cosine runs only WITHIN a
@@ -530,10 +531,14 @@ def semantic_near_dup(
     than caching it: the projection is a pure whole-stage-codegen map
     (one literal-centroid fold per row), and an uncollected ``.cache()``
     on a returned DataFrame would pin executor storage for the session
-    lifetime — recompute beats a storage leak in a long-lived session."""
-    cents = kmeans_centroids(
-        df, n_clusters, n_iter, vec_col, id_col, train_limit
-    )
+    lifetime — recompute beats a storage leak in a long-lived session.
+
+    Pass ``cents`` (a ``kmeans_centroids`` result) to reuse an already-
+    trained quantizer — the production shape: train once, block many."""
+    if cents is None:
+        cents = kmeans_centroids(
+            df, n_clusters, n_iter, vec_col, id_col, train_limit
+        )
     vecs = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
@@ -581,6 +586,7 @@ def semantic_near_dup_multiprobe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_limit: int | None = None,
+    cents: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """Multi-probe cluster blocking — the documented recall fix for
     single-assignment ``semantic_near_dup``: every vector joins its
@@ -590,10 +596,12 @@ def semantic_near_dup_multiprobe(
     ~n_probe²/k vs n²/k for single assignment — still linear per block,
     never all-pairs. Output ``(id_a, id_b, cos_sim)`` distinct (a pair
     sharing two probed blocks would otherwise appear twice; the block id
-    is therefore not part of the output contract)."""
-    cents = kmeans_centroids(
-        df, n_clusters, n_iter, vec_col, id_col, train_limit
-    )
+    is therefore not part of the output contract). ``cents`` reuses a
+    pre-trained quantizer as in ``semantic_near_dup``."""
+    if cents is None:
+        cents = kmeans_centroids(
+            df, n_clusters, n_iter, vec_col, id_col, train_limit
+        )
     vecs = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
