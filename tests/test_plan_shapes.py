@@ -57,6 +57,27 @@ def test_scan_after_pushes_range_predicate(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_no_query_plans_a_cartesian_product(spark):
+    """Global scale guard over the ENTIRE declared surface: no query may
+    plan a CartesianProduct. Broadcast nested-loop joins against
+    metadata-sized sides (single-row query vectors, centroid tables)
+    are the accepted cross-join form; an unbroadcast cartesian at 100 TB
+    is always a bug. Plans only — nothing executes beyond the training
+    collects some builders run at plan time."""
+    from nosql_to_sql_migration_tool_spark.queries import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = _plan(fn(spark, SF_DIR_SMOKE))
+        except Exception as exc:  # a broken builder is its own failure
+            offenders.append(f"{name}: build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_ivf_partitioned_corpus_prunes_probe_scan(spark, tmp_path):
     """The kmeans_ivf_topk docstring's 100 TB claim, executed: write the
     corpus partitioned by the learned cluster id, probe with a cluster
