@@ -330,6 +330,7 @@ def kmeans_ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_limit: int | None = None,
+    cents: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF ANN with LEARNED buckets: k-means coarse quantizer (trained
     on a bounded deterministic sample when ``train_limit`` is set —
@@ -341,10 +342,12 @@ def kmeans_ivf_topk(
     probe is a partition-pruned scan of n_probe/n_clusters of the data;
     here the assignment is the same literal-centroid projection and the
     probe is a broadcast semi-join. ``n_probe = n_clusters`` degrades to
-    exact brute force (the recall pytest pins this)."""
-    cents = kmeans_centroids(
-        df, n_clusters, n_iter, vec_col, id_col, train_limit
-    )
+    exact brute force (the recall pytest pins this). ``cents`` reuses a
+    pre-trained quantizer (train once, probe many)."""
+    if cents is None:
+        cents = kmeans_centroids(
+            df, n_clusters, n_iter, vec_col, id_col, train_limit
+        )
     spark = df.sparkSession
     cents_df = spark.createDataFrame(
         [(cid, c, cn) for cid, c, cn in cents],

