@@ -52,6 +52,7 @@ _PRIORITY_HEAD = [
     "near_dup_component_labels",
     "dedup_exact_survivors",
     "dedup_near_survivors",
+    "dedup_quality_survivors",
     "contamination_scores",
     "ingest_new_docs",
     "clean_documents",

@@ -340,6 +340,44 @@ def dedup_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    components: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware survivor selection: within each transitive near-dup
+    component keep the row with the HIGHEST ``score`` (ties to the min
+    id) — what a training-data pipeline actually wants ("keep the
+    longest/cleanest copy"), where min-id survivorship keeps whichever
+    duplicate happened to be ingested first. Output: the surviving rows
+    as ``(id, component_id, score)``.
+
+    Two combinable aggregates on component_id (components are edge-
+    bounded and tiny relative to the corpus; singletons are their own
+    component) — max score per component, then min id among the maxima.
+    No window sort, and the max-then-min formulation keeps the id
+    tie-break exact for ANY orderable id type (string keys included,
+    where a negated-score struct trick would not compose)."""
+    if components is None:
+        components = near_dup_components(
+            df, text_col, id_col, threshold, pairs=pairs
+        )
+    scored = df.select(F.col(id_col), score.alias("score")).join(
+        components, id_col
+    )
+    best = scored.groupBy("component_id").agg(F.max("score").alias("score"))
+    return (
+        scored.join(best, ["component_id", "score"])
+        .groupBy("component_id", "score")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col, "component_id", "score")
+    )
+
+
 def contamination_scores(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -1961,6 +1961,74 @@ SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """
 
 
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    tokens_sql as _tok_sql,
+)
+
+_QUALITY_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+),
+scored AS (
+  SELECT d.doc_id, c.component_id,
+         CAST(len({_tok_sql('d.text')}) AS BIGINT) AS score
+  FROM docs d JOIN comp c ON d.doc_id = c.doc_id
+),
+best AS (
+  SELECT component_id, max(score) AS score FROM scored GROUP BY component_id
+)
+SELECT min(s.doc_id) AS doc_id, s.component_id, s.score
+FROM scored s JOIN best b
+  ON s.component_id = b.component_id AND s.score = b.score
+GROUP BY s.component_id, s.score
+"""
+
+
+@query("dedup_quality_survivors", _QUALITY_SURVIVORS_ORACLE)
+def q_dedup_quality_survivors(spark, sf_dir):
+    """Quality-aware near-dedup survivors: one doc per transitive
+    near-dup component, keeping the HIGHEST-token-count copy (ties to
+    min id) — the selection a training pipeline wants ("keep the
+    longest copy"), vs min-id survivorship keeping whichever duplicate
+    arrived first. Two combinable aggregates over component labels; the
+    oracle replays the recursive-CTE closure plus the same max-then-min
+    selection."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+
+    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    return dedup_keep_best(
+        docs,
+        score=F.size(tokens(F.col("text"))).cast("bigint"),
+        pairs=_dedup_pairs(spark, sf_dir),
+    )
+
+
 @query("near_dup_component_labels", _COMPONENTS_ORACLE)
 def q_near_dup_component_labels(spark, sf_dir):
     """Transitive closure of near-duplication: every doc labeled with the

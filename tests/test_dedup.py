@@ -110,6 +110,37 @@ def test_near_dup_components_closes_chains(spark):
     assert comps[10] == 10
 
 
+def test_dedup_keep_best_picks_highest_score_min_id_ties(spark):
+    """Quality-aware survivorship: the longest copy wins its component;
+    on a score tie the min id wins; singletons survive untouched."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # 40 tokens
+            (2, "xq zz " + base),            # 42 tokens -> wins component 1
+            (7, "uu vv " + base),            # 42 tokens, tie -> id 2 wins
+            (10, "totally different words entirely unrelated content here "
+                 "nothing shared with the chain at all " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]: (r["component_id"], r["score"])
+        for r in dedup_keep_best(
+            docs, score=F.size(tokens(F.col("text"))).cast("bigint")
+        ).collect()
+    }
+    assert set(kept) == {2, 10}
+    assert kept[2] == (1, 42)
+
+
 def test_simhash_finds_exact_copies(spark, docs):
     cands = simhash_candidates(docs, max_hamming=3)
     exact = cands.filter(
