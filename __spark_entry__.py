@@ -64,11 +64,11 @@ _PRIORITY_HEAD = [
 ]
 
 
-def _verified_round() -> dict[str, int]:
+def _verified_round(repo: Path = _REPO) -> dict[str, int]:
     """name -> latest round with any recorded driver row (green or not —
     presence means the driver spent budget on it)."""
     seen: dict[str, int] = {}
-    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -81,8 +81,8 @@ def _verified_round() -> dict[str, int]:
     return seen
 
 
-def _ordered_names() -> list[str]:
-    verified = _verified_round()
+def _ordered_names(repo: Path = _REPO) -> list[str]:
+    verified = _verified_round(repo)
     head = [n for n in _PRIORITY_HEAD if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(head)]
     # Stable sort: never-verified (rank 0) keep registration order, then
