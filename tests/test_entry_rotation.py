@@ -39,9 +39,7 @@ def test_rotation_advances_when_a_round_records_results(tmp_path):
     ordering must promote the queries that missed the window."""
     current = entry._ordered_names()
     window, missed = current[:WINDOW], current[WINDOW:]
-    for i, prior in enumerate(
-        sorted(entry._REPO.glob("CORRECTNESS_r*.json"))
-    ):
+    for prior in sorted(entry._REPO.glob("CORRECTNESS_r*.json")):
         (tmp_path / prior.name).write_text(prior.read_text())
     (tmp_path / "CORRECTNESS_r98.json").write_text(
         json.dumps({n: {"hash_match": True} for n in window})
