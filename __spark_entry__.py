@@ -34,6 +34,13 @@ from nosql_to_sql_migration_tool_spark.queries import ORACLES, QUERIES  # noqa: 
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Queries whose SEMANTICS changed in a given round, mapped to that round:
+# they re-enter the priority head until the driver records them in a round
+# at or after the change, even though an older CORRECTNESS row exists.
+_CHANGED_IN_ROUND = {
+    "ivf_topk": 4,  # round 4: sample-trained quantizer (train_limit=256)
+}
+
 # Highest-priority names for the next verification window (VERDICT r3 §next
 # item 1): the reference's headline normalization pipeline
 # (Sql_Schema_Generator.ps1:57-402), then the k-means family whose quantizer
@@ -83,7 +90,16 @@ def _verified_round(repo: Path = _REPO) -> dict[str, int]:
 
 def _ordered_names(repo: Path = _REPO) -> list[str]:
     verified = _verified_round(repo)
-    head = [n for n in _PRIORITY_HEAD if n in QUERIES]
+    # The priority head only applies while its names are unverified (or
+    # verified only BEFORE a semantics change) — once the driver records
+    # them, they sink with the other verified queries so later rounds
+    # spend the window on what is still unseen.
+    head = [
+        n
+        for n in _PRIORITY_HEAD
+        if n in QUERIES
+        and verified.get(n, 0) < _CHANGED_IN_ROUND.get(n, 1)
+    ]
     rest = [n for n in QUERIES if n not in set(head)]
     # Stable sort: never-verified (rank 0) keep registration order, then
     # verified names oldest-round-first.

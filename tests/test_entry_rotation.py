@@ -34,6 +34,25 @@ def test_never_verified_queries_fill_the_window():
     )
 
 
+def test_changed_query_recheck_then_release(tmp_path):
+    """ivf_topk changed semantics in round 4: with only its round-2 row
+    recorded it must sit in the window; once a round >= 4 records it, it
+    must release its slot (and so must the whole satisfied head)."""
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"ivf_topk": {"hash_match": True}})
+    )
+    assert "ivf_topk" in entry._ordered_names(tmp_path)[:WINDOW]
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps(
+            {n: {"hash_match": True} for n in entry._PRIORITY_HEAD}
+        )
+    )
+    nxt = entry._ordered_names(tmp_path)
+    verified = set(entry._verified_round(tmp_path))
+    # every window slot now goes to a still-unverified query
+    assert all(n not in verified for n in nxt[:WINDOW])
+
+
 def test_rotation_advances_when_a_round_records_results(tmp_path):
     """Simulate the driver writing this round's window: next round's
     ordering must promote the queries that missed the window."""
