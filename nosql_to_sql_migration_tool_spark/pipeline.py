@@ -27,10 +27,12 @@ from pyspark.sql import DataFrame, functions as F
 from nosql_to_sql_migration_tool_spark.operators.dedup import (
     contamination_scores,
     dedup_exact,
+    dedup_keep_best,
     dedup_near,
 )
 from nosql_to_sql_migration_tool_spark.operators.text import (
     assign_training_windows,
+    tokens,
     with_lang_guess,
     with_text_stats,
 )
@@ -56,10 +58,17 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     report: bool = False,
+    keep_best: bool = False,
 ) -> tuple[DataFrame, DataFrame, CorpusCleanReport | None]:
     """Run the full cleaning pipeline. Returns ``(clean_docs, windows,
     report)`` — the surviving documents, their training-window
-    assignment, and per-stage counts when ``report=True``."""
+    assignment, and per-stage counts when ``report=True``.
+
+    ``keep_best=True`` swaps greedy min-id near-dedup for quality-aware
+    survivorship: one doc per transitive near-dup component, keeping
+    the longest copy (``dedup_keep_best``) — slightly costlier (label
+    propagation over the pair edges) but the survivor set a training
+    corpus actually wants."""
     quality = (
         with_lang_guess(with_text_stats(docs, text_col), text_col)
         .filter(
@@ -69,7 +78,17 @@ def clean_corpus(
         .select(*docs.columns)
     )
     exact = dedup_exact(quality, text_col, id_col)
-    near = dedup_near(exact, text_col, id_col, near_threshold)
+    if keep_best:
+        survivors = dedup_keep_best(
+            exact,
+            score=F.size(tokens(F.col(text_col))).cast("bigint"),
+            text_col=text_col,
+            id_col=id_col,
+            threshold=near_threshold,
+        ).select(id_col)
+        near = exact.join(survivors, id_col, "left_semi")
+    else:
+        near = dedup_near(exact, text_col, id_col, near_threshold)
     contaminated = (
         contamination_scores(near, eval_set, text_col, id_col)
         .filter(F.col("contamination") > max_contamination)

@@ -166,3 +166,30 @@ def test_clean_corpus_pipeline(spark):
     # eval members that survived this far are heavily contaminated by
     # construction (they ARE the eval set) and must have been dropped
     assert clean.filter(F.col("doc_id") % 97 == 0).count() == 0
+
+
+def test_clean_corpus_keep_best_policy(spark):
+    """keep_best survivorship yields one doc per near-dup component —
+    same component count as greedy on this fixture (planted dups only),
+    but the kept ids may differ because the LONGEST copy wins."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        duplicated_documents,
+    )
+    from nosql_to_sql_migration_tool_spark.pipeline import clean_corpus
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = duplicated_documents(load_table(spark, SF_DIR_SMOKE, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    greedy, _, _ = clean_corpus(docs, eval_set)
+    best, windows, _ = clean_corpus(docs, eval_set, keep_best=True)
+    assert best.count() == greedy.count()
+    assert windows.join(best, "doc_id", "left_anti").count() == 0
+    # no surviving doc is a near-dup of another survivor
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    assert near_dup_pairs(best).count() == 0
