@@ -74,6 +74,35 @@ def jdbc_options(
     return opts
 
 
+def jdbc_partitioned_read_options(
+    base: dict[str, str],
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int = 32,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """Parallel-ingest knobs for a JDBC SOURCE — the 100 TB side of the
+    reference's single-connection paged reads (Data_Migration.ps1:
+    110-158): Spark splits ``partition_column`` into ``num_partitions``
+    range predicates so every executor pulls its own slice concurrently,
+    and ``fetchsize`` batches rows per round trip (MySQL otherwise
+    defaults to row-at-a-time streaming). The column should be indexed
+    and roughly uniform — the same cursor-key discipline as
+    ``relational.scan_after``; bounds only shape the split points, rows
+    outside them are still read (Spark JDBC contract)."""
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    return {
+        **base,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetch_size),
+    }
+
+
 def read_jdbc(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     try:
         return spark.read.format("jdbc").options(**options).load()

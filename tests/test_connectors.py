@@ -61,6 +61,23 @@ def test_jdbc_option_building():
         jdbc_options("oracle", "h", "d", "t")
 
 
+def test_jdbc_partitioned_read_option_building():
+    from nosql_to_sql_migration_tool_spark.sources.connectors import (
+        jdbc_partitioned_read_options,
+    )
+
+    base = jdbc_options("mysql", "db.example", "shop", "orders")
+    opts = jdbc_partitioned_read_options(
+        base, "o_orderkey", 1, 6_000_000, num_partitions=64
+    )
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "6000000"
+    assert opts["numPartitions"] == "64" and opts["fetchsize"] == "10000"
+    assert opts["url"] == base["url"]  # base options survive the merge
+    with pytest.raises(ValueError):
+        jdbc_partitioned_read_options(base, "k", 0, 1, num_partitions=0)
+
+
 def test_mongo_option_building():
     opts = mongo_options("mongodb://localhost:27017", "appdb", "users")
     assert opts == {
