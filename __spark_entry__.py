@@ -51,6 +51,7 @@ _PRIORITY_HEAD = [
     "child_nested_object",
     "child_array_of_objects",
     "child_array_of_primitives",
+    "variant_doc_extract",
     "ivf_topk",
     "semantic_near_dup",
     "semantic_near_dup_multiprobe",

@@ -118,6 +118,45 @@ def ragged_documents(customer: DataFrame) -> DataFrame:
     return customer.select(k.alias("doc_id"), doc.alias("doc"))
 
 
+# DuckDB twin of ragged_documents: the identical JSON-string concat as
+# SQL, so oracles that parse the documents (e.g. the VARIANT extraction
+# query) rebuild the same bytes independently. The inference oracle
+# instead rebuilds exploded path rows; both derive from the same layout
+# table in the ragged_documents docstring.
+RAGGED_DOCUMENTS_SQL = """
+SELECT c_custkey AS doc_id,
+  '{"name": ' ||
+  CASE WHEN c_custkey % 23 = 7 THEN CAST(c_custkey % 1000 AS VARCHAR)
+       ELSE '"' || c_name || '"' END ||
+  ', "age": ' ||
+  CASE WHEN c_custkey % 19 = 4 THEN 'null'
+       WHEN c_custkey % 17 = 5
+         THEN '"' || CAST(c_custkey % 90 + 18 AS VARCHAR) || '"'
+       ELSE CAST(c_custkey % 90 + 18 AS VARCHAR) END ||
+  CASE WHEN c_custkey % 5 = 0
+       THEN ', "address": {"city": "' || c_mktsegment || '", "zip": "Z'
+            || CAST(c_custkey % 100000 AS VARCHAR) || '"}'
+       ELSE '' END ||
+  CASE WHEN c_custkey % 4 = 1
+       THEN ', "tags": [' ||
+            CASE WHEN c_custkey % 3 = 0 THEN '"t0"'
+                 WHEN c_custkey % 3 = 1 THEN '"t0", "t1"'
+                 ELSE '"t0", "t1", "t2"' END || ']'
+       ELSE '' END ||
+  CASE WHEN c_custkey % 6 = 2
+       THEN ', "items": [{"sku": "S' || CAST(c_custkey % 50 AS VARCHAR)
+            || '", "qty": ' || CAST(c_custkey % 7 AS VARCHAR) || '}' ||
+            CASE WHEN c_custkey % 12 = 2
+                 THEN ', {"sku": "S' || CAST((c_custkey + 1) % 50 AS VARCHAR)
+                      || '", "qty": ' || CAST((c_custkey + 1) % 7 AS VARCHAR)
+                      || '}'
+                 ELSE '' END || ']'
+       ELSE '' END ||
+  '}' AS doc
+FROM customer
+"""
+
+
 def regional_changed_customer_source(customer: DataFrame) -> DataFrame:
     """Like ``changed_customer_source`` but with every change confined to
     ``c_nationkey < 5`` — rows in other nations are byte-identical. Used

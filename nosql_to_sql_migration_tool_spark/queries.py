@@ -481,6 +481,48 @@ def q_infer_ragged_schema(spark, sf_dir):
     return infer_schema(ragged_documents(customer), "doc", "doc_id")
 
 
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    RAGGED_DOCUMENTS_SQL,
+)
+
+_VARIANT_EXTRACT_ORACLE = f"""
+WITH docs AS ({RAGGED_DOCUMENTS_SQL})
+SELECT doc_id,
+  json_extract_string(doc, '$.name') AS name_str,
+  TRY_CAST(json_extract_string(doc, '$.age') AS BIGINT) AS age,
+  json_extract_string(doc, '$.address.city') AS city,
+  json_extract_string(doc, '$.tags[1]') AS tag2,
+  TRY_CAST(json_extract_string(doc, '$.items[0].qty') AS BIGINT) AS qty1
+FROM docs
+"""
+
+
+@query("variant_doc_extract", _VARIANT_EXTRACT_ORACLE)
+def q_variant_doc_extract(spark, sf_dir):
+    """Schema-less typed access via Spark 4 VARIANT: parse each ragged
+    document once (`parse_json` — binary variant encoding, no schema
+    inference pass, no from_json schema argument) and pull typed fields
+    with null-safe `try_variant_get` path expressions — nested object
+    members, array elements, members of objects inside arrays, and a
+    type-conflicted field coerced by SQL try-cast rules (string "28" ->
+    28, JSON null -> NULL, absent path -> NULL). This is the modern
+    engine shape for the reference's schemaless-document domain: at
+    100 TB the variant column is a shredded binary (no per-row JSON
+    re-parse per extraction) and each `variant_get` is a codegen
+    projection. Oracle: DuckDB json_extract over the byte-identical
+    rebuilt documents."""
+    docs = ragged_documents(load_table(spark, sf_dir, "customer"))
+    v = F.parse_json(F.col("doc"))
+    return docs.select(
+        "doc_id",
+        F.try_variant_get(v, "$.name", "string").alias("name_str"),
+        F.try_variant_get(v, "$.age", "long").alias("age"),
+        F.try_variant_get(v, "$.address.city", "string").alias("city"),
+        F.try_variant_get(v, "$.tags[1]", "string").alias("tag2"),
+        F.try_variant_get(v, "$.items[0].qty", "long").alias("qty1"),
+    )
+
+
 @query(
     "supplier_nation_revenue",
     """
