@@ -35,11 +35,28 @@ from nosql_to_sql_migration_tool_spark.queries import ORACLES, QUERIES  # noqa: 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose SEMANTICS changed in a given round, mapped to that round:
-# they re-enter the priority head until the driver records them in a round
-# at or after the change, even though an older CORRECTNESS row exists.
-_CHANGED_IN_ROUND = {
+# they re-enter the verification window until the driver records them in a
+# round at or after the change, even though an older CORRECTNESS row exists.
+# Manual entries cover Spark-side-only changes; oracle-TEXT changes are
+# detected mechanically via oracle_fingerprints.json (see fingerprints.py —
+# a pytest fails until `python -m nosql_to_sql_migration_tool_spark.
+# fingerprints` re-pins an edited oracle with the upcoming round).
+_MANUAL_CHANGED_IN_ROUND = {
     "ivf_topk": 4,  # round 4: sample-trained quantizer (train_limit=256)
 }
+
+
+def _changed_in_round() -> dict[str, int]:
+    from nosql_to_sql_migration_tool_spark.fingerprints import changed_rounds
+
+    merged = dict(_MANUAL_CHANGED_IN_ROUND)
+    for name, rnd in changed_rounds().items():
+        if rnd > merged.get(name, 0):
+            merged[name] = rnd
+    return merged
+
+
+_CHANGED_IN_ROUND = _changed_in_round()
 
 # Highest-priority names for the next verification window (VERDICT r3 §next
 # item 1): the reference's headline normalization pipeline
@@ -72,10 +89,24 @@ _PRIORITY_HEAD = [
 ]
 
 
-def _verified_round(repo: Path = _REPO) -> dict[str, int]:
-    """name -> latest round with any recorded driver row (green or not —
-    presence means the driver spent budget on it)."""
-    seen: dict[str, int] = {}
+def _row_failed(row: object) -> bool:
+    """A recorded driver row that did NOT fully verify: an error, or any
+    explicit match=false."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err"):
+        return True
+    return any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _driver_rows(repo: Path = _REPO) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with any recorded driver row, whether that
+    latest row fully verified). Presence means the driver spent budget on
+    the query, green or not."""
+    seen: dict[str, tuple[int, bool]] = {}
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
@@ -84,28 +115,41 @@ def _verified_round(repo: Path = _REPO) -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
-                seen[name] = max(seen.get(name, 0), rnd)
+            for name, row in rows.items():
+                if rnd >= seen.get(name, (0, True))[0]:
+                    seen[name] = (rnd, not _row_failed(row))
     return seen
 
 
+def _verified_round(repo: Path = _REPO) -> dict[str, int]:
+    """name -> latest round with any recorded driver row (green or not)."""
+    return {n: rnd for n, (rnd, _ok) in _driver_rows(repo).items()}
+
+
 def _ordered_names(repo: Path = _REPO) -> list[str]:
-    verified = _verified_round(repo)
-    # The priority head only applies while its names are unverified (or
-    # verified only BEFORE a semantics change) — once the driver records
-    # them, they sink with the other verified queries so later rounds
-    # spend the window on what is still unseen.
-    head = [
-        n
-        for n in _PRIORITY_HEAD
-        if n in QUERIES
-        and verified.get(n, 0) < _CHANGED_IN_ROUND.get(n, 1)
-    ]
-    rest = [n for n in QUERIES if n not in set(head)]
-    # Stable sort: never-verified (rank 0) keep registration order, then
-    # verified names oldest-round-first.
-    rest.sort(key=lambda n: verified.get(n, 0))
-    return head + rest
+    rows = _driver_rows(repo)
+    # Three bands, each stable within itself:
+    #   0: needs driver attention — never verified (registration order,
+    #      with the judge-prioritized head first), semantics changed since
+    #      the last recorded round, or the last recorded row FAILED
+    #      (ADVICE r4: a failed-then-fixed query must not sink to the back).
+    #   1: fully verified — oldest-verification-round first.
+    head_order = {n: i for i, n in enumerate(_PRIORITY_HEAD)}
+
+    def rank(name: str) -> tuple:
+        rnd, ok = rows.get(name, (0, True))
+        needs = (
+            rnd == 0
+            or rnd < _CHANGED_IN_ROUND.get(name, 0)
+            or not ok
+        )
+        if needs:
+            return (0, head_order.get(name, len(head_order)), rnd)
+        return (1, len(head_order), rnd)
+
+    names = list(QUERIES)
+    names.sort(key=rank)
+    return names
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1366,10 +1366,11 @@ def q_events_in_order_windows(spark, sf_dir):
     )
 
 
-# Rows-only (no oracle): each engine's sketch implementation differs, so
-# cross-engine value equality is impossible by design; accuracy and the
+# Deliberately NOT registered in QUERIES (VERDICT r4 §next item 3): each
+# engine's HLL sketch differs, so a driver row can only ever record
+# ``err: no_oracle``. The capability is driver-covered by the exact
+# companion ``distinct_users_exact`` below; the sketch's accuracy and
 # partition-merge property are pinned by tests/test_sketches.py.
-@query("approx_distinct_users")
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct users over events — the combinable-sketch
     substitute for an exact distinct shuffle at scale."""
@@ -1664,6 +1665,41 @@ def _cached(cache: dict, spark: SparkSession, key: str, build) -> DataFrame:
 _SHINGLE_CACHE: dict[str, tuple] = {}
 _PAIRS_CACHE: dict[str, tuple] = {}
 _RAW_SHINGLE_CACHE: dict[str, tuple] = {}
+_DEDUP_DOCS_CACHE: dict[str, tuple] = {}
+_COMPONENTS_CACHE: dict[str, tuple] = {}
+
+
+def _dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-duplicates corpus, persisted once per (session,
+    sf_dir) — every query in the dedup family starts from this frame, and
+    rebuilding it per query re-runs the fixture's union/rewrite scan
+    (VERDICT r4 §next item 4: the survivor queries' redundant cost)."""
+    return _cached(
+        _DEDUP_DOCS_CACHE,
+        spark,
+        sf_dir,
+        lambda: duplicated_documents(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup component labels, persisted — the iterative
+    min-label propagation runs ONCE per corpus and is shared by
+    ``near_dup_component_labels`` and ``dedup_quality_survivors`` (the
+    quantizer-memo pattern applied to the survivor family)."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    return _cached(
+        _COMPONENTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: near_dup_components(
+            _dedup_docs(spark, sf_dir),
+            pairs=_dedup_pairs(spark, sf_dir),
+        ),
+    )
 
 
 def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1683,7 +1719,7 @@ def _dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: shingle_sets(
-            duplicated_documents(load_table(spark, sf_dir, "documents"))
+            _dedup_docs(spark, sf_dir)
         ),
     )
 
@@ -1696,7 +1732,7 @@ def _dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: near_dup_pairs(
-            duplicated_documents(load_table(spark, sf_dir, "documents")),
+            _dedup_docs(spark, sf_dir),
             shingles=_dedup_shingles(spark, sf_dir),
         ),
     )
@@ -1714,7 +1750,7 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
 def q_exact_dup_groups(spark, sf_dir):
     """Exact dedup groups: canonical-text md5 groupBy (one map-side-
     combinable shuffle), min-id survivor."""
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return exact_dup_groups(docs)
 
 
@@ -1743,7 +1779,7 @@ cand AS (
 def q_minhash_candidates(spark, sf_dir):
     """LSH candidate pairs: shingle -> 12-permutation MinHash -> 4-band
     hashes -> bucket equi-join (id_a < id_b)."""
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return minhash_candidates(docs, shingles=_dedup_shingles(spark, sf_dir))
 
 
@@ -1777,7 +1813,7 @@ def q_near_dup_pairs(spark, sf_dir):
 def q_simhash_signatures(spark, sf_dir):
     """Per-document 32-bit SimHash (majority vote of token-md5 digit
     parity) — Hamming-comparable near-dup signature."""
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return with_simhash(docs)
 
 
@@ -1797,7 +1833,7 @@ def q_dedup_exact_survivors(spark, sf_dir):
     combinable shuffle, no window sort."""
     from nosql_to_sql_migration_tool_spark.operators.dedup import dedup_exact
 
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return dedup_exact(docs).select("doc_id")
 
 
@@ -1828,7 +1864,7 @@ def q_dedup_near_survivors(spark, sf_dir):
     pair list)."""
     from nosql_to_sql_migration_tool_spark.operators.dedup import dedup_near
 
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return dedup_near(
         docs, pairs=_dedup_pairs(spark, sf_dir)
     ).select("doc_id")
@@ -1971,7 +2007,7 @@ def q_simhash_near_pairs(spark, sf_dir):
         simhash_candidates,
     )
 
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return simhash_candidates(docs, max_hamming=3)
 
 
@@ -2063,11 +2099,11 @@ def q_dedup_quality_survivors(spark, sf_dir):
     )
     from nosql_to_sql_migration_tool_spark.operators.text import tokens
 
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
+    docs = _dedup_docs(spark, sf_dir)
     return dedup_keep_best(
         docs,
         score=F.size(tokens(F.col("text"))).cast("bigint"),
-        pairs=_dedup_pairs(spark, sf_dir),
+        components=_dedup_components(spark, sf_dir),
     )
 
 
@@ -2078,15 +2114,10 @@ def q_near_dup_component_labels(spark, sf_dir):
     a~b~c collapse into one group. Spark runs iterative min-label
     propagation (O(diameter) rounds, lineage cut per round); the oracle
     is an independent DuckDB recursive-CTE reachability closure — an
-    iterative distributed algorithm still pinned by cross-engine SQL."""
-    from nosql_to_sql_migration_tool_spark.operators.dedup import (
-        near_dup_components,
-    )
-
-    docs = duplicated_documents(load_table(spark, sf_dir, "documents"))
-    return near_dup_components(
-        docs, pairs=_dedup_pairs(spark, sf_dir)
-    )
+    iterative distributed algorithm still pinned by cross-engine SQL.
+    The propagation result is memoized per corpus (``_dedup_components``)
+    and shared with ``dedup_quality_survivors``."""
+    return _dedup_components(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -20,18 +20,103 @@ def test_ordering_is_a_permutation_with_consistent_oracles():
     assert list(entry.oracle_sql()) == [n for n in names if n in ORACLES]
 
 
-def test_never_verified_queries_fill_the_window():
-    verified = set(entry._verified_round())
-    window = entry._ordered_names()[:WINDOW]
-    never = [n for n in QUERIES if n not in verified]
-    # every window slot is either never-verified or an explicit priority
-    # re-check (e.g. an operator whose semantics changed this round)
-    for n in window:
-        assert n not in verified or n in entry._PRIORITY_HEAD, n
-    # and no never-verified query is displaced while slots remain
-    assert len([n for n in window if n in never]) >= min(
-        len(never), WINDOW - len(entry._PRIORITY_HEAD)
+def test_never_verified_queries_lead_then_oldest_verified():
+    """VERDICT r4 fix: with fewer never-verified queries than window
+    slots, the remainder is legitimately oldest-verified re-checks — the
+    invariant is (a) every query still needing driver attention (never
+    verified, failed, or semantics-changed) occupies the window prefix,
+    and (b) the fully-verified remainder is oldest-round-first."""
+    rows = entry._driver_rows()
+    names = entry._ordered_names()
+    needs = [
+        n
+        for n in QUERIES
+        if n not in rows
+        or not rows[n][1]
+        or rows[n][0] < entry._CHANGED_IN_ROUND.get(n, 0)
+    ]
+    assert sorted(names[: len(needs)]) == sorted(needs)
+    verified_tail = names[len(needs):]
+    tail_rounds = [rows[n][0] for n in verified_tail]
+    assert tail_rounds == sorted(tail_rounds)
+
+
+def test_failed_row_requeues_just_after_never_verified(tmp_path):
+    """ADVICE r4: a query whose latest driver row FAILED must re-enter
+    the window band, not sink behind every green query."""
+    some = list(QUERIES)[:4]
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                some[0]: {"hash_match": True},
+                some[1]: {"hash_match": False},
+                some[2]: {"err": "boom", "hash_match": None},
+            }
+        )
     )
+    names = entry._ordered_names(tmp_path)
+    rows = entry._driver_rows(tmp_path)
+    assert rows[some[1]] == (2, False)
+    assert rows[some[2]] == (2, False)
+    pos = {n: i for i, n in enumerate(names)}
+    # the green query sinks behind both failed ones and every
+    # never-verified query
+    assert pos[some[0]] == len(names) - 1
+    assert pos[some[1]] < pos[some[0]]
+    assert pos[some[2]] < pos[some[0]]
+    # a later green row clears the failure
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({some[1]: {"hash_match": True}})
+    )
+    assert entry._driver_rows(tmp_path)[some[1]] == (3, True)
+
+
+def test_oracle_fingerprints_pin_current_oracle_text():
+    """ADVICE r4: editing an oracle's SQL without re-pinning (python -m
+    nosql_to_sql_migration_tool_spark.fingerprints) must fail the suite,
+    so a semantics change can never silently keep stale-green status."""
+    from nosql_to_sql_migration_tool_spark.fingerprints import (
+        load_fingerprints,
+        oracle_hash,
+    )
+
+    pins = load_fingerprints()
+    assert sorted(pins) == sorted(ORACLES), (
+        "oracle set changed: rerun python -m "
+        "nosql_to_sql_migration_tool_spark.fingerprints"
+    )
+    stale = [
+        n for n, sql in ORACLES.items()
+        if pins[n]["hash"] != oracle_hash(sql)
+    ]
+    assert not stale, (
+        f"oracle SQL edited without re-pinning fingerprints: {stale}"
+    )
+
+
+def test_repinned_oracle_reenters_window(tmp_path):
+    """A fingerprint round newer than the last driver row re-queues the
+    query (the mechanical _CHANGED_IN_ROUND path)."""
+    name = next(iter(ORACLES))
+    merged = entry._changed_in_round()
+    assert merged.get("ivf_topk", 0) >= 4  # manual entry survives merge
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {"hash_match": True} for n in QUERIES})
+    )
+    # all green -> verified band; now simulate an oracle edit pinned r3
+    orig = dict(entry._CHANGED_IN_ROUND)
+    try:
+        entry._CHANGED_IN_ROUND = {**orig, name: 3}
+        # band 0 = the repinned query plus any manual entry newer than
+        # round 2 (ivf_topk: 4); everything else is verified-green r2
+        needs = {
+            n for n, r in entry._CHANGED_IN_ROUND.items()
+            if n in QUERIES and r > 2
+        }
+        assert name in needs
+        assert set(entry._ordered_names(tmp_path)[: len(needs)]) == needs
+    finally:
+        entry._CHANGED_IN_ROUND = orig
 
 
 def test_changed_query_recheck_then_release(tmp_path):
