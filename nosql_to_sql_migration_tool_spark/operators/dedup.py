@@ -34,6 +34,94 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 SIMHASH_BITS = 32  # one bit per md5 hex digit position
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
+# Bucket-width cap for every band bucket-join (VERDICT r4 item 4): one
+# degenerate band hash (empty/boilerplate text, low-entropy simhash
+# bytes) otherwise makes a hot bucket whose self-join is quadratic in
+# that bucket. Buckets wider than this split into ceil(w/B) salt cells
+# (deterministic md5(id) salt) and candidates generate only within a
+# cell, bounding per-bucket join work at ~B² regardless of corpus.
+# Recall note: a pair in a salted bucket survives via THAT band with
+# probability ~1/cells — but any of the other bands still catches it,
+# so only pairs whose EVERY shared band is degenerate lose recall.
+MAX_BUCKET_WIDTH = 256
+_MAX_SALT_CELLS = 256  # salt source is one md5 byte (0..255)
+
+
+def _hex_val(ch: Column) -> Column:
+    # hex digit -> 0..15 via ascii() — identical in Spark and DuckDB
+    # (no engine-specific hex->int casts).
+    a = F.ascii(ch)
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def _salt_value(id_col: str) -> Column:
+    """Deterministic 0..255 salt from the id: first md5 byte of the id's
+    decimal string — byte-identical cross-engine."""
+    m = F.md5(F.col(id_col).cast("string"))
+    return _hex_val(F.substring(m, 1, 1)) * 16 + _hex_val(F.substring(m, 2, 1))
+
+
+def bucket_salt_sql(id_expr: str) -> str:
+    """DuckDB twin of ``_salt_value`` (same md5-byte salt)."""
+    c1 = f"ascii(substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1))"
+    c2 = f"ascii(substr(md5(CAST({id_expr} AS VARCHAR)), 2, 1))"
+    hv = lambda c: f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"  # noqa: E731
+    return f"(16 * {hv(c1)} + {hv(c2)})"
+
+
+def with_salt_cells(
+    buckets: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+) -> DataFrame:
+    """Add a ``__cell`` column bounding effective bucket width: rows of a
+    bucket wider than ``max_bucket_width`` get cell = salt % ceil(w/B)
+    (capped at 256 cells); narrow buckets get cell 0. Joining on
+    keys + __cell keeps the candidate join linear when a band hash
+    degenerates.
+
+    Plan shape: widths are one map-side-combinable count over narrow
+    bucket rows; only the OVER-WIDE buckets (metadata-sized at any
+    corpus — they are the anomaly) join back, broadcast."""
+    widths = (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_bucket_width)
+    )
+    cells = F.when(F.col("__w").isNull(), F.lit(1)).otherwise(
+        F.least(
+            F.ceil(F.col("__w") / F.lit(max_bucket_width)),
+            F.lit(_MAX_SALT_CELLS),
+        )
+    ).cast("int")
+    return (
+        buckets.join(F.broadcast(widths), keys, "left")
+        .withColumn("__cell", (_salt_value(id_col) % cells).cast("int"))
+        .drop("__w")
+    )
+
+
+def salted_buckets_sql(
+    bands_cte: str,
+    keys: list[str],
+    id_expr: str,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+) -> str:
+    """DuckDB twin of ``with_salt_cells``: SELECT over ``bands_cte``
+    adding the same ``cell`` column (join ON keys + cell)."""
+    ks = ", ".join(keys)
+    return (
+        f"SELECT b.*, CAST({bucket_salt_sql('b.' + id_expr)} % "
+        f"(CASE WHEN w.__w IS NULL THEN 1 ELSE "
+        f"least(CAST(ceil(w.__w * 1.0 / {max_bucket_width}) AS INT), "
+        f"{_MAX_SALT_CELLS}) END) AS INT) AS cell "
+        f"FROM {bands_cte} b LEFT JOIN ("
+        f"SELECT {ks}, count(*) AS __w FROM {bands_cte} "
+        f"GROUP BY {ks} HAVING count(*) > {max_bucket_width}"
+        f") w USING ({ks})"
+    )
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup: canonical-text hash groupBy
@@ -182,10 +270,13 @@ def minhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    max_bucket_width: int | None = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
     """LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b: documents
     sharing at least one (band index, band hash) bucket. The join is a
-    bucket equi-join — never an all-pairs product."""
+    bucket equi-join — never an all-pairs product — and buckets wider
+    than ``max_bucket_width`` are salt-split (``with_salt_cells``) so a
+    degenerate band hash cannot go quadratic."""
     sig = minhash_sig_table(df, text_col, id_col, shingles)
     bands_arr = F.array(
         *[
@@ -204,14 +295,18 @@ def minhash_candidates(
     buckets = sig.select(
         id_col, F.posexplode(bands_arr).alias("band_idx", "band_hash")
     )
+    keys = ["band_idx", "band_hash"]
+    if max_bucket_width is not None:
+        buckets = with_salt_cells(buckets, keys, id_col, max_bucket_width)
+        keys = keys + ["__cell"]
     a = buckets.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+        F.col(id_col).alias("id_a"), *keys
     )
     b = buckets.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+        F.col(id_col).alias("id_b"), *keys
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -514,6 +609,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_chars: int = 8,
+    max_bucket_width: int | None = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
     """SimHash near-dup pairs via banding (any ``max_hamming`` < number of
     bands guarantees candidates share one identical band — pigeonhole):
@@ -527,8 +623,10 @@ def simhash_candidates(
     collapse in one distinct AFTER the cheap filter. The two band
     frames are the identical subplan, so the signature aggregation
     computes once and its exchange is reused for the self-join. On
-    low-entropy corpora simhash buckets get wide; AQE handles the
-    residual bucket skew."""
+    low-entropy corpora simhash buckets get wide (8-bit band values
+    collide structurally); buckets wider than ``max_bucket_width``
+    salt-split via ``with_salt_cells`` so the per-bucket self-join stays
+    ~B² bounded — the documented recall tradeoff of the cap."""
     sigs = with_simhash(df, text_col, id_col).withColumnRenamed(
         "simhash", "__sh"
     )
@@ -545,20 +643,22 @@ def simhash_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
+    keys = ["band_idx", "band_val"]
+    if max_bucket_width is not None:
+        bands = with_salt_cells(bands, keys, id_col, max_bucket_width)
+        keys = keys + ["__cell"]
     a = bands.select(
         F.col(id_col).alias("id_a"),
         F.col("__sl").alias("__sa"),
-        "band_idx",
-        "band_val",
+        *keys,
     )
     b = bands.select(
         F.col(id_col).alias("id_b"),
         F.col("__sl").alias("__sb"),
-        "band_idx",
-        "band_val",
+        *keys,
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

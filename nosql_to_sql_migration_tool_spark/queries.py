@@ -1638,6 +1638,7 @@ from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
     minhash_candidates,
     minhash_signature_sql,
     near_dup_pairs,
+    salted_buckets_sql,
     shingle_sets,
     simhash_sql,
     with_simhash,
@@ -1671,9 +1672,13 @@ _COMPONENTS_CACHE: dict[str, tuple] = {}
 
 def _dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The planted-duplicates corpus, persisted once per (session,
-    sf_dir) — every query in the dedup family starts from this frame, and
-    rebuilding it per query re-runs the fixture's union/rewrite scan
-    (VERDICT r4 §next item 4: the survivor queries' redundant cost)."""
+    sf_dir): ~11 sibling queries start from this frame, and re-deriving
+    it costs each of them a parquet scan + fixture rewrite (~0.5 s at
+    sf0.1, measured). Persisting raw text is a bench-corpus decision —
+    at 100 TB you would persist only the narrow derived frames (shingles,
+    pairs, components; those memos are below) and let each query re-scan
+    the columnar source, which is exactly what dropping this one cache
+    line does."""
     return _cached(
         _DEDUP_DOCS_CACHE,
         spark,
@@ -1762,10 +1767,14 @@ bands AS (
   SELECT doc_id, generate_subscripts(b, 1) AS band_idx, unnest(b) AS band_hash
   FROM (SELECT doc_id, {band_hashes_sql('sig')} AS b FROM sig)
 ),
+salted AS (
+  {salted_buckets_sql('bands', ['band_idx', 'band_hash'], 'doc_id')}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM salted a JOIN salted b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.cell = b.cell
    AND a.doc_id < b.doc_id
 )
 """
@@ -1984,13 +1993,17 @@ bands AS (
                 substr(sh, 17, 8), substr(sh, 25, 8)] AS b
         FROM sigs)
 ),
+salted AS (
+  {salted_buckets_sql('bands', ['band_idx', 'band_val'], 'doc_id')}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_filter(generate_series(1, 32),
               i -> substr(a.sh, i, 1) <> substr(b.sh, i, 1))) AS INT)
            AS hamming
-  FROM bands a JOIN bands b
+  FROM salted a JOIN salted b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.cell = b.cell
    AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
@@ -4435,16 +4448,51 @@ def q_late_shipment_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    blocking_clusters,
     semantic_near_dup,
     semantic_near_dup_sql,
 )
+
+# The k(n) blocking contract: n_clusters derives from the corpus row
+# count (expected block width stays ~TARGET_BLOCK_ROWS, so per-block
+# self-join work is linear in n — the 100 TB contract; SCALE.md §k(n)).
+# The oracle string is static, so it derives k from the PINNED sf0.01
+# fixture count — the driver contract fixes verification at sf=0.01, and
+# tests/test_scale_contracts.py asserts this pin equals the live count.
+SF001_DUP_EMBEDDINGS_N = 622
+
+
+def _blocking_params(n_rows: int) -> tuple[int, int]:
+    """(n_clusters, train_limit) for a blocking corpus of n_rows: k(n)
+    plus a training sample that grows with k (≥16 vectors per centroid,
+    floor 256 — at the pinned sf0.01 count this is exactly the r4-green
+    (16, 256) parameterization, so the oracle text is unchanged)."""
+    k = blocking_clusters(n_rows)
+    return k, max(256, 16 * k)
+
+
+_DUP_EMB_COUNT_CACHE: dict[str, tuple] = {}
+
+
+def _dup_emb_count(spark: SparkSession, sf_dir: str) -> int:
+    entry = _DUP_EMB_COUNT_CACHE.get(sf_dir)
+    if entry is None or entry[0] is not spark:
+        n = duplicated_embeddings(
+            load_table(spark, sf_dir, "embeddings")
+        ).count()
+        _DUP_EMB_COUNT_CACHE[sf_dir] = (spark, n)
+        return n
+    return entry[1]
+
+
+_SF001_BLOCK_K, _SF001_BLOCK_TRAIN = _blocking_params(SF001_DUP_EMBEDDINGS_N)
 
 
 @query(
     "semantic_near_dup",
     semantic_near_dup_sql(
         table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
-        n_clusters=16, train_limit=256,
+        n_clusters=_SF001_BLOCK_K, train_limit=_SF001_BLOCK_TRAIN,
     ),
 )
 def q_semantic_near_dup(spark, sf_dir):
@@ -4456,12 +4504,15 @@ def q_semantic_near_dup(spark, sf_dir):
     100 TB shape — the corpus is assigned once, never iterated). Runs
     over the planted-duplicate fixture (natural max pairwise cosine in
     the table is ~0.51); the oracle replays the identical sampled
-    Lloyd's chain and self-join in DuckDB. n_clusters=16 sizes blocks
-    to ~n/16 — the k knob directly divides pairwise work (n²/k)."""
+    Lloyd's chain and self-join in DuckDB. n_clusters is k(n) —
+    ``blocking_clusters`` keeps expected block width ~constant so the
+    n²/k pairwise work scales LINEARLY with the corpus (at the pinned
+    sf0.01 count this resolves to the r4-green k=16)."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
     return semantic_near_dup(
-        emb, threshold=0.9, n_clusters=16, n_iter=2, train_limit=256,
-        cents=_dup_emb_centroids(spark, sf_dir, 16, 2, 256),
+        emb, threshold=0.9, n_clusters=k, n_iter=2, train_limit=tl,
+        cents=_dup_emb_centroids(spark, sf_dir, k, 2, tl),
     )
 
 
@@ -4513,7 +4564,8 @@ def _dup_emb_centroids(
     "semantic_near_dup_multiprobe",
     semantic_near_dup_multiprobe_sql(
         table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
-        n_clusters=16, n_probe=2, train_limit=256,
+        n_clusters=_SF001_BLOCK_K, n_probe=2,
+        train_limit=_SF001_BLOCK_TRAIN,
     ),
 )
 def q_semantic_near_dup_multiprobe(spark, sf_dir):
@@ -4525,10 +4577,12 @@ def q_semantic_near_dup_multiprobe(spark, sf_dir):
     both probed blocks. Oracle: same unrolled sampled Lloyd's chain
     with a rank≤2 final assignment. At sf0.1 multi-probe recovers
     planted pairs single-assignment blocking drops (515 vs 512-514
-    across k) — the recall contract, measured."""
+    across k) — the recall contract, measured. n_clusters is k(n)
+    (``blocking_clusters``; k=16 at the pinned sf0.01 count)."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
     return semantic_near_dup_multiprobe(
-        emb, threshold=0.9, n_clusters=16, n_iter=2, n_probe=2,
-        train_limit=256,
-        cents=_dup_emb_centroids(spark, sf_dir, 16, 2, 256),
+        emb, threshold=0.9, n_clusters=k, n_iter=2, n_probe=2,
+        train_limit=tl,
+        cents=_dup_emb_centroids(spark, sf_dir, k, 2, tl),
     )

@@ -133,9 +133,14 @@ def test_changed_query_recheck_then_release(tmp_path):
         )
     )
     nxt = entry._ordered_names(tmp_path)
-    verified = set(entry._verified_round(tmp_path))
-    # every window slot now goes to a still-unverified query
-    assert all(n not in verified for n in nxt[:WINDOW])
+    rows = entry._verified_round(tmp_path)
+    # every window slot now goes to a query still needing driver
+    # attention: never verified, or repinned/changed AFTER its last row
+    # (fingerprint repins keep a query in the window until re-recorded)
+    assert all(
+        n not in rows or rows[n] < entry._CHANGED_IN_ROUND.get(n, 0)
+        for n in nxt[:WINDOW]
+    )
 
 
 def test_rotation_advances_when_a_round_records_results(tmp_path):
