@@ -67,6 +67,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: list[str] = []
     for name, fn in QUERIES.items():
+        # Keep the min of SUCCESSFUL iterations: a flaky later iteration
+        # must not discard an earlier valid measurement (ADVICE r4) —
+        # a query lands in errors only when no iteration succeeded.
         best = None
         for _ in range(max(1, args.repeat)):
             start = time.perf_counter()
@@ -75,14 +78,14 @@ def main() -> None:
                     "overwrite"
                 ).save()
             except Exception as exc:  # a broken query must not zero the bench
-                errors.append(name)
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
-                best = None
-                break
+                continue
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         if best is not None:
             timings[name] = round(best, 3)
+        else:
+            errors.append(name)
 
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -98,61 +101,89 @@ def main() -> None:
     if errors:
         result["errors"] = errors
 
+    import platform
+
     detail = {
         "sf": result["sf"],
         "repeat": args.repeat,
+        # Environment stamp: cross-environment diffs (driver container
+        # vs local repeat-2 run) are labeled, not silently compared as
+        # if they measured the same machine.
+        "host": platform.node(),
+        "cpus": os.cpu_count(),
         "total_sec": result["value"],
         "queries": timings,
         "errors": errors,
     }
-    _regression_report(timings, repo)
+    _regression_report(timings, result["sf"], repo)
     (repo / "bench_detail.json").write_text(json.dumps(detail, indent=1))
     print(json.dumps(result), flush=True)
 
 
-def _prior_timings(repo: Path) -> tuple[str, dict[str, float]] | None:
-    """Newest usable prior per-query map: prefer the committed
-    ``bench_detail.json`` (full map since round 4); fall back to parsed
-    driver BENCH_r*.json files (full maps only through round 2)."""
+def _prior_timings(repo: Path, sf: float) -> tuple[str, dict[str, float]] | None:
+    """Newest usable prior per-query map. ``bench_detail.json`` is the
+    preferred baseline ONLY when its recorded sf matches this run and it
+    recorded no errors (ADVICE r4: a detail file from another sf_dir
+    produces spurious or masked regressions, and an errored run would
+    make broken queries vanish from the next comparison); otherwise fall
+    back to the parsed driver BENCH_r*.json history."""
     detail = repo / "bench_detail.json"
     try:
-        queries = json.loads(detail.read_text()).get("queries")
-        if queries:
-            return (detail.name, queries)
+        prior = json.loads(detail.read_text())
+        if (
+            prior.get("queries")
+            and prior.get("sf") == sf
+            and not prior.get("errors")
+        ):
+            label = f"{detail.name} (repeat={prior.get('repeat')}, host={prior.get('host', '?')})"
+            return (label, prior["queries"])
     except (OSError, json.JSONDecodeError):
         pass
     for p in sorted(repo.glob("BENCH_r*.json"), reverse=True):
         try:
-            parsed = json.loads(p.read_text()).get("parsed")
+            data = json.loads(p.read_text())
+            parsed = data.get("parsed")
         except (OSError, json.JSONDecodeError):
             continue
         # Post-r4 BENCH files carry only the top-5 slice; a full map has
-        # no n_queries key or matches its own length claim.
+        # no n_queries key or matches its own length claim. sf must match.
         if parsed and parsed.get("queries") and (
             parsed.get("n_queries") is None
             or parsed["n_queries"] <= len(parsed["queries"])
-        ):
+        ) and parsed.get("sf", sf) == sf:
             return (p.name, parsed["queries"])
     return None
 
 
-def _regression_report(timings: dict[str, float], repo: Path) -> None:
-    """Compare against the newest prior full per-query map and flag
-    >1.5x per-query slowdowns on stderr (stdout stays the one-JSON-line
-    contract). A silent-regression guard: round 1's bench breakage went
-    unnoticed because nothing diffed rounds."""
-    prev = _prior_timings(repo)
+def _regression_report(
+    timings: dict[str, float], sf: float, repo: Path
+) -> None:
+    """Compare against the newest usable prior per-query map and flag
+    per-query slowdowns on stderr (stdout stays the one-JSON-line
+    contract). Flags are NORMALIZED by the overlap-total ratio
+    (VERDICT r4: the driver's slower container made every query look
+    1.5x slower and ~30 spurious REGRESSION lines drowned the real
+    ones): a query is flagged only when it slowed >1.5x MORE than the
+    run as a whole did."""
+    prev = _prior_timings(repo, sf)
     if prev is None:
         return
     name, old = prev
+    overlap = [q for q in timings if q in old and old[q] > 0.2]
+    total_old = sum(old[q] for q in overlap)
+    total_new = sum(timings[q] for q in overlap)
+    drift = (total_new / total_old) if total_old > 0 else 1.0
     flagged = []
-    for q, t in timings.items():
-        if q in old and old[q] > 0.2 and t > 1.5 * old[q]:
-            flagged.append(f"{q}: {old[q]:.2f}s -> {t:.2f}s")
-    total_old, total_new = sum(old.values()), sum(timings.values())
+    for q in overlap:
+        if timings[q] > 1.5 * drift * old[q]:
+            flagged.append(
+                f"{q}: {old[q]:.2f}s -> {timings[q]:.2f}s "
+                f"({timings[q] / old[q]:.1f}x vs run drift {drift:.2f}x)"
+            )
     print(
-        f"bench: vs {name}: total {total_old:.1f}s -> {total_new:.1f}s "
-        f"({len(timings)} vs {len(old)} queries)",
+        f"bench: vs {name}: overlap total {total_old:.1f}s -> "
+        f"{total_new:.1f}s (drift {drift:.2f}x, {len(overlap)} shared "
+        f"queries)",
         file=sys.stderr,
     )
     for line in flagged:

@@ -1,0 +1,46 @@
+"""Hadoop FileSystem shim — the ONE sanctioned crossing into Spark's
+private JVM handles (VERDICT r4 hygiene item 5).
+
+Why a private API at all: removing an emptied partition directory after
+a dynamic-overwrite apply needs a Hadoop ``FileSystem`` client carrying
+the session's configuration (so the same code works on local disk, HDFS
+and S3A alike), and PySpark exposes no public wrapper for it. Every
+other module stays on public API; anything needing a JVM-side
+filesystem call goes through here so the exposure is auditable in one
+place and trivially replaceable (e.g. by a table format's MERGE/VACUUM)
+when the deployment provides one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import SparkSession
+
+
+def _filesystem_for(spark: SparkSession, path_str: str):
+    # spark._jvm / spark._jsc are PRIVATE PySpark attributes — contained
+    # to this module by tests/test_hadoop_fs.py.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(conf), path
+
+
+def delete_paths(
+    spark: SparkSession, paths: Iterable[str], recursive: bool = True
+) -> int:
+    """Delete each path through the session-configured Hadoop
+    FileSystem (no error when a path is already absent). Returns how
+    many paths actually existed and were removed."""
+    removed = 0
+    for p in paths:
+        fs, path = _filesystem_for(spark, p)
+        if fs.delete(path, recursive):
+            removed += 1
+    return removed
+
+
+def path_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _filesystem_for(spark, path_str)
+    return bool(fs.exists(path))

@@ -199,19 +199,18 @@ def apply_changes_to_path(
     )
     emptied = touched_vals - written_vals
     if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for v in emptied:
-            # Spark's partition-dir naming for scalar values; NULL
-            # partitions write __HIVE_DEFAULT_PARTITION__.
-            dirname = (
-                "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-            )
-            p = jvm.org.apache.hadoop.fs.Path(
-                f"{target_path}/{partition_col}={dirname}"
-            )
-            fs = p.getFileSystem(conf)
-            fs.delete(p, True)
+        from nosql_to_sql_migration_tool_spark.hadoop_fs import delete_paths
+
+        # Spark's partition-dir naming for scalar values; NULL
+        # partitions write __HIVE_DEFAULT_PARTITION__.
+        delete_paths(
+            spark,
+            (
+                f"{target_path}/{partition_col}="
+                f"{'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for v in emptied
+            ),
+        )
 
 
 def sync(

@@ -1,0 +1,38 @@
+"""The hadoop_fs shim is the single allowed crossing into Spark's
+private JVM handles — these tests pin both its behavior and the
+containment contract (no `_jvm`/`_jsc`/`_jdf` anywhere else in the
+package)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+    delete_paths,
+    path_exists,
+)
+
+PKG = Path(__file__).resolve().parent.parent / "nosql_to_sql_migration_tool_spark"
+
+
+def test_private_jvm_api_contained_to_shim():
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        if py.name == "hadoop_fs.py":
+            continue
+        if re.search(r"_jvm|_jsc|_jdf|_jsparkSession", py.read_text()):
+            offenders.append(str(py))
+    assert not offenders, offenders
+
+
+def test_delete_paths_removes_dirs_and_tolerates_absent(spark, tmp_path):
+    d1 = tmp_path / "p=1"
+    d1.mkdir()
+    (d1 / "part-0.parquet").write_bytes(b"x")
+    d2 = tmp_path / "p=2"  # never created
+    assert path_exists(spark, str(d1))
+    assert not path_exists(spark, str(d2))
+    removed = delete_paths(spark, [str(d1), str(d2)])
+    assert removed == 1
+    assert not d1.exists()
