@@ -124,6 +124,67 @@ def apply_changes(
     return kept.unionByName(upserts)
 
 
+def merge_available() -> bool:
+    """Whether a transactional table format with MERGE INTO is on the
+    classpath. Gated on Delta Lake's python binding (`delta-spark`) —
+    absent from this container (verified rounds 3-5), so the gate stays
+    closed here and ``merge_changes`` below is exercised the day the
+    deployment provides the jar (tests skip-if-absent)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def merge_changes(
+    spark: SparkSession,
+    target_path: str,
+    diff: DataFrame,
+    key: str,
+    change_col: str = "change_type",
+) -> None:
+    """ACID ``MERGE INTO`` apply — the 1:1 mapping of the reference's
+    REPLACE/UPDATE/DELETE DML (Sync.ps1:601-705) onto a transactional
+    table format, replacing the snapshot/partition rewrite fallback
+    (``apply_changes*``) with a single atomic, conflict-checked commit:
+
+        MERGE INTO target t USING diff s ON t.key = s.key
+        WHEN MATCHED AND s.change = 'DELETED' THEN DELETE
+        WHEN MATCHED AND s.change = 'UPDATED' THEN UPDATE SET data cols
+        WHEN NOT MATCHED AND s.change = 'NEW' THEN INSERT data cols
+
+    At 100 TB this is the steady-state shape: the engine rewrites only
+    the files containing matched keys (data skipping / file pruning),
+    and concurrent writers serialize through the table log instead of
+    racing a directory overwrite. Raises ``RuntimeError`` when no MERGE
+    runtime is present (``merge_available``)."""
+    if not merge_available():
+        raise RuntimeError(
+            "MERGE INTO needs a transactional table format on the "
+            "classpath (delta-spark); use apply_changes_to_path for "
+            "vanilla parquet"
+        )
+    from delta.tables import DeltaTable
+
+    tgt = DeltaTable.forPath(spark, target_path)
+    data_cols = [c for c in tgt.toDF().columns]
+    sets = {c: F.col(f"s.{c}") for c in data_cols}
+    (
+        tgt.alias("t")
+        .merge(diff.alias("s"), f"t.{key} = s.{key}")
+        .whenMatchedDelete(condition=f"s.{change_col} = 'DELETED'")
+        .whenMatchedUpdate(
+            condition=f"s.{change_col} = 'UPDATED'", set=sets
+        )
+        .whenNotMatchedInsert(
+            condition=f"s.{change_col} = 'NEW'", values=sets
+        )
+        .execute()
+    )
+
+
 def apply_changes_partitioned(
     target: DataFrame,
     diff: DataFrame,
