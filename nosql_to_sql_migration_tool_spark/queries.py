@@ -4453,22 +4453,22 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
     semantic_near_dup_sql,
 )
 
-# The k(n) blocking contract: n_clusters derives from the corpus row
-# count (expected block width stays ~TARGET_BLOCK_ROWS, so per-block
-# self-join work is linear in n — the 100 TB contract; SCALE.md §k(n)).
-# The oracle string is static, so it derives k from the PINNED sf0.01
+# The k(n) blocking contract: n_clusters = √(corpus rows) — the IVF
+# operating point balancing brute-force centroid assignment (n·k)
+# against per-block pair volume (n²/k); SCALE.md §Similarity. The
+# oracle string is static, so it derives k from the PINNED sf0.01
 # fixture count — the driver contract fixes verification at sf=0.01, and
 # tests/test_scale_contracts.py asserts this pin equals the live count.
 SF001_DUP_EMBEDDINGS_N = 622
 
 
 def _blocking_params(n_rows: int) -> tuple[int, int]:
-    """(n_clusters, train_limit) for a blocking corpus of n_rows: k(n)
-    plus a training sample that grows with k (≥16 vectors per centroid,
-    floor 256 — at the pinned sf0.01 count this is exactly the r4-green
-    (16, 256) parameterization, so the oracle text is unchanged)."""
+    """(n_clusters, train_limit) for a blocking corpus of n_rows:
+    k(n)=√n plus a training sample that grows with k (8 vectors per
+    centroid, floor 256 — training assignment is an interpreted HOF
+    fold, so sample size is a direct multiplier on quantizer cost)."""
     k = blocking_clusters(n_rows)
-    return k, max(256, 16 * k)
+    return k, max(256, 8 * k)
 
 
 _DUP_EMB_COUNT_CACHE: dict[str, tuple] = {}
@@ -4504,10 +4504,10 @@ def q_semantic_near_dup(spark, sf_dir):
     100 TB shape — the corpus is assigned once, never iterated). Runs
     over the planted-duplicate fixture (natural max pairwise cosine in
     the table is ~0.51); the oracle replays the identical sampled
-    Lloyd's chain and self-join in DuckDB. n_clusters is k(n) —
-    ``blocking_clusters`` keeps expected block width ~constant so the
-    n²/k pairwise work scales LINEARLY with the corpus (at the pinned
-    sf0.01 count this resolves to the r4-green k=16)."""
+    Lloyd's chain and self-join in DuckDB. n_clusters is k(n)=√n —
+    ``blocking_clusters`` balances the n·k assignment cost against the
+    n²/k pair volume (both Θ(n^1.5), the IVF operating point; k=25 at
+    the pinned sf0.01 count)."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
     k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
     return semantic_near_dup(
@@ -4577,8 +4577,8 @@ def q_semantic_near_dup_multiprobe(spark, sf_dir):
     both probed blocks. Oracle: same unrolled sampled Lloyd's chain
     with a rank≤2 final assignment. At sf0.1 multi-probe recovers
     planted pairs single-assignment blocking drops (515 vs 512-514
-    across k) — the recall contract, measured. n_clusters is k(n)
-    (``blocking_clusters``; k=16 at the pinned sf0.01 count)."""
+    across k) — the recall contract, measured. n_clusters is k(n)=√n
+    (``blocking_clusters``; k=25 at the pinned sf0.01 count)."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
     k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
     return semantic_near_dup_multiprobe(

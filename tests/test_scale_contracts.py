@@ -21,20 +21,24 @@ from nosql_to_sql_migration_tool_spark.operators.dedup import (
     with_salt_cells,
 )
 from nosql_to_sql_migration_tool_spark.operators.similarity import (
-    TARGET_BLOCK_ROWS,
     blocking_clusters,
 )
 
 
-def test_blocking_clusters_scales_linearly():
-    # expected block width stays ~TARGET_BLOCK_ROWS as the corpus grows
+def test_blocking_clusters_is_the_sqrt_operating_point():
+    # k ≈ √n: balances brute-force assignment (n·k) against per-block
+    # pair volume (n²/k) — both Θ(n^1.5); k ∝ n would make assignment
+    # quadratic, fixed k makes pairs quadratic.
+    import math
+
     for n in (622, 2486, 100_000, 10_000_000):
         k = blocking_clusters(n)
-        if k not in (4, 1 << 16):  # outside the clamp band
-            assert n / k <= TARGET_BLOCK_ROWS + 1
-            assert n / k >= TARGET_BLOCK_ROWS / 2
-    # 10x corpus -> ~10x clusters (the linearity contract)
-    assert 9 <= blocking_clusters(10_000_0) / blocking_clusters(10_000) <= 11
+        assert abs(k - math.sqrt(n)) <= 1
+        cost = n * k + n * n / k
+        # within 1% of the continuous optimum 2·n^1.5
+        assert cost <= 2.02 * n**1.5
+    # 100x corpus -> ~10x clusters (the sqrt contract)
+    assert 9 <= blocking_clusters(1_000_000) / blocking_clusters(10_000) <= 11
     # clamps
     assert blocking_clusters(1) == 4
     assert blocking_clusters(10**12) == 1 << 16
@@ -64,8 +68,8 @@ def test_sf001_embedding_count_pin(duck):
     ).fetchone()[0]
     assert n == SF001_DUP_EMBEDDINGS_N
     assert (_SF001_BLOCK_K, _SF001_BLOCK_TRAIN) == _blocking_params(n)
-    # the r4-green parameterization is preserved at the pinned count
-    assert (_SF001_BLOCK_K, _SF001_BLOCK_TRAIN) == (16, 256)
+    # √622 → k=25; 8 vectors/centroid < floor → train=256 (r5 oracle)
+    assert (_SF001_BLOCK_K, _SF001_BLOCK_TRAIN) == (25, 256)
 
 
 def test_salt_cells_split_only_wide_buckets(spark):
