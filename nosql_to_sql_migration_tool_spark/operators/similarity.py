@@ -318,6 +318,49 @@ def _lloyd_driver(
     return cents
 
 
+def two_level_quantizer(
+    cents: list[tuple[int, list[float], float]],
+    n_coarse: int | None = None,
+    n_iter: int = 1,
+) -> tuple[list[tuple[int, list[float], float]], dict[int, int]]:
+    """Coarse quantizer OVER the fine centroids + each fine centroid's
+    coarse parent: ``(coarse_cents, {fine_cid: coarse_cid})``.
+
+    The hierarchical refinement documented in SCALE.md: flat assignment
+    brute-forces all k fine centroids per row; with a √k coarse level a
+    row resolves its coarse cell (√k folds) then searches only that
+    cell's fine centroids (~√k more) — ~2√k folds instead of k. Pure
+    driver-side: the fine centroid list is already metadata, so coarse
+    training is microseconds and fully deterministic (fine centroids
+    ranked by md5(cid) — the same sampling order contract as row-level
+    training; assignment/update arithmetic identical to
+    ``_lloyd_driver``)."""
+    import hashlib as _hashlib
+
+    k = len(cents)
+    n_coarse = n_coarse if n_coarse is not None else max(2, round(k**0.5))
+    ordered = sorted(
+        cents,
+        key=lambda c: (
+            _hashlib.md5(str(c[0]).encode()).hexdigest(),
+            c[0],
+        ),
+    )
+    coarse = _lloyd_driver([(c[1], c[2]) for c in ordered], n_coarse, n_iter)
+    parents: dict[int, int] = {}
+    for cid, v, n in cents:
+        best = None
+        for ccid, cv, cn in coarse:
+            acc = 0.0
+            for x, y in zip(v, cv):
+                acc += x * y
+            score = (-_round6(acc / (n * cn)), ccid)
+            if best is None or score < best[0]:
+                best = (score, ccid)
+        parents[cid] = best[1]
+    return coarse, parents
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_clusters: int = 8,
@@ -731,6 +774,155 @@ def semantic_near_dup_multiprobe(
         )
         .where(F.col("cos_sim") >= threshold)
         .distinct()
+    )
+
+
+def semantic_near_dup_two_level(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_limit: int | None = None,
+    cents: list[tuple[int, list[float], float]] | None = None,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Cluster-blocked near-dup pairs with HIERARCHICAL (two-level)
+    assignment — the n^1.25 refinement SCALE.md documents for the flat
+    √n blocking: a row first resolves its COARSE cell (√k centroid
+    folds), then searches only that cell's fine centroids (~√k more)
+    instead of brute-forcing all k. Same output contract as
+    ``semantic_near_dup``: ``(id_a, id_b, cluster, cos_sim)``.
+
+    The known tradeoff (inherent to hierarchical IVF, documented): a row
+    whose true nearest fine centroid lives under a DIFFERENT coarse cell
+    is assigned to its cell-local best, so block membership can differ
+    from flat assignment — near-dup recall within a block is unaffected
+    (pairs are verified by exact cosine), only pair discovery across
+    blocks shifts slightly. The coarse argmax is computed in its own
+    projection and the per-cell fine argmax is a CASE on that column, so
+    only the matched cell's fold ladder evaluates per row (Catalyst
+    keeps the projections separate — a multiply-referenced non-cheap
+    expression is not collapsed)."""
+    if cents is None:
+        cents = kmeans_centroids(
+            df, n_clusters, n_iter, vec_col, id_col, train_limit
+        )
+    coarse, parents = two_level_quantizer(cents, n_coarse)
+    groups: dict[int, list[tuple[int, list[float], float]]] = {}
+    for cid, c, cn in cents:
+        groups.setdefault(parents[cid], []).append((cid, c, cn))
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    with_cc = vecs.withColumn(
+        "__cc", _nearest_cluster("__v", "__n", coarse)
+    )
+    fine = None
+    for ccid in sorted(groups):
+        branch = _nearest_cluster("__v", "__n", groups[ccid])
+        fine = (
+            F.when(F.col("__cc") == ccid, branch)
+            if fine is None
+            else fine.when(F.col("__cc") == ccid, branch)
+        )
+    assigned = with_cc.select(
+        F.col(id_col), "__v", "__n", fine.alias("cluster")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, F.col("a.cluster") == F.col("b.cluster"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_near_dup_two_level_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    train_limit: int | None = None,
+    n_coarse: int | None = None,
+    coarse_iter: int = 1,
+) -> str:
+    """DuckDB twin of ``semantic_near_dup_two_level`` — an independent
+    reconstruction: the fine-centroid chain, then coarse Lloyd's OVER
+    the fine centroids (md5(cid)-ranked seeds, same unrolled rounds),
+    each fine centroid's coarse parent, per-row coarse cell, and the
+    cell-local fine argmax."""
+    n_coarse = (
+        n_coarse if n_coarse is not None else max(2, round(n_clusters**0.5))
+    )
+    norm, score = _kmeans_norm_sql, _kmeans_score_sql
+    ctes, last = _kmeans_ctes(
+        table, id_col, vec_col, n_clusters, n_iter, train_limit
+    )
+    ctes += [
+        f"csrc AS (SELECT cid AS id, centroid AS v, cn AS vn FROM {last})",
+        "cranked AS (SELECT id, v, vn, md5(CAST(id AS VARCHAR)) AS m "
+        "FROM csrc)",
+        f"cseeds AS (SELECT id, v, vn, m FROM cranked ORDER BY m, id "
+        f"LIMIT {n_coarse})",
+        "ccents0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
+        "AS INT) AS cid, v AS centroid, vn AS cn FROM cseeds)",
+    ]
+    for i in range(coarse_iter):
+        ctes.append(
+            _kmeans_assign_sql(f"ccents{i}", f"cassign{i}", "cranked")
+        )
+        ctes.append(
+            f"ccents{i + 1} AS (SELECT cid, centroid, "
+            f"{norm('centroid')} AS cn "
+            f"FROM (SELECT cid, list(c ORDER BY d) AS centroid "
+            f"FROM (SELECT cid, d, round(avg(val), 6) AS c FROM ("
+            f"SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val "
+            f"FROM cassign{i}) GROUP BY cid, d) GROUP BY cid))"
+        )
+    clast = f"ccents{coarse_iter}"
+    cscore = score("vecs.v", "vecs.vn", f"{clast}.centroid", f"{clast}.cn")
+    ctes.append(
+        f"parents AS (SELECT id AS fcid, cid AS ccid FROM ("
+        f"SELECT vecs.id, {clast}.cid, row_number() OVER ("
+        f"PARTITION BY vecs.id ORDER BY {cscore} DESC, {clast}.cid) AS rn "
+        f"FROM csrc AS vecs CROSS JOIN {clast}) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"rowc AS (SELECT id, cid AS ccid FROM ("
+        f"SELECT vecs.id, {clast}.cid, row_number() OVER ("
+        f"PARTITION BY vecs.id ORDER BY {cscore} DESC, {clast}.cid) AS rn "
+        f"FROM vecs CROSS JOIN {clast}) WHERE rn = 1)"
+    )
+    fscore = score("vecs.v", "vecs.vn", "f.centroid", "f.cn")
+    ctes.append(
+        "final AS (SELECT id, v, vn, cid FROM ("
+        "SELECT vecs.id, vecs.v, vecs.vn, p.fcid AS cid, "
+        "row_number() OVER (PARTITION BY vecs.id ORDER BY "
+        f"{fscore} DESC, p.fcid) AS rn "
+        "FROM vecs JOIN rowc ON vecs.id = rowc.id "
+        "JOIN parents p ON p.ccid = rowc.ccid "
+        f"JOIN {last} f ON f.cid = p.fcid) WHERE rn = 1)"
+    )
+    pscore = score("a.v", "a.vn", "b.v", "b.vn")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT a.id AS id_a, b.id AS id_b, a.cid AS cluster, "
+        f"{pscore} AS cos_sim "
+        "FROM final a JOIN final b ON a.cid = b.cid AND a.id < b.id "
+        f"WHERE {pscore} >= {threshold}"
     )
 
 

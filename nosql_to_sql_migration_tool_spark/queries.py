@@ -4560,6 +4560,35 @@ def _dup_emb_centroids(
     )
 
 
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    semantic_near_dup_two_level,
+    semantic_near_dup_two_level_sql,
+)
+
+
+@query(
+    "semantic_near_dup_hier",
+    semantic_near_dup_two_level_sql(
+        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
+        n_clusters=_SF001_BLOCK_K, train_limit=_SF001_BLOCK_TRAIN,
+    ),
+)
+def q_semantic_near_dup_hier(spark, sf_dir):
+    """Hierarchical (two-level) cluster blocking: the row resolves a
+    √k-sized COARSE cell first, then searches only that cell's fine
+    centroids — ~2√k folds per row instead of k, the n^1.25 assignment
+    refinement over flat √n blocking (SCALE.md §Similarity). Coarse
+    training runs driver-side over the (metadata-sized) fine-centroid
+    list; the oracle independently re-derives fine chain, coarse chain,
+    parents, and the cell-local argmax in DuckDB."""
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
+    return semantic_near_dup_two_level(
+        emb, threshold=0.9, n_clusters=k, n_iter=2, train_limit=tl,
+        cents=_dup_emb_centroids(spark, sf_dir, k, 2, tl),
+    )
+
+
 @query(
     "semantic_near_dup_multiprobe",
     semantic_near_dup_multiprobe_sql(

@@ -186,3 +186,44 @@ def test_uncapped_path_still_available(spark):
     )
     got = minhash_candidates(docs, max_bucket_width=None).toPandas()
     assert len(got) == 40 * 39 / 2
+
+
+def test_two_level_quantizer_parents_and_determinism():
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        two_level_quantizer,
+    )
+
+    cents = [
+        (i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)], 1.0)
+        for i in range(16)
+    ]
+    import math
+
+    cents = [
+        (cid, v, math.sqrt(sum(x * x for x in v))) for cid, v, _ in cents
+    ]
+    coarse, parents = two_level_quantizer(cents)
+    again = two_level_quantizer(cents)
+    assert (coarse, parents) == again  # fully deterministic
+    assert sorted(parents) == [c[0] for c in cents]  # every fine cid mapped
+    coarse_ids = {c[0] for c in coarse}
+    assert set(parents.values()) <= coarse_ids
+    assert 2 <= len(coarse) <= 4  # ~sqrt(16), empties may drop
+
+
+def test_hierarchical_blocking_finds_planted_exact_dups(spark):
+    """The planted exact copies (vec_id +10000, identical vector) have
+    cosine 1.0 and must survive hierarchical assignment: both copies of
+    a pair land in the SAME fine block (identical vectors take the
+    identical coarse cell and cell-local argmax)."""
+    from nosql_to_sql_migration_tool_spark.queries import QUERIES
+
+    pairs = (
+        QUERIES["semantic_near_dup_hier"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    exact = pairs[
+        (pairs.id_a < 10_000) & (pairs.id_b == pairs.id_a + 10_000)
+    ]
+    assert (exact.cos_sim == 1.0).all()
+    assert len(exact) > 0
