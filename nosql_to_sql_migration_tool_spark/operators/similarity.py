@@ -655,6 +655,117 @@ def kmeans_ivf_sql(
     )
 
 
+def block_assignments(
+    df: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, __v, __n, cluster)`` — each row's nearest-centroid block.
+    The per-row centroid fold runs interpreted (Catalyst HOF), so this
+    is the blocking family's hot projection; callers that run several
+    blocking queries over one corpus should build it once and persist
+    the (narrow: id + vector + norm + int) result."""
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    return vecs.select(
+        F.col(id_col),
+        "__v",
+        "__n",
+        _nearest_cluster("__v", "__n", cents).alias("cluster"),
+    )
+
+
+def block_assignments_multiprobe(
+    df: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe variant: one row per (vector, probed block) — the
+    fold runs once per row, then explodes to ``n_probe`` rows."""
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    return vecs.select(
+        F.col(id_col),
+        "__v",
+        "__n",
+        F.explode(
+            _nearest_clusters("__v", "__n", cents, n_probe)
+        ).alias("cluster"),
+    )
+
+
+def block_assignments_two_level(
+    df: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    n_coarse: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hierarchical variant: coarse cell first (√k folds), then the
+    cell-local fine argmax via a CASE on the precomputed coarse column
+    (Catalyst keeps the projections separate — a multiply-referenced
+    non-cheap expression is not collapsed)."""
+    coarse, parents = two_level_quantizer(cents, n_coarse)
+    groups: dict[int, list[tuple[int, list[float], float]]] = {}
+    for cid, c, cn in cents:
+        groups.setdefault(parents[cid], []).append((cid, c, cn))
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    with_cc = vecs.withColumn(
+        "__cc", _nearest_cluster("__v", "__n", coarse)
+    )
+    fine = None
+    for ccid in sorted(groups):
+        branch = _nearest_cluster("__v", "__n", groups[ccid])
+        fine = (
+            F.when(F.col("__cc") == ccid, branch)
+            if fine is None
+            else fine.when(F.col("__cc") == ccid, branch)
+        )
+    return with_cc.select(
+        F.col(id_col), "__v", "__n", fine.alias("cluster")
+    )
+
+
+def _blocked_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    threshold: float,
+    with_cluster: bool,
+    dedup: bool,
+) -> DataFrame:
+    """Shared tail of the blocking family: aliased self-join on the
+    block id (one shared subplan — measured ~25% faster than two
+    re-projected frames), exact 6-dp-rounded cosine, threshold."""
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if with_cluster:
+        cols.append(F.col("a.cluster").alias("cluster"))
+    cols.append(
+        F.round(
+            dot(F.col("a.__v"), F.col("b.__v"))
+            / (F.col("a.__n") * F.col("b.__n")),
+            6,
+        ).alias("cos_sim")
+    )
+    out = (
+        a.join(b, F.col("a.cluster") == F.col("b.cluster"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(*cols)
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return out.distinct() if dedup else out
+
+
 def semantic_near_dup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -664,6 +775,7 @@ def semantic_near_dup(
     id_col: str = "vec_id",
     train_limit: int | None = None,
     cents: list[tuple[int, list[float], float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via CLUSTER BLOCKING: k-means
     assigns every vector a block, pairwise cosine runs only WITHIN a
@@ -691,35 +803,17 @@ def semantic_near_dup(
     subplan canonicalizes for reuse; the re-projection defeated it).
 
     Pass ``cents`` (a ``kmeans_centroids`` result) to reuse an already-
-    trained quantizer — the production shape: train once, block many."""
-    if cents is None:
-        cents = kmeans_centroids(
-            df, n_clusters, n_iter, vec_col, id_col, train_limit
-        )
-    vecs = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    assigned = vecs.select(
-        F.col(id_col),
-        "__v",
-        "__n",
-        _nearest_cluster("__v", "__n", cents).alias("cluster"),
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    return (
-        a.join(b, F.col("a.cluster") == F.col("b.cluster"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.cluster").alias("cluster"),
-            F.round(
-                dot(F.col("a.__v"), F.col("b.__v"))
-                / (F.col("a.__n") * F.col("b.__n")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    trained quantizer, and/or ``assigned`` (a possibly-persisted
+    ``block_assignments`` frame) to reuse the assignment projection too
+    — the production shape: train once, assign once, block many."""
+    if assigned is None:
+        if cents is None:
+            cents = kmeans_centroids(
+                df, n_clusters, n_iter, vec_col, id_col, train_limit
+            )
+        assigned = block_assignments(df, cents, vec_col, id_col)
+    return _blocked_pairs(
+        assigned, id_col, threshold, with_cluster=True, dedup=False
     )
 
 
@@ -733,6 +827,7 @@ def semantic_near_dup_multiprobe(
     id_col: str = "vec_id",
     train_limit: int | None = None,
     cents: list[tuple[int, list[float], float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe cluster blocking — the documented recall fix for
     single-assignment ``semantic_near_dup``: every vector joins its
@@ -743,37 +838,18 @@ def semantic_near_dup_multiprobe(
     never all-pairs. Output ``(id_a, id_b, cos_sim)`` distinct (a pair
     sharing two probed blocks would otherwise appear twice; the block id
     is therefore not part of the output contract). ``cents`` reuses a
-    pre-trained quantizer as in ``semantic_near_dup``."""
-    if cents is None:
-        cents = kmeans_centroids(
-            df, n_clusters, n_iter, vec_col, id_col, train_limit
+    pre-trained quantizer as in ``semantic_near_dup``; ``assigned``
+    reuses a ``block_assignments_multiprobe`` frame."""
+    if assigned is None:
+        if cents is None:
+            cents = kmeans_centroids(
+                df, n_clusters, n_iter, vec_col, id_col, train_limit
+            )
+        assigned = block_assignments_multiprobe(
+            df, cents, n_probe, vec_col, id_col
         )
-    vecs = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    assigned = vecs.select(
-        F.col(id_col),
-        "__v",
-        "__n",
-        F.explode(
-            _nearest_clusters("__v", "__n", cents, n_probe)
-        ).alias("cluster"),
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    return (
-        a.join(b, F.col("a.cluster") == F.col("b.cluster"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                dot(F.col("a.__v"), F.col("b.__v"))
-                / (F.col("a.__n") * F.col("b.__n")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-        .distinct()
+    return _blocked_pairs(
+        assigned, id_col, threshold, with_cluster=False, dedup=True
     )
 
 
@@ -787,6 +863,7 @@ def semantic_near_dup_two_level(
     train_limit: int | None = None,
     cents: list[tuple[int, list[float], float]] | None = None,
     n_coarse: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-blocked near-dup pairs with HIERARCHICAL (two-level)
     assignment — the n^1.25 refinement SCALE.md documents for the flat
@@ -805,46 +882,16 @@ def semantic_near_dup_two_level(
     only the matched cell's fold ladder evaluates per row (Catalyst
     keeps the projections separate — a multiply-referenced non-cheap
     expression is not collapsed)."""
-    if cents is None:
-        cents = kmeans_centroids(
-            df, n_clusters, n_iter, vec_col, id_col, train_limit
+    if assigned is None:
+        if cents is None:
+            cents = kmeans_centroids(
+                df, n_clusters, n_iter, vec_col, id_col, train_limit
+            )
+        assigned = block_assignments_two_level(
+            df, cents, n_coarse, vec_col, id_col
         )
-    coarse, parents = two_level_quantizer(cents, n_coarse)
-    groups: dict[int, list[tuple[int, list[float], float]]] = {}
-    for cid, c, cn in cents:
-        groups.setdefault(parents[cid], []).append((cid, c, cn))
-    vecs = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    with_cc = vecs.withColumn(
-        "__cc", _nearest_cluster("__v", "__n", coarse)
-    )
-    fine = None
-    for ccid in sorted(groups):
-        branch = _nearest_cluster("__v", "__n", groups[ccid])
-        fine = (
-            F.when(F.col("__cc") == ccid, branch)
-            if fine is None
-            else fine.when(F.col("__cc") == ccid, branch)
-        )
-    assigned = with_cc.select(
-        F.col(id_col), "__v", "__n", fine.alias("cluster")
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    return (
-        a.join(b, F.col("a.cluster") == F.col("b.cluster"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.cluster").alias("cluster"),
-            F.round(
-                dot(F.col("a.__v"), F.col("b.__v"))
-                / (F.col("a.__n") * F.col("b.__n")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    return _blocked_pairs(
+        assigned, id_col, threshold, with_cluster=True, dedup=False
     )
 
 
