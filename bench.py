@@ -175,7 +175,12 @@ def _regression_report(
     drift = (total_new / total_old) if total_old > 0 else 1.0
     flagged = []
     for q in overlap:
-        if timings[q] > 1.5 * drift * old[q]:
+        # Two conditions: slowed >1.5x MORE than the run as a whole
+        # (environment normalization), AND slowed in absolute terms.
+        # Without the second, a drift<1 baseline (prior run in a slower
+        # environment) demands every query speed up by 1/(1.5*drift) and
+        # floods stderr with flat-timing "regressions".
+        if timings[q] > 1.5 * drift * old[q] and timings[q] > 1.2 * old[q]:
             flagged.append(
                 f"{q}: {old[q]:.2f}s -> {timings[q]:.2f}s "
                 f"({timings[q] / old[q]:.1f}x vs run drift {drift:.2f}x)"

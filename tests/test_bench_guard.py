@@ -1,0 +1,84 @@
+"""The bench regression guard must flag real per-query outliers without
+flooding on whole-run environment drift in EITHER direction.
+
+VERDICT r4 fixed the drift>1 flood (driver container slower than the
+committed baseline -> every query looked 1.5x slower). Round 5 closes the
+mirror image: when the BASELINE run was the slow one (drift<1), the
+normalized threshold ``1.5 * drift * old`` can drop below ``old`` itself,
+flagging flat-timing queries as regressions. The guard now also requires
+an absolute slowdown (``new > 1.2 * old``).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+_SPEC = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).resolve().parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(bench)
+
+
+def _run_guard(tmp_path, old, new, capsys):
+    detail = {
+        "sf": 0.1,
+        "repeat": 2,
+        "host": "testhost",
+        "cpus": 4,
+        "total_sec": sum(old.values()),
+        "queries": old,
+        "errors": [],
+    }
+    (tmp_path / "bench_detail.json").write_text(json.dumps(detail))
+    bench._regression_report(new, 0.1, tmp_path)
+    err = capsys.readouterr().err
+    return [line for line in err.splitlines() if "REGRESSION" in line]
+
+
+def test_flat_timings_vs_slow_baseline_not_flagged(tmp_path, capsys):
+    # Prior run was ~2x slower across the board (slow environment);
+    # current run matches it per-query after normalization -> drift ~0.5.
+    # Flat queries (1.0x of old) must NOT be flagged.
+    old = {f"q{i}": 2.0 for i in range(10)}
+    new = {f"q{i}": 1.0 for i in range(9)}
+    new["q9"] = 2.0  # flat vs old, 2x the run drift -- still NOT a regression
+    assert _run_guard(tmp_path, old, new, capsys) == []
+
+
+def test_true_outlier_flagged_despite_drift(tmp_path, capsys):
+    # Whole run 1.5x slower (environment), one query 9x slower (real).
+    old = {f"q{i}": 1.0 for i in range(10)}
+    new = {f"q{i}": 1.5 for i in range(9)}
+    new["q9"] = 9.0
+    flagged = _run_guard(tmp_path, old, new, capsys)
+    assert len(flagged) == 1 and "q9" in flagged[0]
+
+
+def test_absolute_regression_flagged_when_run_is_faster(tmp_path, capsys):
+    # Run overall faster (drift < 1) but one query genuinely 3x slower.
+    old = {f"q{i}": 2.0 for i in range(10)}
+    new = {f"q{i}": 1.0 for i in range(9)}
+    new["q9"] = 6.0
+    flagged = _run_guard(tmp_path, old, new, capsys)
+    assert len(flagged) == 1 and "q9" in flagged[0]
+
+
+def test_mismatched_sf_baseline_ignored(tmp_path, capsys):
+    # A detail file recorded at another sf must not be used as baseline.
+    old = {f"q{i}": 0.3 for i in range(10)}
+    detail = {
+        "sf": 0.01,
+        "repeat": 2,
+        "host": "testhost",
+        "cpus": 4,
+        "total_sec": sum(old.values()),
+        "queries": old,
+        "errors": [],
+    }
+    (tmp_path / "bench_detail.json").write_text(json.dumps(detail))
+    bench._regression_report({f"q{i}": 3.0 for i in range(10)}, 0.1, tmp_path)
+    assert "REGRESSION" not in capsys.readouterr().err
