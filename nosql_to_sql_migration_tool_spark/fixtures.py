@@ -445,3 +445,53 @@ FROM documents WHERE doc_id % 5 = 1
 UNION ALL
 SELECT doc_id, text FROM documents WHERE doc_id % 5 NOT IN (0, 1)
 """
+
+
+LINE_WRAP_TOKENS = 8
+
+
+def lined_documents(documents: DataFrame) -> DataFrame:
+    """Line-structure fixture for line-level dedup: the documents corpus
+    re-wrapped so every ``LINE_WRAP_TOKENS`` whitespace tokens become one
+    newline-terminated line. The driver corpus is single-line by
+    construction; boilerplate-line removal (operators/cleaning.py)
+    needs multi-line docs, and this deterministic re-wrap gives both
+    engines the identical line structure. Pure per-row expression
+    (``transform`` over ``slice`` windows) — no shuffle, no explode.
+    """
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    w = LINE_WRAP_TOKENS
+    n_lines = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    lines = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * F.lit(w) + F.lit(1), F.lit(w)), " "
+            ),
+        )
+    )
+    return documents.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def _lined_documents_sql() -> str:
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens_sql
+
+    w = LINE_WRAP_TOKENS
+    return f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           range(0, CAST(ceil(len(toks) / {w}.0) AS INT)),
+           i -> array_to_string(list_slice(toks, i*{w}+1, i*{w}+{w}), ' ')),
+         chr(10)) AS text
+FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+"""
+
+
+LINED_DOCUMENTS_SQL = _lined_documents_sql()

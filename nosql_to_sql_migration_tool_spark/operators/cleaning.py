@@ -108,3 +108,139 @@ def with_clean_text_sql(
         f"CAST(len(regexp_extract_all({after_ip}, '{PHONE_RE}')) AS INT)"
         f" AS n_phones"
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level (boilerplate) dedup — the C4/RefinedWeb-style scrub that drops
+# lines repeated across documents (nav bars, footers, cookie banners).
+# Reference analogue: none (the migration tool has no corpus ops); this is
+# the north-star LLM-pipeline surface next to document-level dedup
+# (operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+LINE_MIN_DOCS = 2
+
+
+def line_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, line_no, line)`` — one row per newline-delimited line,
+    position preserved. An explode is the only sane shape here: line
+    counts are data-dependent, and the downstream group-by needs line
+    granularity anyway."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    min_docs: int = LINE_MIN_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines (trimmed, non-empty) appearing in >= ``min_docs`` DISTINCT
+    documents: ``(line, n_docs, n_occurrences)``.
+
+    Scale shape: one shuffle keyed on the line text with map-side
+    partial aggregation. At 100 TB the shuffle rows are (line, partial
+    count) — narrow; a hot boilerplate line ("click here to accept")
+    folds into one partial per map task, so skew cannot materialize more
+    than n_partitions rows for any single line. count(DISTINCT doc)
+    expands to a two-level aggregate (Spark plans it as such) — still
+    combinable."""
+    trimmed = F.trim(F.col("line"))
+    return (
+        line_rows(df, text_col, id_col)
+        .select(F.col(id_col), trimmed.alias("line"))
+        .filter(F.length("line") > 0)
+        .groupBy("line")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_duplicate_lines(
+    df: DataFrame,
+    min_docs: int = LINE_MIN_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every occurrence of cross-document duplicate lines and
+    reassemble each document: ``(id, clean_text, n_kept, n_removed)``.
+    Every input document keeps exactly one output row (a fully-
+    boilerplate doc comes back with ``clean_text = ''``).
+
+    Plan: lines joined against the duplicate-line set (distinct lines —
+    small relative to the corpus; broadcastable at steady state, AQE
+    picks that up), then one group-by on the doc id reassembles with an
+    order pinned by ``array_sort`` over (line_no, line) structs —
+    ``collect_list`` order is partition-dependent, the sort makes the
+    result deterministic under any parallelism."""
+    rows = line_rows(df, text_col, id_col)
+    dups = duplicate_lines(df, min_docs, text_col, id_col).select(
+        F.col("line").alias("__dup_line")
+    )
+    flagged = rows.join(
+        dups, F.trim(F.col("line")) == F.col("__dup_line"), "left"
+    )
+    is_dup = F.col("__dup_line").isNotNull()
+    kept_struct = F.when(
+        ~is_dup, F.struct(F.col("line_no"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum((~is_dup).cast("long")).alias("n_kept"),
+        F.sum(is_dup.cast("long")).alias("n_removed"),
+    )
+
+
+def duplicate_lines_sql(
+    table: str = "documents", min_docs: int = LINE_MIN_DOCS
+) -> str:
+    """DuckDB twin of ``duplicate_lines`` over ``table(doc_id, text)``."""
+    return f"""
+WITH __lines AS (
+  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+  FROM {table}
+)
+SELECT line, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM __lines WHERE length(line) > 0
+GROUP BY line HAVING count(DISTINCT doc_id) >= {min_docs}
+"""
+
+
+def strip_duplicate_lines_sql(
+    table: str = "documents", min_docs: int = LINE_MIN_DOCS
+) -> str:
+    """DuckDB twin of ``strip_duplicate_lines``."""
+    return f"""
+WITH __rows AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS line_no, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {table})
+),
+__dup AS (
+  SELECT trim(line) AS dline FROM __rows WHERE length(trim(line)) > 0
+  GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT r.doc_id,
+       coalesce(string_agg(r.line, chr(10) ORDER BY r.line_no)
+                FILTER (WHERE d.dline IS NULL), '') AS clean_text,
+       count(*) FILTER (WHERE d.dline IS NULL) AS n_kept,
+       count(d.dline) AS n_removed
+FROM __rows r LEFT JOIN __dup d ON trim(r.line) = d.dline
+GROUP BY r.doc_id
+"""

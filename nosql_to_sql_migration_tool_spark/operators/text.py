@@ -691,3 +691,69 @@ JOIN uni u2 ON str_split(bi.bigram, ' ')[2] = u2.tok
 CROSS JOIN n
 ORDER BY lift DESC, bigram LIMIT {top_n}
 """
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean inverse corpus frequency — the log-free
+    perplexity proxy of CCNet-style LM quality filtering: documents made
+    of corpus-common tokens score near 0, documents of corpus-unique
+    tokens score 1. ``(id, n_tokens, rarity)`` where
+    ``rarity = round(sum(round(1/freq(t), 6)) / n_tokens, 6)`` over the
+    doc's token occurrences. ln()-free on purpose: libm log rounding
+    differs across engines, while 1/freq is IEEE-exact division and the
+    6-dp round + DECIMAL accumulation makes the sum order-independent
+    (the tfidf_scores contract).
+
+    Plan: one exploded token stream feeds BOTH the corpus histogram and
+    the per-doc join — Spark computes the explode twice (self-join), but
+    each side is a narrow (id, token) projection; the histogram side is
+    map-side combinable and vocabulary-sized, so the join broadcasts at
+    steady state (AQE) or shuffles on the token otherwise. Zero-token
+    documents produce no output row (no occurrences to average)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    weight = (
+        F.round(F.lit(1.0) / F.col("__cnt"), 6)
+        .cast(DecimalType(18, 6))
+        .alias("__w")
+    )
+    return (
+        tok.join(freq, "__tok")
+        .select(F.col(id_col), weight)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("__w").cast("double") / F.count(F.lit(1)), 6
+            ).alias("rarity"),
+        )
+    )
+
+
+def token_rarity_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``token_rarity`` (1.0 cast to DOUBLE — DuckDB's
+    bare 1.0 literal is DECIMAL and decimal division semantics differ
+    from Spark's double division)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH __tok AS (
+  SELECT {id_expr} AS doc_id, unnest({toks}) AS tok FROM {table}
+),
+__freq AS (
+  SELECT tok, count(*) AS cnt FROM __tok GROUP BY tok
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / f.cnt, 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+             6) AS rarity
+FROM __tok t JOIN __freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+"""

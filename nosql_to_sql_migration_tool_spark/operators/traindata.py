@@ -163,3 +163,147 @@ def length_bucketed_batches(
         "batch_id",
         F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixture sampling — rebalance a multi-domain
+# corpus toward flatter domain proportions (the alpha-smoothed sampling of
+# multilingual/multi-source LM training) with a deterministic hash keep
+# decision per row.
+# ---------------------------------------------------------------------------
+
+MIXTURE_HASH_SPAN = 4294967296.0  # 2^32: md5's first 8 hex digits
+
+
+def domain_mixture_rates(
+    df: DataFrame,
+    domain_col: str = "lang",
+    budget_frac: float = 0.8,
+) -> DataFrame:
+    """Per-domain sampling rates ``(domain, n_docs, rate)`` for an
+    alpha=0.5 temperature-smoothed target mixture: domain weight
+    ``w = sqrt(n)`` (sqrt is IEEE-correctly-rounded, so both engines
+    compute the identical double; a general ``pow`` is not), target
+    share ``w / sum(w)``, and ``rate = min(1, budget*N*share / n)`` so
+    the expected kept volume is ``budget_frac * N`` with over-
+    represented domains down-sampled hardest. The 6-dp round + DECIMAL
+    sum of weights makes ``sum(w)`` accumulation-order-free — the whole
+    rate table is bit-reproducible under any partitioning.
+
+    Plan: one combinable group-by on the domain (domains are few), a
+    1-row total aggregate cross-joined back (broadcast) — metadata-sized
+    at any corpus scale."""
+    from pyspark.sql.types import DecimalType
+
+    per = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    per = per.select(
+        domain_col,
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")), 6)
+        .cast(DecimalType(18, 6))
+        .alias("__w"),
+    )
+    tot = per.agg(
+        F.sum("__w").alias("__tw"), F.sum("n_docs").alias("__n")
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(budget_frac)
+                * F.col("__n").cast("double")
+                * (F.col("__w").cast("double") / F.col("__tw").cast("double"))
+            )
+            / F.col("n_docs").cast("double"),
+        ),
+        6,
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n_docs", rate.alias("rate")
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    budget_frac: float = 0.8,
+) -> DataFrame:
+    """Rows kept by the per-domain rate, decided per row as
+    ``md5(id)[:8] < hex(floor(rate * 2^32))`` — the deterministic
+    keep-fraction idiom of ``split_bucket``, but against a COMPUTED
+    bound, so the hex bound is built with ``lpad(lower(hex(...)), 8)``
+    on both engines. ``rate >= 1`` short-circuits (its bound would be 9
+    hex digits). Output ``(id, domain)``.
+
+    Plan: tiny rate table broadcast-joined onto the corpus, then a pure
+    filter projection — no data shuffle at any scale."""
+    rates = domain_mixture_rates(df, domain_col, budget_frac)
+    bound = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(F.col("rate") * F.lit(MIXTURE_HASH_SPAN)).cast(
+                    "bigint"
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    keep = (F.col("rate") >= 1.0) | (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < bound
+    )
+    return (
+        df.join(F.broadcast(rates.select(domain_col, "rate")), domain_col)
+        .filter(keep)
+        .select(id_col, domain_col)
+    )
+
+
+def _mixture_rates_cte(
+    table: str, domain_col: str, budget_frac: float
+) -> str:
+    return f"""
+__per AS (
+  SELECT {domain_col} AS domain, count(*) AS n_docs,
+         CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS w
+  FROM {table} GROUP BY {domain_col}
+),
+__tot AS (SELECT sum(w) AS tw, sum(n_docs) AS n FROM __per),
+__rates AS (
+  SELECT domain, n_docs,
+         round(least(CAST(1.0 AS DOUBLE),
+           ({budget_frac} * CAST(n AS DOUBLE)
+             * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+           / CAST(n_docs AS DOUBLE)), 6) AS rate
+  FROM __per, __tot
+)"""
+
+
+def domain_mixture_rates_sql(
+    table: str = "documents",
+    domain_col: str = "lang",
+    budget_frac: float = 0.8,
+) -> str:
+    """DuckDB twin of ``domain_mixture_rates``."""
+    return (
+        f"WITH {_mixture_rates_cte(table, domain_col, budget_frac)}\n"
+        f"SELECT domain AS {domain_col}, n_docs, rate FROM __rates"
+    )
+
+
+def domain_mixture_sample_sql(
+    table: str = "documents",
+    domain_col: str = "lang",
+    id_expr: str = "doc_id",
+    budget_frac: float = 0.8,
+) -> str:
+    """DuckDB twin of ``domain_mixture_sample``."""
+    return f"""
+WITH {_mixture_rates_cte(table, domain_col, budget_frac)}
+SELECT t.{id_expr} AS {id_expr}, t.{domain_col} AS {domain_col}
+FROM {table} t JOIN __rates r ON t.{domain_col} = r.domain
+WHERE r.rate >= 1.0
+   OR substr(md5(CAST(t.{id_expr} AS VARCHAR)), 1, 8) <
+      lpad(lower(to_hex(CAST(floor(r.rate * {MIXTURE_HASH_SPAN}) AS BIGINT))), 8, '0')
+"""

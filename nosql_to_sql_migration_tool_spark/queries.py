@@ -4638,3 +4638,107 @@ def q_semantic_near_dup_multiprobe(spark, sf_dir):
         emb, threshold=0.9, n_probe=2,
         assigned=_dup_emb_assigned(spark, sf_dir, "multiprobe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level (boilerplate) dedup over the lined-documents fixture — the
+# C4/RefinedWeb scrub between document-level dedup and quality filtering.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.fixtures import (  # noqa: E402
+    LINED_DOCUMENTS_SQL,
+    lined_documents,
+)
+from nosql_to_sql_migration_tool_spark.operators.cleaning import (  # noqa: E402
+    duplicate_lines,
+    duplicate_lines_sql,
+    strip_duplicate_lines,
+    strip_duplicate_lines_sql,
+)
+
+
+@query(
+    "duplicate_lines",
+    duplicate_lines_sql(table=f"({LINED_DOCUMENTS_SQL})", min_docs=2),
+)
+def q_duplicate_lines(spark, sf_dir):
+    """Cross-document duplicate (boilerplate) lines with doc/occurrence
+    counts — one combinable shuffle keyed on the line; hot boilerplate
+    lines fold map-side, so skew is bounded by partition count."""
+    docs = lined_documents(load_table(spark, sf_dir, "documents"))
+    return duplicate_lines(docs, min_docs=2)
+
+
+@query(
+    "line_dedup_docs",
+    strip_duplicate_lines_sql(table=f"({LINED_DOCUMENTS_SQL})", min_docs=2),
+)
+def q_line_dedup_docs(spark, sf_dir):
+    """Documents with every cross-document duplicate line removed and
+    the text reassembled in original line order (array_sort-pinned —
+    collect_list alone is partition-order-dependent). Every input doc
+    keeps one output row; fully-boilerplate docs come back empty."""
+    docs = lined_documents(load_table(spark, sf_dir, "documents"))
+    return strip_duplicate_lines(docs, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM rarity scoring (log-free perplexity proxy) — operators/text.py
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    token_rarity,
+    token_rarity_sql,
+)
+
+
+@query("token_rarity_scores", token_rarity_sql(table="documents"))
+def q_token_rarity_scores(spark, sf_dir):
+    """Mean inverse corpus frequency per document — the CCNet-style LM
+    quality signal without ln() (libm rounding is engine-specific;
+    1/freq + 6-dp DECIMAL accumulation is exact). Histogram side is
+    vocabulary-sized and broadcasts at steady state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity(docs)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixture sampling — operators/traindata.py
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    domain_mixture_rates,
+    domain_mixture_rates_sql,
+    domain_mixture_sample,
+    domain_mixture_sample_sql,
+)
+
+
+@query(
+    "domain_mixture_rates",
+    domain_mixture_rates_sql(table="documents", domain_col="lang",
+                             budget_frac=0.8),
+)
+def q_domain_mixture_rates(spark, sf_dir):
+    """Per-language alpha=0.5 temperature sampling rates for an 80%
+    token budget: over-represented languages down-sampled hardest,
+    under-represented ones kept whole (rate capped at 1). The whole
+    rate table is two metadata-sized aggregates — bit-reproducible
+    (sqrt is IEEE-exact; weight sums are 6-dp DECIMAL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture_rates(docs, domain_col="lang", budget_frac=0.8)
+
+
+@query(
+    "domain_mixture_sample",
+    domain_mixture_sample_sql(table="documents", domain_col="lang",
+                              id_expr="doc_id", budget_frac=0.8),
+)
+def q_domain_mixture_sample(spark, sf_dir):
+    """The mixture applied: deterministic per-row keep decision
+    ``md5(doc_id)[:8] < hex(floor(rate * 2^32))`` against the broadcast
+    rate table — a pure filter projection, zero data shuffle at any
+    corpus size, reproducible under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture_sample(docs, domain_col="lang",
+                                 budget_frac=0.8)

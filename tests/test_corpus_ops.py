@@ -1,0 +1,120 @@
+"""Behavior tests for the round-5 corpus operators: line-level
+(boilerplate) dedup, unigram rarity scoring, and temperature-weighted
+domain mixture sampling. Oracle parity is covered by test_oracle_parity;
+these pin the semantic contracts that parity alone can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import lined_documents
+from nosql_to_sql_migration_tool_spark.operators.cleaning import (
+    duplicate_lines,
+    strip_duplicate_lines,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import token_rarity
+from nosql_to_sql_migration_tool_spark.operators.traindata import (
+    domain_mixture_rates,
+    domain_mixture_sample,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_lines_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "keep me\nfooter text\nunique one"),
+            (2, "footer text\nother line"),
+            (3, "footer text\nfooter text\nsolo"),
+            (4, ""),
+        ],
+    )
+    dup = {r["line"]: r for r in duplicate_lines(docs, min_docs=2).collect()}
+    assert set(dup) == {"footer text"}
+    assert dup["footer text"]["n_docs"] == 3
+    assert dup["footer text"]["n_occurrences"] == 4
+
+
+def test_strip_duplicate_lines_preserves_every_doc(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "keep me\nfooter text\nunique one"),
+            (2, "footer text\nother line"),
+            (3, "footer text\nfooter text"),  # fully boilerplate
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_lines(docs, 2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["clean_text"] == "keep me\nunique one"
+    assert out[1]["n_removed"] == 1
+    assert out[3]["clean_text"] == ""  # all lines removed, row survives
+    assert out[3]["n_kept"] == 0 and out[3]["n_removed"] == 2
+    assert out[4]["clean_text"] == ""  # empty doc: one empty line, kept
+    assert out[4]["n_kept"] == 1 and out[4]["n_removed"] == 0
+
+
+def test_strip_duplicate_lines_idempotent(spark):
+    """A second pass over already-stripped text removes nothing: the
+    duplicate criterion is cross-document, and pass one removed every
+    qualifying line from every document."""
+    docs = lined_documents(load_table(spark, SF_DIR_SMOKE, "documents"))
+    once = strip_duplicate_lines(docs, 2).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = strip_duplicate_lines(once, 2)
+    assert twice.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_token_rarity_hand_computed(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "c")])
+    out = {r["doc_id"]: r for r in token_rarity(docs).collect()}
+    # freq: a=2, b=1, c=1. doc1: (0.5 + 0.5 + 1.0)/3; doc2: 1/1.
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["rarity"] == pytest.approx(0.666667, abs=1e-6)
+    assert out[2]["rarity"] == 1.0
+
+
+def test_token_rarity_skips_empty_docs(spark):
+    docs = _docs(spark, [(1, "x y"), (2, "   ")])
+    assert [r["doc_id"] for r in token_rarity(docs).collect()] == [1]
+
+
+def test_mixture_rates_hit_budget_and_flatten(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    rates = {
+        r["lang"]: r for r in domain_mixture_rates(docs, "lang", 0.8).collect()
+    }
+    n_total = sum(r["n_docs"] for r in rates.values())
+    assert all(0 < r["rate"] <= 1.0 for r in rates.values())
+    # Expected kept volume stays at/below the budget (the rate cap can
+    # only shrink it; 6-dp rate rounding can add up to ~n*5e-7) and
+    # within 25% of it on this corpus.
+    expected = sum(r["rate"] * r["n_docs"] for r in rates.values())
+    assert expected <= 0.8 * n_total + 0.01
+    assert expected >= 0.6 * n_total
+    # Temperature flattening: the most over-represented domain gets the
+    # lowest rate.
+    biggest = max(rates.values(), key=lambda r: r["n_docs"])
+    assert biggest["rate"] == min(r["rate"] for r in rates.values())
+
+
+def test_mixture_sample_deterministic_subset(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    a = sorted(
+        r["doc_id"] for r in domain_mixture_sample(docs, "lang").collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in domain_mixture_sample(docs, "lang").collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(a) <= all_ids
