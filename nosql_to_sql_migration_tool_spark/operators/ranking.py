@@ -116,3 +116,52 @@ def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     return (
         F.when(rank <= cut, first).otherwise(rest)
     ).cast("int")
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact inclusive running ``sum(value_col)`` in global
+    ``order_cols`` order — ``sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` without the single-partition window, by the same
+    monotonic-bucket decomposition as ``bucketed_rank``:
+
+        global_cum(row) = bucket_offset(bucket) + local_cum(row)
+
+    where bucket_offset is the total of all strictly-lower buckets
+    (n_buckets rows to the driver — metadata, never data). Exactness
+    contract: ``value_col`` must sum associatively (integers or
+    DECIMAL; raw doubles would make the result accumulation-order-
+    dependent in ANY formulation, windowed or bucketed)."""
+    with_bkt = df.withColumn(_BKT, bucket)
+    w = (
+        Window.partitionBy(_BKT)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_bkt.withColumn(_LOCAL, F.sum(value_col).over(w))
+    totals = sorted(
+        (r[0], r[1])
+        for r in with_bkt.groupBy(_BKT)
+        .agg(F.sum(value_col).alias("__t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for b, t in totals:
+        offsets.append((b, acc))
+        acc += t
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, [_BKT, "__cum_off"])
+    )
+    return (
+        local.join(off_df, _BKT)
+        .withColumn(out_col, F.col("__cum_off") + F.col(_LOCAL))
+        .drop(_BKT, _LOCAL, "__cum_off")
+    )

@@ -307,3 +307,79 @@ WHERE r.rate >= 1.0
    OR substr(md5(CAST(t.{id_expr} AS VARCHAR)), 1, 8) <
       lpad(lower(to_hex(CAST(floor(r.rate * {MIXTURE_HASH_SPAN}) AS BIGINT))), 8, '0')
 """
+
+
+def token_budget_selection(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy data selection under a global token budget: rank documents
+    by quality (ties by id), take the prefix whose inclusive running
+    token total stays within ``budget`` — the deterministic "best docs
+    until the budget is spent" selection of dataset curation.
+
+    The running total is an exact global cumsum in (quality DESC, id)
+    order computed WITHOUT a single-partition window
+    (operators/ranking.py:bucketed_cumsum): quality lives in [0, 1], so
+    ``floor((1 - quality) * 32)`` is a free monotone bucketing; each
+    bucket cumsums in parallel and only the 33 bucket totals visit the
+    driver. Token counts are integers, so the decomposed sum is
+    bit-identical to the windowed form at any parallelism.
+
+    Output ``(id, quality_score, n_tokens, cum_tokens)`` for the
+    selected documents."""
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        with_text_stats,
+    )
+
+    scored = with_text_stats(docs, text_col).select(
+        F.col(id_col),
+        "quality_score",
+        F.col("n_ws_tokens").alias("n_tokens"),
+    )
+    bucket = F.floor(
+        (F.lit(1.0) - F.col("quality_score")) * F.lit(32)
+    ).cast("long")
+    cum = bucketed_cumsum(
+        scored,
+        bucket,
+        [F.col("quality_score").desc(), F.col(id_col)],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= budget).select(
+        id_col, "quality_score", "n_tokens", "cum_tokens"
+    )
+
+
+def token_budget_selection_sql(
+    budget: int, table: str = "documents"
+) -> str:
+    """DuckDB twin of ``token_budget_selection`` — the plain windowed
+    cumsum the bucketed decomposition is bit-identical to."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        text_stats_sql,
+    )
+
+    stats = text_stats_sql("text")
+    return f"""
+WITH __scored AS (
+  SELECT doc_id, {stats['quality_score']} AS quality_score,
+         {stats['n_ws_tokens']} AS n_tokens
+  FROM {table}
+),
+__cum AS (
+  SELECT doc_id, quality_score, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY quality_score DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM __scored
+)
+SELECT doc_id, quality_score, n_tokens, cum_tokens
+FROM __cum WHERE cum_tokens <= {budget}
+"""

@@ -4742,3 +4742,23 @@ def q_domain_mixture_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return domain_mixture_sample(docs, domain_col="lang",
                                  budget_frac=0.8)
+
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    token_budget_selection,
+    token_budget_selection_sql,
+)
+
+
+@query(
+    "token_budget_selection",
+    token_budget_selection_sql(budget=10_000, table="documents"),
+)
+def q_token_budget_selection(spark, sf_dir):
+    """Greedy quality-ranked selection under a 10k-token budget — the
+    exact global running total computed by monotone-bucket
+    decomposition (33 bucket totals to the driver, every cumsum window
+    partition-bounded), bit-identical to the oracle's single
+    ``SUM OVER (ORDER BY ...)`` window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_selection(docs, budget=10_000)

@@ -118,3 +118,73 @@ def test_mixture_sample_deterministic_subset(spark):
     assert a == b and 0 < len(a) < docs.count()
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert set(a) <= all_ids
+
+
+def test_bucketed_cumsum_equals_global_window(spark):
+    """The monotone-bucket cumsum decomposition must be bit-identical
+    to the single-partition window form it replaces."""
+    from pyspark.sql import Window
+
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        with_text_stats,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    scored = with_text_stats(docs).select(
+        "doc_id", "quality_score", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    bucket = F.floor(
+        (F.lit(1.0) - F.col("quality_score")) * F.lit(32)
+    ).cast("long")
+    fast = bucketed_cumsum(
+        scored,
+        bucket,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        "n_tokens",
+        out_col="cum_tokens",
+    ).select("doc_id", "cum_tokens")
+    w = (
+        Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slow = scored.select(
+        "doc_id", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_token_budget_selection_boundary(spark):
+    """The selection takes exactly the maximal quality-ranked prefix
+    within budget: its total is <= budget and adding any one more
+    token-bearing doc would exceed it (or nothing was left)."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        token_budget_selection,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    budget = 5_000
+    sel = token_budget_selection(docs, budget=budget).collect()
+    assert sel, "budget selected nothing"
+    assert max(r["cum_tokens"] for r in sel) <= budget
+    n_docs = docs.count()
+    if len(sel) < n_docs:
+        # The first excluded doc (next in the same ranking) would have
+        # pushed the total past the budget.
+        total = max(r["cum_tokens"] for r in sel)
+        picked = {r["doc_id"] for r in sel}
+        from nosql_to_sql_migration_tool_spark.operators.text import (
+            with_text_stats,
+        )
+
+        rest = (
+            with_text_stats(docs)
+            .filter(~F.col("doc_id").isin(picked))
+            .orderBy(F.col("quality_score").desc(), "doc_id")
+            .select("n_ws_tokens")
+            .first()
+        )
+        assert total + rest["n_ws_tokens"] > budget
