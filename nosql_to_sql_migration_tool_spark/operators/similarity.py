@@ -1173,3 +1173,117 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cos_sim")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-label centroid ``(label, centroid: array<double>)``.
+
+    Element-wise means are computed by position-exploding the vectors
+    and summing 6-dp-rounded DECIMAL coordinates — a raw double sum
+    would make every centroid coordinate accumulation-order-dependent
+    (non-deterministic across partitionings AND across engines). One
+    combinable shuffle on (label, dim): dim is a fixed small constant,
+    so shuffle volume is n_vectors * dim narrow rows; reassembly sorts
+    (dim, value) structs per label — labels * dim rows, metadata-sized.
+    """
+    from pyspark.sql.types import DecimalType
+
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("__d", "__v"),
+    )
+    cent = ex.groupBy("label", "__d").agg(
+        F.round(
+            F.sum(F.round(F.col("__v"), 6).cast(DecimalType(18, 6))).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__c")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__c"))),
+            lambda s: s["__c"],
+        ).alias("centroid")
+    )
+
+
+def label_centroid_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The k vectors per label FARTHEST from their own label's centroid
+    (lowest cosine, ties by id) — the mislabeled/outlier mining pass of
+    embedding-set curation. Output ``(id, label, cos_centroid)``.
+
+    Plan: centroids are labels-many rows — broadcast joined back, so
+    the corpus is scanned once with a codegen cosine fold per row; the
+    per-label top-k is a window over the label partition (bounded by
+    the label's row count; for a degenerate single-label corpus use the
+    salted two-phase top-k of ``knn_join``)."""
+    cent = label_centroids(emb, label_col, vec_col)
+    sim = (
+        emb.select(
+            F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col)
+        )
+        .join(F.broadcast(cent), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            cosine(as_double(F.col(vec_col)), F.col("centroid")).alias(
+                "cos_centroid"
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_centroid").asc(), F.col(id_col)
+    )
+    return (
+        sim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "label", "cos_centroid")
+    )
+
+
+def label_centroid_outliers_sql(
+    k: int = 5, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of ``label_centroid_outliers`` (1-based subscripts
+    vs Spark's 0-based positions — both only key the per-dim group, so
+    the offset never shows in the output)."""
+    return f"""
+WITH __e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+),
+__ex AS (
+  SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM __e
+),
+__cent AS (
+  SELECT label, d,
+         round(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM __ex GROUP BY label, d
+),
+__cvec AS (
+  SELECT label, list(c ORDER BY d) AS centroid FROM __cent GROUP BY label
+),
+__sim AS (
+  SELECT e.vec_id, e.label,
+         {cosine_sql('e.v', 'cv.centroid')} AS cos_centroid
+  FROM __e e JOIN __cvec cv ON e.label = cv.label
+),
+__ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rn
+  FROM __sim
+)
+SELECT vec_id, label, cos_centroid FROM __ranked WHERE rn <= {k}
+"""

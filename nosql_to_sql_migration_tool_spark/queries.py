@@ -4762,3 +4762,22 @@ def q_token_budget_selection(spark, sf_dir):
     ``SUM OVER (ORDER BY ...)`` window."""
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_selection(docs, budget=10_000)
+
+
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    label_centroid_outliers,
+    label_centroid_outliers_sql,
+)
+
+
+@query(
+    "label_centroid_outliers",
+    label_centroid_outliers_sql(k=5, table="embeddings"),
+)
+def q_label_centroid_outliers(spark, sf_dir):
+    """Per-label embedding outliers: exact DECIMAL-accumulated label
+    centroids (order-free element-wise means), broadcast back, one
+    codegen cosine fold per vector, bottom-5 per label — the
+    mislabeled-embedding mining pass of training-set curation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, k=5)

@@ -188,3 +188,30 @@ def test_token_budget_selection_boundary(spark):
             .first()
         )
         assert total + rest["n_ws_tokens"] > budget
+
+
+def test_label_centroid_outliers_finds_planted_outlier(spark):
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    rows = [
+        # label 0: tight cluster near +x, one planted opposite vector
+        (1, [1.0, 0.1, 0.0], 0),
+        (2, [1.0, 0.0, 0.1], 0),
+        (3, [0.9, 0.1, 0.1], 0),
+        (4, [-1.0, 0.0, 0.0], 0),  # the outlier
+        # label 1: two agreeing vectors
+        (5, [0.0, 1.0, 0.0], 1),
+        (6, [0.0, 0.9, 0.1], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    top = {
+        r["label"]: r
+        for r in label_centroid_outliers(emb, k=1).collect()
+    }
+    assert top[0]["vec_id"] == 4
+    assert top[0]["cos_centroid"] < 0
+    assert top[1]["vec_id"] in (5, 6)
