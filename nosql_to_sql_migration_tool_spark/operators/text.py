@@ -17,7 +17,7 @@ shingles (a 1-permutation MinHash — operators/dedup.py generalizes it).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import DecimalType
 
 TOKEN_RE = "[A-Za-z0-9]+"
@@ -756,4 +756,67 @@ SELECT t.doc_id, count(*) AS n_tokens,
              6) AS rarity
 FROM __tok t JOIN __freq f ON t.tok = f.tok
 GROUP BY t.doc_id
+"""
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    keep_frac: float = 0.7,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain adaptive quality cutoff: keep each domain's top
+    ``keep_frac`` of documents by quality score (ties by id) — the
+    per-source threshold pass of corpus curation, where a single global
+    cutoff would empty low-resource domains. Rank-based on purpose:
+    an interpolated percentile threshold is float-fragile across
+    engines, while ``rank <= ceil(keep_frac * n_domain)`` is integer-
+    exact. Output ``(id, domain, quality_score)``.
+
+    Plan: one shuffle on the domain; both the rank and the domain count
+    come from the same window partition (no second aggregate or join).
+    Partition width is the largest domain's row count — the same
+    contract (and the same two-phase escape hatch) as every per-group
+    top-k here."""
+    scored = with_text_stats(df, text_col).select(
+        F.col(id_col), F.col(domain_col), "quality_score"
+    )
+    w = Window.partitionBy(domain_col)
+    rn = F.row_number().over(
+        w.orderBy(F.col("quality_score").desc(), F.col(id_col))
+    )
+    n = F.count(F.lit(1)).over(w)
+    return (
+        scored.withColumn("__rn", rn)
+        .withColumn("__n", n)
+        .filter(
+            F.col("__rn")
+            <= F.ceil(F.lit(keep_frac) * F.col("__n").cast("double"))
+        )
+        .select(id_col, domain_col, "quality_score")
+    )
+
+
+def adaptive_quality_filter_sql(
+    keep_frac: float = 0.7,
+    table: str = "documents",
+    domain_col: str = "lang",
+) -> str:
+    """DuckDB twin of ``adaptive_quality_filter``."""
+    q = text_stats_sql("text")["quality_score"]
+    return f"""
+WITH __scored AS (
+  SELECT doc_id, {domain_col}, {q} AS quality_score FROM {table}
+),
+__ranked AS (
+  SELECT doc_id, {domain_col}, quality_score,
+         row_number() OVER (PARTITION BY {domain_col}
+           ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY {domain_col}) AS n
+  FROM __scored
+)
+SELECT doc_id, {domain_col}, quality_score
+FROM __ranked
+WHERE rn <= ceil({keep_frac} * CAST(n AS DOUBLE))
 """

@@ -4781,3 +4781,24 @@ def q_label_centroid_outliers(spark, sf_dir):
     mislabeled-embedding mining pass of training-set curation."""
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_outliers(emb, k=5)
+
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    adaptive_quality_filter,
+    adaptive_quality_filter_sql,
+)
+
+
+@query(
+    "adaptive_quality_filter",
+    adaptive_quality_filter_sql(keep_frac=0.7, table="documents",
+                                domain_col="lang"),
+)
+def q_adaptive_quality_filter(spark, sf_dir):
+    """Per-language top-70% quality cutoff — integer-exact rank
+    semantics (an interpolated percentile threshold would be
+    float-fragile cross-engine); rank and domain count share one
+    window partition, so the whole filter is a single shuffle on the
+    language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return adaptive_quality_filter(docs, keep_frac=0.7)

@@ -215,3 +215,24 @@ def test_label_centroid_outliers_finds_planted_outlier(spark):
     assert top[0]["vec_id"] == 4
     assert top[0]["cos_centroid"] < 0
     assert top[1]["vec_id"] in (5, 6)
+
+
+def test_adaptive_quality_filter_per_domain_fractions(spark):
+    from math import ceil
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        adaptive_quality_filter,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    kept = adaptive_quality_filter(docs, keep_frac=0.7).collect()
+    per_domain_all = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    per_domain_kept: dict = {}
+    for r in kept:
+        per_domain_kept[r["lang"]] = per_domain_kept.get(r["lang"], 0) + 1
+    # Every domain keeps exactly ceil(0.7 * n) docs — no domain empties.
+    for lang, n in per_domain_all.items():
+        assert per_domain_kept.get(lang, 0) == ceil(0.7 * n), lang
