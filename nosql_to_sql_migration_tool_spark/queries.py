@@ -4802,3 +4802,87 @@ def q_adaptive_quality_filter(spark, sf_dir):
     language."""
     docs = load_table(spark, sf_dir, "documents")
     return adaptive_quality_filter(docs, keep_frac=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (operators/pq.py) — the memory-compression scale
+# path next to IVF blocking: 4-byte codes instead of 256-byte raw vectors.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.pq import (  # noqa: E402
+    pq_codebooks,
+    pq_topk,
+    pq_topk_sql,
+)
+
+_PQ_BOOK_CACHE: dict[tuple, tuple] = {}
+_PQ_ENC_CACHE: dict[tuple, tuple] = {}
+
+
+def _memo_pq_books(spark: SparkSession, sf_dir: str):
+    key = (sf_dir,)
+    entry = _PQ_BOOK_CACHE.get(key)
+    if entry is None or entry[0] is not spark:
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_codebooks(emb)
+        _PQ_BOOK_CACHE[key] = (spark, books)
+        return books
+    return entry[1]
+
+
+def _memo_pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted compressed index, shared by the ADC and rerank
+    queries (the argmin encode is an interpreted-HOF projection — the
+    one expensive pass here, exactly the artifact a production pipeline
+    persists)."""
+    from nosql_to_sql_migration_tool_spark.operators.pq import pq_encode
+
+    books = _memo_pq_books(spark, sf_dir)
+
+    def build():
+        return pq_encode(load_table(spark, sf_dir, "embeddings"), books)
+
+    return _cached(_PQ_ENC_CACHE, spark, (sf_dir, "enc"), build)
+
+
+@query("pq_topk", pq_topk_sql(table="embeddings"))
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 for the vec_id=0 query: M=4
+    subspace codebooks trained L2-deterministically on one md5-ranked
+    256-vector sample (memoized per corpus), corpus encoded to 4 small
+    codes per vector, scored from codes alone — at scale the scan
+    reads the 4-byte code column, never the raw embeddings. The oracle
+    re-derives sample, per-subspace Lloyd's, codes, and ADC scores as
+    an unrolled DuckDB CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        _memo_pq_books(spark, sf_dir),
+        k=10,
+        enc=_memo_pq_encoded(spark, sf_dir),
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.pq import (  # noqa: E402
+    pq_topk_rerank,
+    pq_topk_rerank_sql,
+)
+
+
+@query("pq_topk_rerank", pq_topk_rerank_sql(table="embeddings"))
+def q_pq_topk_rerank(spark, sf_dir):
+    """PQ candidate generation + exact re-rank — ADC picks 100
+    candidates from the 4-byte codes, only those fetch raw vectors for
+    an exact inner-product top-10 (recall@10 8/10 vs 2/10 for raw ADC
+    ranks here). The candidate width is constant in corpus size, so
+    raw-vector reads never grow with the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_rerank(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        _memo_pq_books(spark, sf_dir),
+        k=10,
+        n_candidates=100,
+        enc=_memo_pq_encoded(spark, sf_dir),
+    )

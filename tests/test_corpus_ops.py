@@ -236,3 +236,75 @@ def test_adaptive_quality_filter_per_domain_fractions(spark):
     # Every domain keeps exactly ceil(0.7 * n) docs — no domain empties.
     for lang, n in per_domain_all.items():
         assert per_domain_kept.get(lang, 0) == ceil(0.7 * n), lang
+
+
+def _pq_setup(spark):
+    from nosql_to_sql_migration_tool_spark.operators.pq import pq_codebooks
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    return emb, pq_codebooks(emb)
+
+
+def test_pq_codes_are_bounded_and_deterministic(spark):
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        PQ_CODES,
+        PQ_M,
+        pq_encode,
+    )
+
+    emb, books = _pq_setup(spark)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == PQ_M for c in a.values())
+    assert all(0 <= x < PQ_CODES for c in a.values() for x in c)
+
+
+def test_pq_query_ranks_itself_first(spark):
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        pq_topk,
+        pq_topk_rerank,
+    )
+
+    emb, books = _pq_setup(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    assert pq_topk(emb, q, books, k=3).first()["vec_id"] == 0
+    assert pq_topk_rerank(emb, q, books, k=3).first()["vec_id"] == 0
+
+
+def test_pq_rerank_beats_raw_adc_recall(spark):
+    """The exact re-rank over ADC candidates must recover at least as
+    many of the true top-10 as the raw ADC ranking (and find most of
+    them on this corpus)."""
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        pq_topk,
+        pq_topk_rerank,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        as_double,
+        dot,
+    )
+
+    emb, books = _pq_setup(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    qv = q.select(as_double(F.col("embedding")).alias("qv"))
+    exact = {
+        r["vec_id"]
+        for r in emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(dot(as_double(F.col("embedding")), F.col("qv")), 6)
+            .alias("ip"),
+        )
+        .orderBy(F.col("ip").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    adc = {r["vec_id"] for r in pq_topk(emb, q, books, k=10).collect()}
+    rer = {
+        r["vec_id"]
+        for r in pq_topk_rerank(emb, q, books, k=10, n_candidates=100)
+        .collect()
+    }
+    assert len(rer & exact) >= len(adc & exact)
+    assert len(rer & exact) >= 6
