@@ -109,3 +109,41 @@ def test_ivf_partitioned_corpus_prunes_probe_scan(spark, tmp_path):
     assert "cluster" in plan.split("PartitionFilters")[1][:200], plan
     got = {r["cluster"] for r in probe.select("cluster").distinct().collect()}
     assert got <= {0, 2}
+
+
+def test_pq_scores_from_code_column_only(spark, tmp_path):
+    """The PQ memory claim, executed: persist the encoded index, score a
+    query against it, and the scan must read ONLY (id, codes) — the raw
+    embedding column never enters the plan."""
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    books = pq_codebooks(emb, train_limit=64)
+    path = str(tmp_path / "pq_index")
+    pq_encode(emb, books).write.parquet(path)
+    enc = spark.read.parquet(path)
+    top = pq_topk(
+        emb, emb.filter(F.col("vec_id") == 0), books, k=5, enc=enc
+    )
+    plan = _plan(top)
+    assert "ReadSchema: struct<vec_id:bigint,codes:" in plan, plan
+    assert "embedding" not in plan.split("ReadSchema")[1][:200], plan
+    assert top.count() == 5
+
+
+def test_domain_mixture_sample_joins_broadcast_only(spark):
+    """The rate table must broadcast — a sort-merge shuffle of the
+    corpus against a handful of domain rows would be the wrong plan at
+    any scale."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        domain_mixture_sample,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    plan = _plan(domain_mixture_sample(docs, "lang"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
