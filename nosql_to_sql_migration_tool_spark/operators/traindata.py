@@ -223,22 +223,20 @@ def domain_mixture_rates(
     )
 
 
-def domain_mixture_sample(
+def apply_mixture_rates(
     df: DataFrame,
+    rates: DataFrame,
     domain_col: str = "lang",
     id_col: str = "doc_id",
-    budget_frac: float = 0.8,
 ) -> DataFrame:
-    """Rows kept by the per-domain rate, decided per row as
+    """Apply a (domain, rate) table: keep a row iff
     ``md5(id)[:8] < hex(floor(rate * 2^32))`` — the deterministic
     keep-fraction idiom of ``split_bucket``, but against a COMPUTED
     bound, so the hex bound is built with ``lpad(lower(hex(...)), 8)``
     on both engines. ``rate >= 1`` short-circuits (its bound would be 9
-    hex digits). Output ``(id, domain)``.
-
-    Plan: tiny rate table broadcast-joined onto the corpus, then a pure
-    filter projection — no data shuffle at any scale."""
-    rates = domain_mixture_rates(df, domain_col, budget_frac)
+    hex digits). Output ``(id, domain)``. Stateless given the rate
+    table, so it streams unchanged (streaming/cdc_stream.py's ingest
+    twin joins the same broadcast table against a readStream)."""
     bound = F.lpad(
         F.lower(
             F.hex(
@@ -258,6 +256,20 @@ def domain_mixture_sample(
         .filter(keep)
         .select(id_col, domain_col)
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    budget_frac: float = 0.8,
+) -> DataFrame:
+    """``apply_mixture_rates`` against rates derived from the corpus
+    itself. Plan: two metadata-sized aggregates for the rate table,
+    broadcast back, pure filter projection — no data shuffle at any
+    scale."""
+    rates = domain_mixture_rates(df, domain_col, budget_frac)
+    return apply_mixture_rates(df, rates, domain_col, id_col)
 
 
 def _mixture_rates_cte(

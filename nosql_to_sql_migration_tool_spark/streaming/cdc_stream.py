@@ -247,3 +247,20 @@ def stream_clean_corpus(docs_stream: DataFrame) -> DataFrame:
     )
 
     return with_clean_text(docs_stream)
+
+
+def stream_mixture_ingest(
+    docs_stream: DataFrame, rates: DataFrame
+) -> DataFrame:
+    """Steady-state mixture sampling at ingest: the temperature-
+    weighted rate table is computed OFFLINE by a periodic batch pass
+    (``domain_mixture_rates`` — two metadata-sized aggregates) and
+    applied to the document stream as a static broadcast join + pure
+    filter. The keep decision is a function of (md5(id), rate) only, so
+    replays and reordering cannot change the kept set — exactly-once
+    composition needs no state."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        apply_mixture_rates,
+    )
+
+    return apply_mixture_rates(docs_stream, rates)

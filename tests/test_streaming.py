@@ -316,3 +316,42 @@ def test_stream_clean_corpus_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _same_rows(spark.read.parquet(out_dir), with_clean_text(docs))
+
+
+def test_stream_mixture_ingest_matches_batch(spark, tmp_path):
+    """Mixture sampling at ingest is stateless given the offline rate
+    table: streaming the corpus through it must keep exactly the batch
+    operator's rows."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        domain_mixture_rates,
+        domain_mixture_sample,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.cdc_stream import (
+        stream_mixture_ingest,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "lang"
+    )
+    rates = domain_mixture_rates(
+        load_table(spark, SF_DIR_SMOKE, "documents"), "lang", 0.8
+    )
+    stream_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("overwrite").parquet(stream_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = (
+        stream_mixture_ingest(stream, rates)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = domain_mixture_sample(
+        load_table(spark, SF_DIR_SMOKE, "documents"), "lang",
+        budget_frac=0.8,
+    )
+    assert _same_rows(spark.read.parquet(out_dir), batch)
