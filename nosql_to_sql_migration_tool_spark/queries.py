@@ -4886,3 +4886,65 @@ def q_pq_topk_rerank(spark, sf_dir):
         n_candidates=100,
         enc=_memo_pq_encoded(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-side dedup survivors: LSH pair generation (similarity.py)
+# composed with the generic transitive-component machinery (dedup.py) —
+# the vector-corpus twin of the text near-dup survivor pipeline.
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE docs AS ({DUPLICATED_EMBEDDINGS_SQL}),
+sig AS (
+  SELECT vec_id, embedding, {lsh_bits_sql('embedding')} AS bits FROM docs
+),
+bands AS (
+  SELECT vec_id, embedding, generate_subscripts(b, 1) AS band_idx,
+         unnest(b) AS band_val
+  FROM (SELECT vec_id, embedding,
+               [substr(bits, 1, 8), substr(bits, 9, 8)] AS b FROM sig)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+  WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.9
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS member, min(dst) AS component_id FROM reach GROUP BY src
+)
+SELECT component_id AS vec_id, count(*) AS n_members
+FROM comp GROUP BY component_id
+"""
+
+
+@query("semantic_dedup_survivors", _SEMANTIC_SURVIVORS_ORACLE)
+def q_semantic_dedup_survivors(spark, sf_dir):
+    """Embedding-corpus dedup survivors: hyperplane-LSH near-dup pairs
+    (>= 0.9 cosine) feed the SAME min-label-propagation component
+    operator the text pipeline uses (it is generic over any orderable
+    id + edge set), keeping one min-id vector per transitive group —
+    ``(vec_id, n_members)``. Oracle re-derives pairs and reachability
+    (recursive CTE) independently."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    pairs = embedding_near_dup(emb, threshold=0.9).select("id_a", "id_b")
+    labels = near_dup_components(emb, id_col="vec_id", pairs=pairs)
+    return labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).select(F.col("component_id").alias("vec_id"), "n_members")
