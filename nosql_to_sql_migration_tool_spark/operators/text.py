@@ -820,3 +820,134 @@ SELECT doc_id, {domain_col}, quality_score
 FROM __ranked
 WHERE rn <= ceil({keep_frac} * CAST(n AS DOUBLE))
 """
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """Document near-dup pairs by idf-weighted shingle cosine — the
+    WEIGHTED complement of Jaccard near-dup: shared rare shingles count
+    for much more than shared boilerplate, so templated documents that
+    Jaccard over-merges separate cleanly. With distinct shingles the
+    vector is binary and the weight is pure idf, so both the numerator
+    and the norms are sums of the same per-shingle ``round(idf², 6)``
+    DECIMAL terms — order-free exact accumulation, one definition.
+
+    Candidate generation is rare-shingle blocking (the prefix-filter
+    idea): only shingles in ``2..df_cap`` documents emit pairs, so
+    per-shingle pair fan-out is ≤ df_cap² and total candidate volume is
+    linear in the corpus for a fixed cap — never all-pairs. Recall
+    contract: a pair is only found if it shares at least one rare
+    shingle (near-dups share many; two documents built entirely from
+    corpus-common shingles are invisible, by design).
+
+    Plan: one shingle-row projection feeds df counts, weights, norms
+    and candidates; the scoring join is candidates ⋈ weights(a) ⋈
+    weights(b, same shingle) — shuffles keyed on doc ids, row volume
+    Σ_cand |shingles(a)|. Output ``(id_a, id_b, cos_sim)``. ``rows``
+    lets callers hand in a persisted distinct (id, __s) projection
+    (e.g. exploded from the dedup family's shared shingle sets)."""
+    from pyspark.sql.types import DecimalType
+
+    if rows is None:
+        rows = shingle_rows(df, text_col, id_col, distinct=True)
+    dfreq = rows.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    nn = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.col("__n").cast("double") / F.col("__df")
+    w = (
+        rows.join(dfreq, "__s")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col(id_col),
+            "__s",
+            F.round(idf * idf, 6).cast(DecimalType(18, 6)).alias("__w2"),
+        )
+    )
+    n2 = w.groupBy(id_col).agg(F.sum("__w2").alias("__n2"))
+    rare = dfreq.filter(
+        (F.col("__df") >= 2) & (F.col("__df") <= df_cap)
+    ).select("__s")
+    rare_rows = rows.join(rare, "__s")
+    cand = (
+        rare_rows.select(F.col(id_col).alias("id_a"), "__s")
+        .join(rare_rows.select(F.col(id_col).alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = w.select(F.col(id_col).alias("id_a"), "__s", "__w2")
+    wb = w.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    num = (
+        cand.join(wa, "id_a")
+        .join(
+            wb,
+            (wb.id_b == cand.id_b) & (F.col("__sb") == F.col("__s")),
+        )
+        .groupBy(cand.id_a, cand.id_b)
+        .agg(F.sum("__w2").alias("__num"))
+    )
+    na = n2.select(F.col(id_col).alias("id_a"), F.col("__n2").alias("__na"))
+    nb = n2.select(F.col(id_col).alias("id_b"), F.col("__n2").alias("__nb"))
+    cos = F.round(
+        F.col("__num").cast("double")
+        / (
+            F.sqrt(F.col("__na").cast("double"))
+            * F.sqrt(F.col("__nb").cast("double"))
+        ),
+        6,
+    )
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    df_cap: int = 5,
+) -> str:
+    """DuckDB twin of ``tfidf_cosine_pairs``."""
+    cos = (
+        "round(CAST(num AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * "
+        "sqrt(CAST(nb.n2 AS DOUBLE))), 6)"
+    )
+    return f"""
+WITH __rows AS (
+  SELECT doc_id, unnest({word_shingles_sql('text')}) AS s FROM {table}
+),
+__dfreq AS (SELECT s, count(*) AS df FROM __rows GROUP BY s),
+__nn AS (SELECT count(*) AS n FROM {table}),
+__w AS (
+  SELECT r.doc_id, r.s,
+         CAST(round((CAST(n AS DOUBLE)/df)*(CAST(n AS DOUBLE)/df), 6)
+              AS DECIMAL(18,6)) AS w2
+  FROM __rows r JOIN __dfreq USING (s), __nn
+),
+__n2 AS (SELECT doc_id, sum(w2) AS n2 FROM __w GROUP BY doc_id),
+__rare AS (SELECT s FROM __dfreq WHERE df BETWEEN 2 AND {df_cap}),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __rows a JOIN __rows b USING (s) JOIN __rare USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+__num AS (
+  SELECT c.id_a, c.id_b, sum(wa.w2) AS num
+  FROM __cand c
+  JOIN __w wa ON wa.doc_id = c.id_a
+  JOIN __w wb ON wb.doc_id = c.id_b AND wb.s = wa.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, {cos} AS cos_sim
+FROM __num
+JOIN __n2 na ON na.doc_id = __num.id_a
+JOIN __n2 nb ON nb.doc_id = __num.id_b
+WHERE {cos} >= {threshold}
+"""

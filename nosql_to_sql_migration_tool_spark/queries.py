@@ -4964,3 +4964,27 @@ def q_semantic_dedup_survivors(spark, sf_dir):
     return labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
     ).select(F.col("component_id").alias("vec_id"), "n_members")
+
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    tfidf_cosine_pairs,
+    tfidf_cosine_pairs_sql,
+)
+
+
+@query(
+    "tfidf_cosine_pairs",
+    tfidf_cosine_pairs_sql(table=f"({DUPLICATED_DOCUMENTS_SQL})",
+                           threshold=0.8, df_cap=5),
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Idf-weighted shingle-cosine near-dup pairs over the planted-
+    duplicates corpus — the weighted complement of Jaccard: shared rare
+    shingles dominate, shared boilerplate barely counts. Rare-shingle
+    blocking (df 2..5) keeps candidate volume linear; exact copies
+    score 1.0, planted near-dups ~0.84-0.95."""
+    docs = _dedup_docs(spark, sf_dir)
+    rows = _dedup_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("__sh").alias("__s")
+    )
+    return tfidf_cosine_pairs(docs, threshold=0.8, df_cap=5, rows=rows)

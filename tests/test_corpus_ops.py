@@ -308,3 +308,37 @@ def test_pq_rerank_beats_raw_adc_recall(spark):
     }
     assert len(rer & exact) >= len(adc & exact)
     assert len(rer & exact) >= 6
+
+
+def test_tfidf_cosine_weights_rare_overlap_over_boilerplate(spark):
+    """The reason this operator exists next to Jaccard: two documents
+    sharing only corpus-wide boilerplate must score LOW, while a pair
+    sharing rare content scores HIGH — even when the raw shingle
+    overlap fractions are comparable."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    boiler = "click here to accept all cookies now"
+    docs = _docs(
+        spark,
+        [
+            # 1 & 2: only the boilerplate in common (it appears in ALL
+            # docs, so its shingles have maximal df -> tiny idf).
+            (1, boiler + " alpha beta gamma delta epsilon"),
+            (2, boiler + " zeta eta theta iota kappa"),
+            # 3 & 4: share a rare 5-token run on top of the boilerplate.
+            (3, boiler + " lambda mu nu xi omicron"),
+            (4, boiler + " lambda mu nu xi sigma"),
+            # filler so boilerplate shingles exceed the rare df cap
+            (5, boiler + " tau upsilon phi chi psi"),
+            (6, boiler + " omega one two three four"),
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, df_cap=5).collect()
+    }
+    assert (3, 4) in pairs
+    boiler_score = pairs.get((1, 2), 0.0)
+    assert pairs[(3, 4)] > 2 * max(boiler_score, 0.05)
