@@ -141,6 +141,7 @@ def duplicate_lines(
     min_docs: int = LINE_MIN_DOCS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Lines (trimmed, non-empty) appearing in >= ``min_docs`` DISTINCT
     documents: ``(line, n_docs, n_occurrences)``.
@@ -153,8 +154,10 @@ def duplicate_lines(
     expands to a two-level aggregate (Spark plans it as such) — still
     combinable."""
     trimmed = F.trim(F.col("line"))
+    if rows is None:
+        rows = line_rows(df, text_col, id_col)
     return (
-        line_rows(df, text_col, id_col)
+        rows
         .select(F.col(id_col), trimmed.alias("line"))
         .filter(F.length("line") > 0)
         .groupBy("line")
@@ -184,9 +187,11 @@ def strip_duplicate_lines(
     ``collect_list`` order is partition-dependent, the sort makes the
     result deterministic under any parallelism."""
     rows = line_rows(df, text_col, id_col)
-    dups = duplicate_lines(df, min_docs, text_col, id_col).select(
-        F.col("line").alias("__dup_line")
-    )
+    # One line-row projection feeds both the duplicate-line set and the
+    # reassembly side (the rows= handoff avoids a second corpus explode).
+    dups = duplicate_lines(
+        df, min_docs, text_col, id_col, rows=rows
+    ).select(F.col("line").alias("__dup_line"))
     flagged = rows.join(
         dups, F.trim(F.col("line")) == F.col("__dup_line"), "left"
     )

@@ -113,7 +113,14 @@ def pq_codebooks(
         .collect()
     )
     vecs = [list(r["__v"]) for r in sample]
+    if not vecs:
+        raise ValueError("pq_codebooks: empty training corpus")
     dim = len(vecs[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_codebooks: dim {dim} not divisible by m={m} subspaces"
+            " (trailing dimensions would silently drop out of every code)"
+        )
     sub = dim // m
     books = []
     for s in range(m):
@@ -197,6 +204,8 @@ def pq_topk(
     qrow = query_df.select(
         as_double(F.col(vec_col)).alias("__qv")
     ).first()
+    if qrow is None:
+        raise ValueError("pq_topk: query_df matched no rows")
     qv = list(qrow["__qv"])
     if enc is None:
         enc = pq_encode(df, books, vec_col, id_col)
@@ -298,7 +307,13 @@ def _pq_ctes(
 ) -> tuple[list[str], str, str]:
     """Shared CTE chain: returns (ctes, joined score tables, total
     DECIMAL score expression)."""
+    import re as _re
+
     sub = dim // m
+    # Rewrite the predicate's id column to the CTE's alias on word
+    # boundaries only — a naive .replace() would corrupt predicates
+    # where id_col appears as a substring of another identifier.
+    pred = _re.sub(rf"\b{_re.escape(id_col)}\b", "id", query_pred)
     ctes = [
         f"__e AS (SELECT {id_col} AS id, "
         f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v, "
@@ -306,8 +321,7 @@ def _pq_ctes(
         "__samp AS (SELECT id, v, rk FROM ("
         "SELECT id, v, row_number() OVER (ORDER BY hm, id) AS rk FROM __e"
         f") WHERE rk <= {train_limit})",
-        f"__q AS (SELECT v AS qv FROM __e WHERE "
-        f"{query_pred.replace(id_col, 'id')})",
+        f"__q AS (SELECT v AS qv FROM __e WHERE {pred})",
     ]
     score_joins = []
     for s in range(m):

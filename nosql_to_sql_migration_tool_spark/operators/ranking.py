@@ -36,6 +36,14 @@ _BKT = "__rank_bkt"
 _LOCAL = "__rank_local"
 
 
+def _raise_null_bucket():
+    raise ValueError(
+        "bucket expression produced NULL for some rows — the monotone-"
+        "bucket contract requires a total, non-null bucket function "
+        "(map NULL sort keys to a sentinel bucket explicitly)"
+    )
+
+
 def bucketed_rank(
     df: DataFrame,
     bucket: Column,
@@ -53,6 +61,7 @@ def bucketed_rank(
     counts = sorted(
         (r[0], r[1])
         for r in with_bkt.groupBy(_BKT).count().collect()
+        if r[0] is not None or _raise_null_bucket()
     )
     offsets, acc = [], 0
     for b, c in counts:
@@ -145,10 +154,11 @@ def bucketed_cumsum(
     )
     local = with_bkt.withColumn(_LOCAL, F.sum(value_col).over(w))
     totals = sorted(
-        (r[0], r[1])
+        (r[0], r[1] if r[1] is not None else 0)
         for r in with_bkt.groupBy(_BKT)
         .agg(F.sum(value_col).alias("__t"))
         .collect()
+        if r[0] is not None or _raise_null_bucket()
     )
     offsets, acc = [], 0
     for b, t in totals:

@@ -1243,8 +1243,12 @@ def label_centroid_outliers(
             ),
         )
     )
+    # NULLS pinned LAST on both engines: a zero-norm vector or zero
+    # centroid makes the cosine NULL, and Spark's ASC default is NULLS
+    # FIRST while DuckDB's is NULLS LAST — unpinned, such a row would
+    # be a "top outlier" on one engine and excluded on the other.
     w = Window.partitionBy("label").orderBy(
-        F.col("cos_centroid").asc(), F.col(id_col)
+        F.col("cos_centroid").asc_nulls_last(), F.col(id_col)
     )
     return (
         sim.withColumn("__rn", F.row_number().over(w))
@@ -1282,7 +1286,7 @@ __sim AS (
 ),
 __ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rn
+    PARTITION BY label ORDER BY cos_centroid ASC NULLS LAST, vec_id) AS rn
   FROM __sim
 )
 SELECT vec_id, label, cos_centroid FROM __ranked WHERE rn <= {k}

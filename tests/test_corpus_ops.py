@@ -342,3 +342,42 @@ def test_tfidf_cosine_weights_rare_overlap_over_boilerplate(spark):
     assert (3, 4) in pairs
     boiler_score = pairs.get((1, 2), 0.0)
     assert pairs[(3, 4)] > 2 * max(boiler_score, 0.05)
+
+
+def test_guards_raise_clear_errors(spark):
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        pq_codebooks,
+        pq_topk,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, m=5)  # 64 dims / 5 subspaces
+    with pytest.raises(ValueError, match="empty training corpus"):
+        pq_codebooks(emb.filter(F.col("vec_id") < 0))
+    books = pq_codebooks(emb, train_limit=64)
+    with pytest.raises(ValueError, match="matched no rows"):
+        pq_topk(emb, emb.filter(F.col("vec_id") < 0), books)
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "id long, v int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_cumsum(
+            docs,
+            F.when(F.col("id") != 2, F.col("id")),  # NULL bucket for id=2
+            [F.col("id")],
+            "v",
+        )
+
+
+def test_pq_oracle_predicate_rewrite_is_word_bounded(spark):
+    """The oracle builder rewrites the id column to the CTE alias on
+    word boundaries only — a predicate mentioning a column whose name
+    CONTAINS the id column must survive intact."""
+    from nosql_to_sql_migration_tool_spark.operators.pq import pq_topk_sql
+
+    sql = pq_topk_sql(query_pred="vec_id = 0 AND 'src_vec_id' <> 'x'")
+    assert "WHERE id = 0 AND 'src_vec_id' <> 'x'" in sql
