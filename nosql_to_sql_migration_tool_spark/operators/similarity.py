@@ -1291,3 +1291,56 @@ __ranked AS (
 )
 SELECT vec_id, label, cos_centroid FROM __ranked WHERE rn <= {k}
 """
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine between label centroids ``(label_a, label_b,
+    cos_sim)`` for label_a < label_b — the label-space confusion
+    structure of an embedding set: two labels whose centroids nearly
+    coincide are candidates for merging (or evidence of labeling
+    noise). Labels-many rows on both sides, so the self-join is
+    metadata-sized at any corpus scale; the corpus is touched exactly
+    once, by the centroid aggregation."""
+    cent = label_centroids(emb, label_col, vec_col)
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("__ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("__cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine(F.col("__ca"), F.col("__cb")).alias("cos_sim"),
+        )
+    )
+
+
+def label_centroid_similarity_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of ``label_centroid_similarity``."""
+    return f"""
+WITH __e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+),
+__ex AS (
+  SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM __e
+),
+__cent AS (
+  SELECT label, d,
+         round(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM __ex GROUP BY label, d
+),
+__cvec AS (
+  SELECT label, list(c ORDER BY d) AS centroid FROM __cent GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {cosine_sql('a.centroid', 'b.centroid')} AS cos_sim
+FROM __cvec a JOIN __cvec b ON a.label < b.label
+"""

@@ -4988,3 +4988,22 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
         "doc_id", F.explode("__sh").alias("__s")
     )
     return tfidf_cosine_pairs(docs, threshold=0.8, df_cap=5, rows=rows)
+
+
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    label_centroid_similarity,
+    label_centroid_similarity_sql,
+)
+
+
+@query(
+    "label_centroid_similarity",
+    label_centroid_similarity_sql(table="embeddings"),
+)
+def q_label_centroid_similarity(spark, sf_dir):
+    """Label-space confusion structure: pairwise cosine between the
+    exact DECIMAL-accumulated label centroids — near-coincident
+    centroids flag mergeable or noisy label pairs. One corpus pass for
+    the centroids; the pair join is labels x labels, metadata-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(emb)

@@ -381,3 +381,16 @@ def test_pq_oracle_predicate_rewrite_is_word_bounded(spark):
 
     sql = pq_topk_sql(query_pred="vec_id = 0 AND 'src_vec_id' <> 'x'")
     assert "WHERE id = 0 AND 'src_vec_id' <> 'x'" in sql
+
+
+def test_label_centroid_similarity_shape(spark):
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    rows = label_centroid_similarity(emb).collect()
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    assert all(r["label_a"] < r["label_b"] for r in rows)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
