@@ -701,3 +701,139 @@ def incremental_new_docs(
     )
     first = fresh.groupBy("exact_fp").agg(F.min(id_col).alias(id_col))
     return first.select(id_col, "exact_fp")
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the AllPairs/
+    PPJoin principle, Bayardo et al. WWW'07 / Xiao et al. WWW'08): every
+    pair with shingle Jaccard >= tau is found — no LSH false negatives.
+    Output ``(id_a, id_b, jaccard)``, jaccard rounded 6 dp, id_a < id_b.
+
+    Principle: order each document's shingles by one GLOBAL order
+    (document frequency asc, shingle asc — rarest first) and keep only
+    the prefix of length ``p = s - ceil(tau*s) + 1`` (s = set size). Two
+    sets with Jaccard >= tau have overlap >= ceil(tau*max(sa, sb)), and
+    an overlap of a elements forces the prefixes of length
+    ``s - a + 1`` to intersect; ceil(tau*s) <= a makes our (longer)
+    prefix a superset of that bound, so every qualifying pair shares
+    at least one PREFIX shingle and the prefix equi-join misses
+    nothing. tau is passed as a rational (tau_num/tau_den) so both
+    engines compute ``ceil(tau*s) = (tau_num*s + tau_den - 1) div
+    tau_den`` in exact integer arithmetic — no float-boundary drift.
+
+    Scale shape: one shuffle keys shingle rows by doc for the
+    (pos, size) window, one equi-join on prefix shingles generates
+    candidates, exact Jaccard verifies. Prefix shingles are each
+    document's globally RAREST, so bucket fan-out is small by
+    construction; corpora where the output itself is quadratic (all
+    docs near-identical) are the only quadratic case — that cost is in
+    the answer, not the algorithm. Complements ``near_dup_pairs``: LSH
+    when approximate recall is acceptable, prefix filter when the
+    contract is exactness (e.g. the recall audit that grades LSH)."""
+    from pyspark.sql import Window
+
+    if rows is None:
+        rows = shingle_rows(df, text_col, id_col, distinct=True)
+    dfreq = rows.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__s")
+    sized = (
+        rows.join(dfreq, "__s")
+        .select(
+            id_col,
+            "__s",
+            F.row_number().over(w).alias("__pos"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__sz"),
+        )
+    )
+    ceil_tau_s = F.floor(
+        (F.lit(tau_num) * F.col("__sz") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    prefix = sized.filter(
+        F.col("__pos") <= F.col("__sz") - ceil_tau_s + F.lit(1)
+    ).select(id_col, "__s")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "__s")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_sets = (
+        shingles
+        if shingles is not None
+        else df.select(
+            F.col(id_col), word_shingles(F.col(text_col)).alias("__sh")
+        )
+    )
+    a = sh_sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh_sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("__sh_a", "__sh_b"))
+        * F.lit(1.0)
+        / F.size(F.array_union("__sh_a", "__sh_b")),
+        6,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(tau_num) / F.lit(tau_den))
+    )
+
+
+def jaccard_prefix_ctes_sql(tau_num: int = 3, tau_den: int = 5) -> str:
+    """CTE chain (assumes a ``docs(doc_id, text)`` CTE is in scope)
+    ending in ``__truth(id_a, id_b, jaccard)`` — the exact >= tau pair
+    set. Composable: the recall-audit oracle splices this next to the
+    MinHash-bucket CTEs over the same ``docs``."""
+    return f"""
+__prows AS (
+  SELECT doc_id, unnest({word_shingles_sql('text')}) AS s FROM docs
+),
+__pdf AS (SELECT s, count(*) AS df FROM __prows GROUP BY s),
+__pref AS (
+  SELECT doc_id, s FROM (
+    SELECT r.doc_id, r.s,
+           row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.s)
+             AS pos,
+           count(*) OVER (PARTITION BY r.doc_id) AS sz
+    FROM __prows r JOIN __pdf d USING (s))
+  WHERE pos <= sz - floor(({tau_num}*sz + {tau_den - 1})/{tau_den}) + 1
+),
+__pcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __pref a JOIN __pref b USING (s) WHERE a.doc_id < b.doc_id
+),
+__psh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+__truth AS (
+  SELECT * FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM __pcand c
+    JOIN __psh sa ON c.id_a = sa.doc_id
+    JOIN __psh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= {tau_num} * 1.0 / {tau_den}
+)"""
+
+
+def jaccard_prefix_pairs_sql(
+    docs_sql: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> str:
+    """DuckDB twin of ``jaccard_prefix_pairs`` over a docs CTE body with
+    (doc_id, text)."""
+    return (
+        f"WITH docs AS ({docs_sql}),\n"
+        f"{jaccard_prefix_ctes_sql(tau_num, tau_den)}\n"
+        "SELECT id_a, id_b, jaccard FROM __truth"
+    )

@@ -1344,3 +1344,65 @@ SELECT a.label AS label_a, b.label AS label_b,
        {cosine_sql('a.centroid', 'b.centroid')} AS cos_sim
 FROM __cvec a JOIN __cvec b ON a.label < b.label
 """
+
+
+def sampled_truth_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    sample_limit: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT cosine >= threshold pairs restricted to pairs with at least
+    one endpoint in a deterministic md5-ranked ``sample_limit``-vector
+    sample — the ground-truth side of an ANN/LSH recall audit.
+
+    Brute-forcing ALL n² pairs for truth is exactly the cost ANN exists
+    to avoid, so a production recall audit estimates recall on a
+    bounded sample: sample × corpus is linear in the corpus (the sample
+    side broadcasts; one TakeOrderedAndProject picks it), and recall
+    over sample-incident pairs is an unbiased estimate of pair recall.
+    Pairs are normalized to ``id_a < id_b`` and deduped (both-sampled
+    pairs appear from each side). Output ``(id_a, id_b, cos_sim)``."""
+    base = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    )
+    sample = (
+        base.withColumn("__m", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__m", id_col)
+        .limit(sample_limit)
+        .select(F.col(id_col).alias("__sid"), F.col("__v").alias("__sv"))
+    )
+    cos = cosine(F.col("__v"), F.col("__sv"))
+    return (
+        base.crossJoin(F.broadcast(sample))
+        .filter(F.col(id_col) != F.col("__sid"))
+        .select(
+            F.least(id_col, "__sid").alias("id_a"),
+            F.greatest(id_col, "__sid").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def sampled_truth_ctes_sql(
+    threshold: float = 0.9,
+    sample_limit: int = 64,
+) -> str:
+    """CTE chain (assumes ``docs(vec_id, embedding)`` in scope) ending in
+    ``__struth(id_a, id_b, cos_sim)`` — the sampled exact pair truth."""
+    cos = cosine_sql("d.embedding", "s.sv")
+    return f"""
+__samp AS (
+  SELECT vec_id AS sid, embedding AS sv FROM docs
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_limit}
+),
+__struth AS (
+  SELECT DISTINCT least(d.vec_id, s.sid) AS id_a,
+         greatest(d.vec_id, s.sid) AS id_b,
+         {cos} AS cos_sim
+  FROM docs d, __samp s
+  WHERE d.vec_id <> s.sid AND {cos} >= {threshold}
+)"""

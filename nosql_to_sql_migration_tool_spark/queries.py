@@ -5007,3 +5007,260 @@ def q_label_centroid_similarity(spark, sf_dir):
     the centroids; the pair join is labels x labels, metadata-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_similarity(emb)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filter) + LSH recall audit + skew-salted
+# join parity (round 5 additions)
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
+    jaccard_prefix_ctes_sql,
+    jaccard_prefix_pairs,
+    jaccard_prefix_pairs_sql,
+)
+
+_TRUTH_PAIRS_CACHE: dict[str, tuple] = {}
+
+
+def _prefix_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT >= 0.6 Jaccard pair set via prefix filtering, persisted —
+    consumed by the pair query itself and the LSH recall audit."""
+    return _cached(
+        _TRUTH_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: jaccard_prefix_pairs(
+            _dedup_docs(spark, sf_dir),
+            tau_num=3,
+            tau_den=5,
+            rows=_dedup_shingles(spark, sf_dir).select(
+                "doc_id", F.explode("__sh").alias("__s")
+            ),
+            shingles=_dedup_shingles(spark, sf_dir),
+        ),
+    )
+
+
+@query(
+    "jaccard_prefix_pairs",
+    jaccard_prefix_pairs_sql(DUPLICATED_DOCUMENTS_SQL, tau_num=3, tau_den=5),
+)
+def q_jaccard_prefix_pairs(spark, sf_dir):
+    """EXACT near-dup pairs (Jaccard >= 0.6) by AllPairs/PPJoin prefix
+    filtering — no LSH false negatives: per-doc shingles ordered by
+    global rarity, only the ``s - ceil(0.6 s) + 1`` rarest block, the
+    prefix equi-join provably covers every qualifying pair, exact
+    Jaccard verifies. The deterministic complement of ``near_dup_pairs``
+    (threshold as the rational 3/5 so both engines ceil in integer
+    arithmetic)."""
+    return _prefix_truth_pairs(spark, sf_dir)
+
+
+@query(
+    "minhash_recall_audit",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+ver AS (
+  SELECT * FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+),
+{jaccard_prefix_ctes_sql(3, 5)}
+SELECT
+  (SELECT count(*) FROM __truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_candidates,
+  (SELECT count(*) FROM ver) AS n_verified,
+  (SELECT count(*) FROM ver v
+     JOIN __truth t ON v.id_a = t.id_a AND v.id_b = t.id_b) AS n_hit,
+  CAST(CASE WHEN (SELECT count(*) FROM __truth) = 0 THEN 1.0
+       ELSE round((SELECT count(*) FROM ver v
+                     JOIN __truth t ON v.id_a = t.id_a AND v.id_b = t.id_b)
+                  * 1.0 / (SELECT count(*) FROM __truth), 6) END
+       AS DOUBLE) AS recall,
+  CAST(CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 1.0
+       ELSE round((SELECT count(*) FROM ver) * 1.0 /
+                  (SELECT count(*) FROM cand), 6) END
+       AS DOUBLE) AS efficiency
+""",
+)
+def q_minhash_recall_audit(spark, sf_dir):
+    """Self-measuring LSH quality: grade the MinHash band pipeline
+    against the EXACT prefix-filter pair set on the same corpus, same
+    threshold. One metrics row — truth size, raw LSH candidate volume,
+    verified-pair count, truth∩verified, recall (verified/truth; LSH
+    bands are the only lossy stage, the Jaccard verify is exact) and
+    candidate efficiency (verified/candidates — how much of the bucket
+    join was wasted). The production knob-tuning loop for N_BANDS /
+    ROWS_PER_BAND runs THIS query on a sample, not a guess."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    docs = _dedup_docs(spark, sf_dir)
+    truth = _prefix_truth_pairs(spark, sf_dir).select("id_a", "id_b")
+    cand = minhash_candidates(docs, shingles=_dedup_shingles(spark, sf_dir))
+    ver = _dedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    hit = ver.join(truth, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    v = ver.agg(F.count(F.lit(1)).alias("n_verified"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    row = (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(h))
+    )
+    recall = F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+        F.round(F.col("n_hit") / F.col("n_truth"), 6)
+    )
+    eff = F.when(F.col("n_candidates") == 0, F.lit(1.0)).otherwise(
+        F.round(F.col("n_verified") / F.col("n_candidates"), 6)
+    )
+    return row.select(
+        "n_truth",
+        "n_candidates",
+        "n_verified",
+        "n_hit",
+        recall.cast("double").alias("recall"),
+        eff.cast("double").alias("efficiency"),
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.skew import (  # noqa: E402
+    salted_join,
+)
+
+
+@query(
+    "salted_revenue_by_brand",
+    """
+SELECT p.p_brand AS p_brand,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_salted_revenue_by_brand(spark, sf_dir):
+    """Skew-salted fact⋈dim join, proven row-identical to the plain
+    join by the oracle: lineitem spreads each partkey over 8 salt
+    sub-keys, part replicates once per salt, the join runs on
+    (key, salt) so a hot partkey occupies 8 tasks instead of one
+    straggler — then the usual brand revenue rollup. The oracle is the
+    UNSALTED join: identical results is the salting contract."""
+    from pyspark.sql.types import DecimalType
+
+    fact = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(fact, dim, "l_partkey", n_salts=8)
+    term = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(DecimalType(18, 4))
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(term).cast("double").alias("revenue"),
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E402
+    sampled_truth_ctes_sql,
+    sampled_truth_pairs,
+)
+
+
+@query(
+    "embedding_lsh_recall_audit",
+    f"""
+WITH docs AS ({DUPLICATED_EMBEDDINGS_SQL}),
+sig AS (
+  SELECT vec_id, embedding, {lsh_bits_sql('embedding')} AS bits FROM docs
+),
+bands AS (
+  SELECT vec_id, embedding, generate_subscripts(b, 1) AS band_idx,
+         unnest(b) AS band_val
+  FROM (SELECT vec_id, embedding,
+               [substr(bits, 1, 8), substr(bits, 9, 8)] AS b FROM sig)
+),
+ver AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+  ) WHERE cos_sim >= 0.9
+),
+{sampled_truth_ctes_sql(threshold=0.9, sample_limit=64)},
+vscope AS (
+  SELECT DISTINCT v.id_a, v.id_b FROM ver v
+  WHERE v.id_a IN (SELECT sid FROM __samp)
+     OR v.id_b IN (SELECT sid FROM __samp)
+)
+SELECT
+  (SELECT count(*) FROM __struth) AS n_truth,
+  (SELECT count(*) FROM vscope) AS n_verified_scope,
+  (SELECT count(*) FROM vscope v
+     JOIN __struth t ON v.id_a = t.id_a AND v.id_b = t.id_b) AS n_hit,
+  CAST(CASE WHEN (SELECT count(*) FROM __struth) = 0 THEN 1.0
+       ELSE round((SELECT count(*) FROM vscope v
+                     JOIN __struth t ON v.id_a = t.id_a
+                                    AND v.id_b = t.id_b)
+                  * 1.0 / (SELECT count(*) FROM __struth), 6) END
+       AS DOUBLE) AS recall
+""",
+)
+def q_embedding_lsh_recall_audit(spark, sf_dir):
+    """Recall audit for the hyperplane-LSH embedding near-dup path:
+    grade its verified pairs against EXACT cosine truth on a 64-vector
+    md5-ranked sample (sample × corpus broadcast scan — the linear-cost
+    audit shape that still works when n² brute force doesn't). One
+    metrics row: sampled truth size, LSH pairs touching the sample,
+    their intersection, recall estimate. THIS query — run on a sample
+    per ingest batch — is how the band/bit knobs get tuned at 100 TB,
+    not offline guesswork."""
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    truth = sampled_truth_pairs(
+        emb, threshold=0.9, sample_limit=64
+    ).select("id_a", "id_b")
+    sids = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("__m"))
+        .orderBy("__m", "vec_id")
+        .limit(64)
+        .select("vec_id")
+    )
+    ver = _memo_emb_pairs(spark, sf_dir).select("id_a", "id_b")
+    va = ver.join(
+        F.broadcast(sids.withColumnRenamed("vec_id", "id_a")), "id_a",
+        "left_semi",
+    )
+    vb = ver.join(
+        F.broadcast(sids.withColumnRenamed("vec_id", "id_b")), "id_b",
+        "left_semi",
+    )
+    vscope = va.unionByName(vb).distinct()
+    hit = vscope.join(truth, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    v = vscope.agg(F.count(F.lit(1)).alias("n_verified_scope"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    row = t.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(h))
+    recall = F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+        F.round(F.col("n_hit") / F.col("n_truth"), 6)
+    )
+    return row.select(
+        "n_truth",
+        "n_verified_scope",
+        "n_hit",
+        recall.cast("double").alias("recall"),
+    )

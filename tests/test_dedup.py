@@ -175,3 +175,61 @@ def test_near_dup_components_string_ids(spark):
     }
     assert comps["doc-a"] == comps["doc-b"] == comps["doc-c"] == "doc-a"
     assert comps["doc-z"] == "doc-z"
+
+
+def test_jaccard_prefix_pairs_complete_vs_brute_force(spark, docs):
+    """The prefix-filter contract is EXACTNESS: the pair set must equal
+    brute-force all-pairs Jaccard >= 0.6 on the fixture corpus (LSH is
+    allowed to miss pairs; this operator is not)."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import word_shingles
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(docs).collect()
+    }
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                * F.lit(1.0)
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in brute.collect()}
+    assert got == want
+    assert len(want) > 0  # the fixture plants near-dups; empty = broken test
+
+
+def test_jaccard_prefix_pairs_short_and_single_shingle_docs(spark):
+    """Boundary sizes: s=1 gives prefix length 1 (the whole set); exact
+    integer ceil means tau boundaries are hit exactly, not float-fuzzed."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two"),          # < k tokens: single whole-text shingle
+            ("b", "one two"),          # identical -> jaccard 1.0
+            ("c", "something else"),   # disjoint single shingle
+        ],
+        "doc_id string, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(docs).collect()
+    }
+    assert pairs == {("a", "b"): 1.0}

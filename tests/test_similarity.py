@@ -258,3 +258,18 @@ def test_semantic_near_dup_blocking_recall(spark):
         p for p in found if p[0] in base_ids and p[1] in base_ids
     ]
     assert natural == []
+
+
+def test_sampled_truth_pairs_normalizes_and_dedups(spark):
+    """A pair whose BOTH endpoints land in the sample is generated from
+    each side — output must carry it once, id_a < id_b."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        sampled_truth_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = sampled_truth_pairs(df, threshold=0.9, sample_limit=3).collect()
+    assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in rows] == [(1, 2, 1.0)]
