@@ -53,3 +53,131 @@ def approx_quantiles(
             for q in quantiles
         ]
     )
+
+
+def binned_quantile_sketch(
+    df: DataFrame, col: str, n_bins: int = 128
+) -> DataFrame:
+    """Equal-width histogram sketch ``(bin, n_rows)`` — the REPRODUCIBLE
+    member of the sketch family: unlike HLL/t-digest (engine-specific
+    internals, rows-only checkable), its construction is pure arithmetic
+    both engines compute bit-identically, so quantile estimates from it
+    ARE oracle-checkable.
+
+    Contract (mirrored verbatim by ``binned_quantiles_sql``): values
+    cast to double, NULLs excluded; ``bin = 0`` when max == min else
+    ``least(floor(((v - mn) / (mx - mn)) * n_bins), n_bins - 1)`` with
+    every operand double (IEEE — identical expression text on both
+    sides, identical bits out). Mergeable: bin counts are additive, so
+    per-partition/per-day sketches union by summing ``n_rows`` per bin
+    — the pre-aggregation shape that answers quantile queries at 100 TB
+    without re-scanning raw data. One combinable groupBy on <= n_bins
+    keys; the min/max pre-pass is a 1-row broadcast."""
+    vals = df.select(F.col(col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    mm = vals.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
+    rel = (F.col("__v") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+    bin_ = (
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(rel * F.lit(float(n_bins))), F.lit(n_bins - 1)
+            )
+        )
+        .cast("long")
+    )
+    return (
+        vals.crossJoin(F.broadcast(mm))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Quantile estimates from the binned sketch: for each q, the upper
+    edge of the first bin whose cumulative count reaches ``q * n`` —
+    ``(q, bin, est)``, est rounded 6 dp, error bounded by one bin width.
+    Pass a pre-merged ``sketch`` to answer from stored sketches without
+    touching raw data. The cumulative window runs over <= n_bins rows
+    (metadata-sized, never the corpus)."""
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    mm = vals.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
+    h = sketch if sketch is not None else binned_quantile_sketch(df, col, n_bins)
+    cum = h.select(
+        "bin",
+        F.sum("n_rows").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cum"),
+    )
+    total = h.agg(F.sum("n_rows").alias("__n"))
+    qrows = mm.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    pick = (
+        qrows.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__cum") >= F.col("q") * F.col("__n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.round(
+        F.col("__mn")
+        + ((F.col("bin") + F.lit(1)) / F.lit(float(n_bins)))
+        * (F.col("__mx") - F.col("__mn")),
+        6,
+    )
+    return pick.crossJoin(F.broadcast(mm)).select("q", "bin", est.alias("est"))
+
+
+def binned_quantiles_sql(
+    table: str,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+) -> str:
+    """DuckDB twin of ``binned_quantiles``. Every literal is CAST to
+    DOUBLE so DuckDB's DECIMAL literal arithmetic cannot diverge from
+    Spark's double arithmetic at a cum == q*n boundary."""
+    qlist = ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+    nb = f"CAST({n_bins} AS DOUBLE)"
+    return f"""
+WITH __vals AS (
+  SELECT CAST({col} AS DOUBLE) AS v FROM {table} WHERE {col} IS NOT NULL
+),
+__mm AS (SELECT min(v) AS mn, max(v) AS mx FROM __vals),
+__b AS (
+  SELECT CASE WHEN mx = mn THEN 0
+         ELSE CAST(least(floor(((v - mn) / (mx - mn)) * {nb}),
+                         {n_bins - 1}) AS BIGINT) END AS bin
+  FROM __vals, __mm
+),
+__h AS (SELECT bin, count(*) AS n_rows FROM __b GROUP BY bin),
+__c AS (
+  SELECT bin, sum(n_rows) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM __h
+),
+__n AS (SELECT sum(n_rows) AS n FROM __h),
+__q AS (SELECT unnest([{qlist}]) AS q),
+__pick AS (
+  SELECT q, min(bin) AS bin
+  FROM __q, __c, __n
+  WHERE cum >= q * n
+  GROUP BY q
+)
+SELECT q, bin,
+       round(mn + ((bin + 1) / {nb}) * (mx - mn), 6) AS est
+FROM __pick, __mm
+"""

@@ -5264,3 +5264,26 @@ def q_embedding_lsh_recall_audit(spark, sf_dir):
         "n_hit",
         recall.cast("double").alias("recall"),
     )
+
+
+from nosql_to_sql_migration_tool_spark.operators.sketches import (  # noqa: E402
+    binned_quantiles,
+    binned_quantiles_sql,
+)
+
+
+@query(
+    "price_quantile_sketch",
+    binned_quantiles_sql("lineitem", "l_extendedprice"),
+)
+def q_price_quantile_sketch(spark, sf_dir):
+    """Quantile estimates (p25/p50/p75/p90/p99) of lineitem extended
+    price from a 128-bin equal-width histogram sketch — the REPRODUCIBLE
+    sketch: one combinable 128-key groupBy builds it, bin counts are
+    additive (per-partition/per-day sketches merge by summing), and the
+    estimate derives from <= 128 metadata-sized rows. Unlike
+    approx_percentile (engine-specific digest, not oracle-checkable)
+    this pins the full estimate cross-engine; error bound is one bin
+    width, verified by pytest against the exact percentile."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return binned_quantiles(lineitem, "l_extendedprice")
