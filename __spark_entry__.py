@@ -144,7 +144,12 @@ def _ordered_names(repo: Path = _REPO) -> list[str]:
             or not ok
         )
         if needs:
-            return (0, head_order.get(name, len(head_order)), rnd)
+            # Within the needs-attention band: semantics-CHANGED or
+            # FAILED queries (rnd > 0) outrank brand-new ones (rnd ==
+            # 0) — a stale green row is silently wrong until re-checked,
+            # while a new query is at least locally parity-tested and
+            # can wait a round if the band overflows the window.
+            return (0, head_order.get(name, len(head_order)), -rnd)
         return (1, len(head_order), rnd)
 
     names = list(QUERIES)

@@ -416,6 +416,98 @@ def near_dup_components(
     )
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star contraction over a canonical edge set
+    (columns ``a > b``). Large-star hangs every strictly-larger
+    neighbour of u onto m = min(N(u) ∪ {u}); small-star hangs the
+    smaller-or-equal neighbours AND u itself onto m. Both emit edges in
+    canonical (larger, smaller) orientation, so the output feeds the
+    next round directly."""
+    bid = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("u", "v")
+    mins = (
+        bid.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least(F.col("u"), F.col("__mn")).alias("m"))
+    )
+    joined = bid.join(mins, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = joined.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def near_dup_components_twostar(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_iterations: int = 30,
+    shingles: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive near-dup components via alternating large-star /
+    small-star contraction — the published MapReduce connected-components
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). Output is identical to ``near_dup_components``:
+    ``(id, component_id)`` with component_id = min reachable doc id.
+
+    Why a second implementation: min-label propagation needs O(diameter)
+    rounds — a 10⁶-long edit chain (pathological but real in scraped
+    corpora: boilerplate series, paginated near-copies) needs 10⁶
+    shuffles. Star contraction halves chain length every round pair,
+    converging in O(log² n) rounds worst-case and O(log n) in practice,
+    with the same per-round cost (one groupBy + one join on the edge
+    set). At 100 TB this is the difference between a bounded job and an
+    unbounded one; below ~20-round diameters the propagation variant is
+    marginally cheaper per round (no star reorientation) — SCALE.md
+    records the crossover.
+
+    Convergence detection is two scalar aggregates per round (edge count
+    + order-insensitive xxhash64 checksum), never a data collect; at the
+    fixpoint the edge set is a star forest, every edge pointing at its
+    component's min. ``localCheckpoint`` cuts lineage per round.
+    """
+    if pairs is None:
+        pairs = near_dup_pairs(df, text_col, id_col, threshold, shingles)
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iterations):
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False).localCheckpoint(eager=True)
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR fold: order-insensitive and overflow-free under ANSI
+            # mode (edges are distinct, so XOR cannot self-cancel pairs)
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    connected = edges.groupBy(F.col("a").alias(id_col)).agg(
+        F.min("b").alias("component_id")
+    )
+    return df.select(id_col).join(connected, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component_id"), F.col(id_col)).alias("component_id"),
+    )
+
+
 def dedup_near(
     df: DataFrame,
     text_col: str = "text",

@@ -395,3 +395,79 @@ __cum AS (
 SELECT doc_id, quality_score, n_tokens, cum_tokens
 FROM __cum WHERE cum_tokens <= {budget}
 """
+
+
+def sequence_packing(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are laid end-to-end in the deterministic epoch
+    shuffle order (rank of ``md5(salt|id)``) and the token stream is cut
+    into fixed ``seq_len`` chunks. Each document is assigned the chunk
+    its FIRST token lands in plus its offset inside that chunk — exactly
+    what a loader needs to materialize packed sequences (a doc may
+    straddle into following chunks; start position determines the rest).
+
+    Output ``(id, n_tokens, bin_id, bin_offset)``.
+
+    Scale: token counts are one projection; the global running offset is
+    the exact distributed cumsum of ``operators/ranking.py``
+    (``bucketed_cumsum`` over the md5-prefix bucketing — no
+    single-partition window), so the packing layout materializes at any
+    corpus size and is bit-identical to the windowed form. A different
+    ``salt`` repacks for a new epoch without touching the data."""
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+
+    m = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    counted = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        m.alias("__m"),
+    )
+    cum = bucketed_cumsum(
+        counted,
+        F.substring(F.col("__m"), 1, 2),
+        [F.col("__m"), F.col(id_col)],
+        "n_tokens",
+        out_col="__cum",
+    )
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(start / F.lit(seq_len)).cast("long").alias("bin_id"),
+        (start % F.lit(seq_len)).cast("long").alias("bin_offset"),
+    )
+
+
+def sequence_packing_sql(
+    seq_len: int, table: str = "documents", salt: str = "epoch0"
+) -> str:
+    """DuckDB twin of ``sequence_packing`` — the single-window cumsum
+    form the bucketed decomposition is bit-identical to."""
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens_sql
+
+    return f"""
+WITH __t AS (
+  SELECT doc_id,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens,
+         md5('{salt}|' || CAST(doc_id AS VARCHAR)) AS m
+  FROM {table}
+),
+__c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY m, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+  FROM __t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(start * 1.0 / {seq_len}) AS BIGINT) AS bin_id,
+       start % {seq_len} AS bin_offset
+FROM __c
+"""

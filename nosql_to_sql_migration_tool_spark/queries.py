@@ -5231,6 +5231,15 @@ def q_embedding_lsh_recall_audit(spark, sf_dir):
     per ingest batch — is how the band/bit knobs get tuned at 100 TB,
     not offline guesswork."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    ver = _memo_emb_pairs(spark, sf_dir).select("id_a", "id_b")
+    return _recall_audit_frame(emb, ver)
+
+
+def _recall_audit_frame(emb: DataFrame, ver: DataFrame) -> DataFrame:
+    """Shared audit tail: grade a verified-pair frame against exact
+    cosine truth on the 64-vector md5-ranked sample. One metrics row
+    (n_truth, n_verified_scope, n_hit, recall) — the same shape for
+    every ANN/LSH/blocking recall audit."""
     truth = sampled_truth_pairs(
         emb, threshold=0.9, sample_limit=64
     ).select("id_a", "id_b")
@@ -5240,7 +5249,6 @@ def q_embedding_lsh_recall_audit(spark, sf_dir):
         .limit(64)
         .select("vec_id")
     )
-    ver = _memo_emb_pairs(spark, sf_dir).select("id_a", "id_b")
     va = ver.join(
         F.broadcast(sids.withColumnRenamed("vec_id", "id_a")), "id_a",
         "left_semi",
@@ -5287,3 +5295,288 @@ def q_price_quantile_sketch(spark, sf_dir):
     width, verified by pytest against the exact percentile."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return binned_quantiles(lineitem, "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 surface growth: set operations and UNPIVOT (SQL shapes the
+# reference's embedded-SQL surface lacks entirely — SURVEY §2C "no set
+# ops"), a time-range window frame, deterministic modal aggregation, the
+# O(log^2 n)-round connected-components alternative, and GPT-style
+# sequence packing for the training-data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_segment_setops",
+    """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+)
+def q_customer_segment_setops(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT): customers active in both
+    1996 and 1997 but not in 1998 — churn-candidate segmentation. The
+    reference's query surface has no set ops at all (SURVEY §2C); Spark
+    plans both as hash joins (left-semi / left-anti) over the year
+    partitions, so each op is one key-shuffle, no distinct-sort."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(yr: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == yr)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return year_keys(1996).intersect(year_keys(1997)).subtract(
+        year_keys(1998)
+    )
+
+
+@query(
+    "orders_metrics_unpivot",
+    """
+WITH a AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+         max(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'max_price' AS metric, max_price AS value FROM a
+UNION ALL
+SELECT o_orderpriority, 'n_orders', n_orders FROM a
+UNION ALL
+SELECT o_orderpriority, 'sum_price', sum_price FROM a
+""",
+)
+def q_orders_metrics_unpivot(spark, sf_dir):
+    """UNPIVOT (wide metrics -> long): one grouped aggregate per
+    priority, then `DataFrame.unpivot` melts the three metric columns
+    into (metric, value) rows — the inverse of `orders_status_pivot`.
+    Spark executes unpivot as an Expand node (each input row emitted
+    once per metric, no shuffle beyond the aggregate); sums accumulate
+    in DECIMAL so the melted doubles are bit-identical cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["max_price", "n_orders", "sum_price"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "events_trailing_hour_avg",
+    """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS trailing_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_events_trailing_hour_avg(spark, sf_dir):
+    """Time-RANGE window frame: per event, the user's average value over
+    the trailing hour (inclusive). RANGE frames over epoch seconds — not
+    ROWS — so simultaneous events are all in-frame regardless of tie
+    order, making the result deterministic without a full tiebreak.
+    One shuffle on user_id; DECIMAL accumulation pins the avg
+    cross-engine at 6 dp."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    dec_sum = (
+        F.sum(F.col("value").cast(T.DecimalType(18, 2))).over(w).cast("double")
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(dec_sum / F.count(F.lit(1)).over(w), 6).alias("trailing_avg"),
+    )
+
+
+@query(
+    "modal_returnflag_by_priority",
+    """
+SELECT o_orderpriority, l_returnflag AS modal_flag, n FROM (
+  SELECT o_orderpriority, l_returnflag, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY count(*) DESC, l_returnflag) AS rn
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderpriority, l_returnflag
+) WHERE rn = 1
+""",
+)
+def q_modal_returnflag_by_priority(spark, sf_dir):
+    """Deterministic modal aggregate: the most frequent return flag per
+    order priority, ties broken to the smallest flag. Built-in `mode()`
+    is tie-nondeterministic in BOTH engines, so the mode is computed as
+    count + rank — two combinable shuffles on tiny keyspaces; the
+    row_number window partitions by priority (5 groups x 3 flags, never
+    a global window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "l_returnflag"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority", F.col("l_returnflag").alias("modal_flag"), "n"
+        )
+    )
+
+
+@query("near_dup_components_twostar", _COMPONENTS_ORACLE)
+def q_near_dup_components_twostar(spark, sf_dir):
+    """Transitive near-dup components via alternating large-star /
+    small-star contraction (Kiveris et al., SoCC'14) — same labels as
+    `near_dup_component_labels` (the oracle is the identical recursive-
+    CTE closure) but O(log^2 n) shuffle rounds instead of O(diameter):
+    the variant that stays bounded when a scraped corpus contains
+    million-long near-dup chains. Shares the memoized verified-pair
+    frame with the propagation variant, so the driver compares two
+    independent CC algorithms against one DuckDB closure."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components_twostar,
+    )
+
+    docs = _dedup_docs(spark, sf_dir)
+    return near_dup_components_twostar(
+        docs, pairs=_dedup_pairs(spark, sf_dir)
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    sequence_packing,
+    sequence_packing_sql,
+)
+
+
+@query("sequence_packing_bins", sequence_packing_sql(2048))
+def q_sequence_packing_bins(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: documents laid
+    end-to-end in deterministic epoch-shuffle order, token stream cut
+    into 2048-token bins; each doc gets (bin_id, bin_offset) of its
+    first token. The global running offset is the exact DISTRIBUTED
+    cumsum (bucketed_cumsum — md5-prefix buckets, offsets-only driver
+    traffic), bit-identical to the oracle's single window; a salt change
+    repacks the next epoch without touching the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_packing(docs, 2048)
+
+
+_BLOCKING_AUDIT_ORACLE = f"""
+WITH docs AS ({DUPLICATED_EMBEDDINGS_SQL}),
+{sampled_truth_ctes_sql(threshold=0.9, sample_limit=64)},
+ver AS (
+  SELECT id_a, id_b FROM (
+    {semantic_near_dup_sql(
+        table=f"({DUPLICATED_EMBEDDINGS_SQL})", threshold=0.9, n_iter=2,
+        n_clusters=_SF001_BLOCK_K, train_limit=_SF001_BLOCK_TRAIN,
+    )}
+  ) __snd
+),
+vscope AS (
+  SELECT DISTINCT v.id_a, v.id_b FROM ver v
+  WHERE v.id_a IN (SELECT sid FROM __samp)
+     OR v.id_b IN (SELECT sid FROM __samp)
+)
+SELECT
+  (SELECT count(*) FROM __struth) AS n_truth,
+  (SELECT count(*) FROM vscope) AS n_verified_scope,
+  (SELECT count(*) FROM vscope v
+     JOIN __struth t ON v.id_a = t.id_a AND v.id_b = t.id_b) AS n_hit,
+  CAST(CASE WHEN (SELECT count(*) FROM __struth) = 0 THEN 1.0
+       ELSE round((SELECT count(*) FROM vscope v
+                     JOIN __struth t ON v.id_a = t.id_a
+                                    AND v.id_b = t.id_b)
+                  * 1.0 / (SELECT count(*) FROM __struth), 6) END
+       AS DOUBLE) AS recall
+"""
+
+
+@query("blocking_recall_audit", _BLOCKING_AUDIT_ORACLE)
+def q_blocking_recall_audit(spark, sf_dir):
+    """Recall audit for the k-means cluster-BLOCKING near-dup path —
+    completes the audit triple (MinHash text LSH, hyperplane embedding
+    LSH, and now IVF blocking) so every candidate-generation strategy in
+    the repo grades itself against exact sampled truth with the same
+    one-row metrics contract. Single-assignment blocking loses pairs
+    that straddle a cluster boundary; THIS number is what justifies
+    (or retires) the multiprobe variant at a given corpus — measured,
+    not guessed. Shares the memoized quantizer/assignment frames and
+    the `_recall_audit_frame` tail."""
+    emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+    ver = semantic_near_dup(
+        emb, threshold=0.9,
+        assigned=_dup_emb_assigned(spark, sf_dir, "flat"),
+    ).select("id_a", "id_b")
+    return _recall_audit_frame(emb, ver)
+
+
+@query(
+    "customer_spend_percentile_by_nation",
+    """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_nationkey, s.o_custkey AS c_custkey, s.spend,
+       round(cume_dist() OVER (PARTITION BY c.c_nationkey
+                               ORDER BY s.spend), 6) AS spend_cume
+FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+""",
+)
+def q_customer_spend_percentile_by_nation(spark, sf_dir):
+    """cume_dist window analytic: each customer's spend percentile
+    WITHIN their nation. Partitioned by nation — never the global
+    single-partition window (the global variant of this query is the
+    canonical scale anti-pattern; per-key percentiles shard naturally).
+    cume_dist is tie-stable (equal spend -> equal percentile), so no
+    artificial tiebreak is needed for determinism; DECIMAL-accumulated
+    spend pins the sort key cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("spend")
+    )
+    joined = spend.join(
+        customer, spend.o_custkey == customer.c_custkey
+    ).select(
+        "c_nationkey", F.col("o_custkey").alias("c_custkey"), "spend"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend")
+    return joined.select(
+        "c_nationkey",
+        "c_custkey",
+        "spend",
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
+    )

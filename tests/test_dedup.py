@@ -233,3 +233,68 @@ def test_jaccard_prefix_pairs_short_and_single_shingle_docs(spark):
         for r in jaccard_prefix_pairs(docs).collect()
     }
     assert pairs == {("a", "b"): 1.0}
+
+
+def test_twostar_matches_propagation_on_random_graphs(spark):
+    """Alternating large-star/small-star must produce the identical
+    component labeling as min-label propagation on arbitrary edge sets —
+    both operators accept a prebuilt ``pairs`` frame, so the comparison
+    runs on pure graph structure (no text similarity in the loop)."""
+    import random
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_components_twostar,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 40
+        nodes = [(i, "") for i in range(n)]
+        docs = spark.createDataFrame(nodes, "doc_id long, text string")
+        n_edges = rng.choice([0, 15, 40, 80])
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        if edges:
+            pairs = spark.createDataFrame(
+                [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+            )
+        else:
+            pairs = spark.createDataFrame([], "id_a long, id_b long")
+        prop = {
+            r["doc_id"]: r["component_id"]
+            for r in near_dup_components(docs, pairs=pairs).collect()
+        }
+        star = {
+            r["doc_id"]: r["component_id"]
+            for r in near_dup_components_twostar(docs, pairs=pairs).collect()
+        }
+        assert star == prop, f"trial {trial}: {star} != {prop}"
+
+
+def test_twostar_converges_on_long_chain_in_log_rounds(spark):
+    """A 64-node path graph has diameter 63 — label propagation needs
+    ~63 rounds but star contraction must finish far inside its default
+    30-iteration budget (O(log n) in practice). Correct labels prove it
+    converged rather than hitting the cap."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components_twostar,
+    )
+
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in near_dup_components_twostar(
+            docs, pairs=pairs, max_iterations=10
+        ).collect()
+    }
+    assert all(comps[i] == 0 for i in range(n))

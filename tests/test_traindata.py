@@ -79,3 +79,34 @@ def test_vocab_coverage_arithmetic(spark):
     assert r["total_tokens"] == 9
     assert r["covered_tokens"] == 6
     assert abs(r["oov_rate"] - 3 / 9) < 1e-6  # rate rounds to 6 dp
+
+
+def test_sequence_packing_layout_invariants(spark):
+    """Packing layout must be a contiguous token stream cut at seq_len:
+    offsets within [0, seq_len); consecutive docs in shuffle order are
+    adjacent (start offsets differ by exactly n_tokens); every doc
+    appears once; a salt change yields a different layout."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        sequence_packing,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    seq_len = 512
+    packed = sequence_packing(docs, seq_len).collect()
+    assert len(packed) == docs.count()
+    assert all(0 <= r["bin_offset"] < seq_len for r in packed)
+    # reconstruct global start offsets and check the stream is gapless
+    rows = sorted(packed, key=lambda r: r["bin_id"] * seq_len + r["bin_offset"])
+    pos = 0
+    for r in rows:
+        start = r["bin_id"] * seq_len + r["bin_offset"]
+        assert start == pos, (r, pos)
+        pos += r["n_tokens"]
+    # epoch salt changes the layout but not the token totals
+    repacked = sequence_packing(docs, seq_len, salt="epoch1").collect()
+    assert sum(r["n_tokens"] for r in repacked) == pos
+    assert {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in repacked} != {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in packed
+    }
