@@ -319,15 +319,22 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     shingles: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact n-gram
     Jaccard over the distinct shingle sets. Output:
     ``(id_a, id_b, jaccard)`` with jaccard >= threshold, rounded 6 dp.
     The one shingle projection feeds BOTH the signature build and the
     Jaccard verify (pass a persisted ``shingle_sets`` to also share it
-    across sibling queries)."""
+    across sibling queries; pass a persisted ``candidates`` frame to
+    additionally share the band bucket-join with the candidate query
+    and the recall audit)."""
     sh_sets = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
-    cands = minhash_candidates(df, text_col, id_col, sh_sets)
+    cands = (
+        candidates
+        if candidates is not None
+        else minhash_candidates(df, text_col, id_col, sh_sets)
+    )
     a = sh_sets.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
     )

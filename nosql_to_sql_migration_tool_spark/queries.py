@@ -1729,6 +1729,29 @@ def _dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAND_CACHE: dict[str, tuple] = {}
+
+
+def _dedup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band candidate pairs, persisted — consumed by the
+    candidate query, the Jaccard verify inside ``_dedup_pairs``, and the
+    recall audit (which needs the raw candidate count): one band
+    bucket-join per corpus instead of three."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    return _cached(
+        _CAND_CACHE,
+        spark,
+        sf_dir,
+        lambda: minhash_candidates(
+            _dedup_docs(spark, sf_dir),
+            shingles=_dedup_shingles(spark, sf_dir),
+        ),
+    )
+
+
 def _dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs, persisted — consumed by the pair query
     itself, the component closure, and the survivor anti-join."""
@@ -1739,6 +1762,7 @@ def _dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: near_dup_pairs(
             _dedup_docs(spark, sf_dir),
             shingles=_dedup_shingles(spark, sf_dir),
+            candidates=_dedup_cands(spark, sf_dir),
         ),
     )
 
@@ -1787,9 +1811,9 @@ cand AS (
 )
 def q_minhash_candidates(spark, sf_dir):
     """LSH candidate pairs: shingle -> 12-permutation MinHash -> 4-band
-    hashes -> bucket equi-join (id_a < id_b)."""
-    docs = _dedup_docs(spark, sf_dir)
-    return minhash_candidates(docs, shingles=_dedup_shingles(spark, sf_dir))
+    hashes -> bucket equi-join (id_a < id_b). Persisted and shared with
+    the Jaccard verify and the recall audit (``_dedup_cands``)."""
+    return _dedup_cands(spark, sf_dir)
 
 
 @query(
@@ -5100,13 +5124,8 @@ def q_minhash_recall_audit(spark, sf_dir):
     candidate efficiency (verified/candidates — how much of the bucket
     join was wasted). The production knob-tuning loop for N_BANDS /
     ROWS_PER_BAND runs THIS query on a sample, not a guess."""
-    from nosql_to_sql_migration_tool_spark.operators.dedup import (
-        minhash_candidates,
-    )
-
-    docs = _dedup_docs(spark, sf_dir)
     truth = _prefix_truth_pairs(spark, sf_dir).select("id_a", "id_b")
-    cand = minhash_candidates(docs, shingles=_dedup_shingles(spark, sf_dir))
+    cand = _dedup_cands(spark, sf_dir)
     ver = _dedup_pairs(spark, sf_dir).select("id_a", "id_b")
     hit = ver.join(truth, ["id_a", "id_b"])
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -5232,17 +5251,35 @@ def q_embedding_lsh_recall_audit(spark, sf_dir):
     not offline guesswork."""
     emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
     ver = _memo_emb_pairs(spark, sf_dir).select("id_a", "id_b")
-    return _recall_audit_frame(emb, ver)
+    return _recall_audit_frame(emb, ver, truth=_memo_truth_pairs(spark, sf_dir))
 
 
-def _recall_audit_frame(emb: DataFrame, ver: DataFrame) -> DataFrame:
+_TRUTH_CACHE: dict[str, tuple] = {}
+
+
+def _memo_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled exact-cosine truth pairs, persisted — the ground-truth
+    side is identical for every embedding-space recall audit (same
+    corpus, threshold 0.9, 64-vector sample), so the sample x corpus
+    broadcast scan runs once per session."""
+
+    def build():
+        emb = duplicated_embeddings(load_table(spark, sf_dir, "embeddings"))
+        return sampled_truth_pairs(emb, threshold=0.9, sample_limit=64)
+
+    return _cached(_TRUTH_CACHE, spark, (sf_dir, "truth"), build)
+
+
+def _recall_audit_frame(
+    emb: DataFrame, ver: DataFrame, truth: DataFrame | None = None
+) -> DataFrame:
     """Shared audit tail: grade a verified-pair frame against exact
     cosine truth on the 64-vector md5-ranked sample. One metrics row
     (n_truth, n_verified_scope, n_hit, recall) — the same shape for
     every ANN/LSH/blocking recall audit."""
-    truth = sampled_truth_pairs(
-        emb, threshold=0.9, sample_limit=64
-    ).select("id_a", "id_b")
+    if truth is None:
+        truth = sampled_truth_pairs(emb, threshold=0.9, sample_limit=64)
+    truth = truth.select("id_a", "id_b")
     sids = (
         emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("__m"))
         .orderBy("__m", "vec_id")
@@ -5536,7 +5573,7 @@ def q_blocking_recall_audit(spark, sf_dir):
         emb, threshold=0.9,
         assigned=_dup_emb_assigned(spark, sf_dir, "flat"),
     ).select("id_a", "id_b")
-    return _recall_audit_frame(emb, ver)
+    return _recall_audit_frame(emb, ver, truth=_memo_truth_pairs(spark, sf_dir))
 
 
 @query(
