@@ -709,6 +709,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     band_chars: int = 8,
     max_bucket_width: int | None = MAX_BUCKET_WIDTH,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banding (any ``max_hamming`` < number of
     bands guarantees candidates share one identical band — pigeonhole):
@@ -725,10 +726,12 @@ def simhash_candidates(
     low-entropy corpora simhash buckets get wide (8-bit band values
     collide structurally); buckets wider than ``max_bucket_width``
     salt-split via ``with_salt_cells`` so the per-bucket self-join stays
-    ~B² bounded — the documented recall tradeoff of the cap."""
-    sigs = with_simhash(df, text_col, id_col).withColumnRenamed(
-        "simhash", "__sh"
-    )
+    ~B² bounded — the documented recall tradeoff of the cap.
+    Pass a persisted ``sigs`` frame (``with_simhash`` output) to share
+    the 32-vote signature aggregation with the signature query."""
+    if sigs is None:
+        sigs = with_simhash(df, text_col, id_col)
+    sigs = sigs.withColumnRenamed("simhash", "__sh")
     n_bands = SIMHASH_BITS // band_chars
     bands = sigs.select(
         id_col,

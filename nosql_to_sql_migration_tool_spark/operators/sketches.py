@@ -181,3 +181,80 @@ SELECT q, bin,
        round(mn + ((bin + 1) / {nb}) * (mx - mn), 6) AS est
 FROM __pick, __mm
 """
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT discrete quantiles at scale: ``(q, exact)`` where exact is
+    the smallest data value whose cumulative row count reaches
+    ``q * n``. No interpolation (the answer is always a real data value,
+    so cross-engine determinism is exact double equality, not float
+    arithmetic) and no single-partition window: the cumulative count
+    runs over the DISTINCT-VALUE histogram with the monotone-bucket
+    decomposition (``ranking.bucketed_cumsum`` over
+    ``range_bucket_expr`` boundaries) — each value-range bucket cumsums
+    in parallel and only bucket totals visit the driver.
+
+    This is the truth side of the sketch-error audit: the binned sketch
+    answers from <= n_bins rows, this answers from one extra shuffle on
+    the distinct values — run it on a sample (or a partition) to grade
+    the sketch's bin-width error with real numbers."""
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+        range_bucket_expr,
+    )
+
+    vals = df.select(F.col(col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    hist = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    cum = bucketed_cumsum(
+        hist,
+        range_bucket_expr(hist, "__v", 32),
+        [F.col("__v")],
+        "__c",
+        out_col="__cum",
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("__n"))
+    qrows = total.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "__n"
+    )
+    # qrows is len(qs) rows — broadcast it against the distinct-value
+    # cumulative frame; per q the min matching value is the answer.
+    return (
+        cum.select("__v", "__cum")
+        .join(F.broadcast(qrows), F.col("__cum") >= F.col("q") * F.col("__n"))
+        .groupBy("q")
+        .agg(F.min("__v").alias("exact"))
+    )
+
+
+def exact_quantiles_sql(
+    table: str,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of ``exact_quantiles`` — plain windowed cumulative
+    count over the distinct-value histogram (bit-identical to the
+    bucketed decomposition: counts are integers)."""
+    qlist = ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+    return f"""
+WITH __vals AS (
+  SELECT CAST({col} AS DOUBLE) AS v FROM {table} WHERE {col} IS NOT NULL
+),
+__hist AS (SELECT v, count(*) AS c FROM __vals GROUP BY v),
+__cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM __hist
+),
+__n AS (SELECT count(*) AS n FROM __vals),
+__q AS (SELECT unnest([{qlist}]) AS q)
+SELECT q, min(v) AS exact
+FROM __q, __cum, __n
+WHERE cum >= q * n
+GROUP BY q
+"""

@@ -951,3 +951,24 @@ JOIN __n2 na ON na.doc_id = __num.id_a
 JOIN __n2 nb ON nb.doc_id = __num.id_b
 WHERE {cos} >= {threshold}
 """
+
+
+# GPT-2-style pretokenizer approximation: contraction suffixes, then
+# space-prefixed letter runs, digit runs, and punctuation runs. Plain
+# alternation + character classes only, so Java regex (Spark) and RE2
+# (DuckDB) match byte-identically — no lookarounds, no \p classes.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens — the scaling-law token count proxy
+    (whitespace tokens undercount: punctuation and contractions are
+    separate tokens to a BPE tokenizer). One regexp projection,
+    shuffle-free."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    """DuckDB twin (RE2 ``regexp_extract_all`` length)."""
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"

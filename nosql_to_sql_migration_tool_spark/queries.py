@@ -1838,6 +1838,21 @@ def q_near_dup_pairs(spark, sf_dir):
     return _dedup_pairs(spark, sf_dir)
 
 
+_SIMHASH_CACHE: dict[str, tuple] = {}
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature frame, persisted — the 32-vote explode/agg is
+    the dominant cost of BOTH the signature query and the banded pair
+    join; computing it once per corpus halves the family."""
+    return _cached(
+        _SIMHASH_CACHE,
+        spark,
+        sf_dir,
+        lambda: with_simhash(_dedup_docs(spark, sf_dir)),
+    )
+
+
 @query(
     "simhash_signatures",
     f"WITH docs AS ({DUPLICATED_DOCUMENTS_SQL})\n"
@@ -1846,8 +1861,7 @@ def q_near_dup_pairs(spark, sf_dir):
 def q_simhash_signatures(spark, sf_dir):
     """Per-document 32-bit SimHash (majority vote of token-md5 digit
     parity) — Hamming-comparable near-dup signature."""
-    docs = _dedup_docs(spark, sf_dir)
-    return with_simhash(docs)
+    return _dedup_simhash(spark, sf_dir)
 
 
 @query(
@@ -2045,7 +2059,9 @@ def q_simhash_near_pairs(spark, sf_dir):
     )
 
     docs = _dedup_docs(spark, sf_dir)
-    return simhash_candidates(docs, max_hamming=3)
+    return simhash_candidates(
+        docs, max_hamming=3, sigs=_dedup_simhash(spark, sf_dir)
+    )
 
 
 _COMPONENTS_ORACLE = f"""
@@ -5616,4 +5632,82 @@ def q_customer_spend_percentile_by_nation(spark, sf_dir):
         "c_custkey",
         "spend",
         F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.sketches import (  # noqa: E402
+    exact_quantiles,
+    exact_quantiles_sql,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    bpe_token_count,
+    bpe_token_count_sql,
+)
+
+
+@query(
+    "price_quantile_error_audit",
+    f"""
+SELECT e.q, e.est, x.exact, round(abs(e.est - x.exact), 6) AS abs_err
+FROM ({binned_quantiles_sql('lineitem', 'l_extendedprice')}) e
+JOIN ({exact_quantiles_sql('lineitem', 'l_extendedprice')}) x ON e.q = x.q
+""",
+)
+def q_price_quantile_error_audit(spark, sf_dir):
+    """Sketch-error audit: the 128-bin quantile estimates graded against
+    EXACT discrete quantiles on the same column — (q, est, exact,
+    abs_err) per percentile, the same measure-don't-guess contract as
+    the recall audits but for the sketch family. The exact side is
+    `exact_quantiles`: min value whose cumulative count reaches q*n,
+    computed over the distinct-value histogram with the bucketed-cumsum
+    decomposition — exact answers with NO interpolation arithmetic and
+    NO single-partition window, so the truth side itself scales. Run on
+    a partition per ingest batch, this is how a 100 TB pipeline decides
+    whether 128 bins are enough before trusting the sketch."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    est = binned_quantiles(lineitem, "l_extendedprice").select("q", "est")
+    exact = exact_quantiles(lineitem, "l_extendedprice")
+    return est.join(exact, "q").select(
+        "q",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    )
+
+
+@query(
+    "bpe_token_stats",
+    f"""
+SELECT doc_id,
+       {bpe_token_count_sql('text')} AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+         * CAST(length(trim(text)) > 0 AS INT) AS n_ws_tokens,
+       round({bpe_token_count_sql('text')} * 1.0 /
+             greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                           AS INT) * CAST(length(trim(text)) > 0 AS INT),
+                      1), 6) AS fertility
+FROM documents
+""",
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counting (the north-star "whitespace + a BPE-ish
+    regex" pair): per document, the GPT-2-style pretoken count
+    (contractions, space-prefixed letter/digit/punct runs — a pattern
+    Java regex and RE2 evaluate byte-identically), the whitespace count,
+    and their ratio (tokenizer fertility — the planning number that
+    converts a word budget into a real token budget). Pure projection,
+    shuffle-free, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_ws = F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("int")
+    n_bpe = bpe_token_count(text)
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(
+            n_bpe * F.lit(1.0) / F.greatest(n_ws, F.lit(1)), 6
+        ).alias("fertility"),
     )

@@ -105,3 +105,44 @@ def test_binned_quantile_sketch_merges_and_bounds_error(spark):
         assert abs(ests[q] - exact[str(q)]) <= bin_width + 1e-9, (
             q, ests[q], exact[str(q)], bin_width,
         )
+
+
+def test_exact_quantiles_min_value_reaching_cum_definition(spark):
+    """exact_quantiles must return, for each q, the smallest value whose
+    cumulative count reaches q*n — checked against a direct sorted-list
+    computation, including duplicate-heavy data."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    vals = [1.0] * 10 + [2.5] * 5 + [7.0] * 4 + [100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["q"]: r["exact"] for r in exact_quantiles(df, "x").collect()}
+    n = len(vals)
+    s = sorted(vals)
+    for q, exact in got.items():
+        expected = next(
+            v for i, v in enumerate(s) if (i + 1) >= q * n
+        )
+        assert exact == expected, (q, exact, expected)
+        assert exact in vals  # always a real data value, never interpolated
+
+
+def test_quantile_sketch_error_within_one_bin_width(spark):
+    """The audit's claim: |est - exact| <= one equal-width bin."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        binned_quantiles,
+        exact_quantiles,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    li = load_table(spark, SF_DIR_SMOKE, "lineitem")
+    est = {r["q"]: r["est"] for r in binned_quantiles(li, "l_extendedprice").collect()}
+    exact = {r["q"]: r["exact"] for r in exact_quantiles(li, "l_extendedprice").collect()}
+    row = li.selectExpr(
+        "min(l_extendedprice) mn", "max(l_extendedprice) mx"
+    ).collect()[0]
+    bin_w = (row["mx"] - row["mn"]) / 128
+    for q in est:
+        assert abs(est[q] - exact[q]) <= bin_w + 1e-6, (q, est[q], exact[q])

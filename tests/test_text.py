@@ -182,3 +182,24 @@ def test_repetition_flags_edges(spark):
     # clean doc passes every rule
     assert rows[3]["keep"] == 1
     assert rows[3]["dup_5gram_frac"] == 0.0
+
+
+def test_bpe_token_count_goldens(spark):
+    """GPT-2-ish pretokens: contractions split, punctuation runs are
+    tokens, space-prefixed word runs count once each."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    cases = [
+        ("The quick brown fox doesn't jump over 42 lazy dogs!!", 12),
+        ("  leading space, punct... and CamelCase Words123 mixed", 10),
+        ("it's we're I'll they'd you've I'm can't", 14),
+        ("", 0),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected int")
+    rows = df.select(
+        bpe_token_count(df.text).alias("got"), "expected"
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], r
