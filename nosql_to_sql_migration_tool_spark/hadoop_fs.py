@@ -44,3 +44,30 @@ def delete_paths(
 def path_exists(spark: SparkSession, path_str: str) -> bool:
     fs, path = _filesystem_for(spark, path_str)
     return bool(fs.exists(path))
+
+
+def list_files(
+    spark: SparkSession, path_str: str, suffix: str | None = None
+) -> list[tuple[str, int]]:
+    """Non-recursive ``(path, size_bytes)`` listing of a directory via
+    the session-configured Hadoop FileSystem — works identically on
+    local disk, HDFS and S3A. Metadata only (one NameNode/LIST call);
+    never reads data."""
+    fs, path = _filesystem_for(spark, path_str)
+    out: list[tuple[str, int]] = []
+    for status in fs.listStatus(path):
+        if not status.isFile():
+            continue
+        p = status.getPath().toString()
+        if suffix is not None and not p.endswith(suffix):
+            continue
+        out.append((p, int(status.getLen())))
+    return sorted(out)
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """FileSystem rename (atomic on HDFS/local; copy-free). Returns
+    whether the filesystem accepted the rename."""
+    fs, src_p = _filesystem_for(spark, src)
+    _, dst_p = _filesystem_for(spark, dst)
+    return bool(fs.rename(src_p, dst_p))

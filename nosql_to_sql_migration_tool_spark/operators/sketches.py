@@ -219,16 +219,31 @@ def exact_quantiles(
         out_col="__cum",
     )
     total = vals.agg(F.count(F.lit(1)).alias("__n"))
-    qrows = total.select(
-        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "__n"
+    # One conditional-aggregate pass answers every q at once: min value
+    # whose cum reaches q*n. No range join (a broadcast >= join would
+    # emit ~|distinct|/2 rows per q before its groupBy), just len(qs)
+    # aggregate expressions over the cumulative frame.
+    picked = cum.crossJoin(F.broadcast(total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.lit(float(q)) * F.col("__n"),
+                    F.col("__v"),
+                )
+            ).alias(f"__x{i}")
+            for i, q in enumerate(qs)
+        ]
     )
-    # qrows is len(qs) rows — broadcast it against the distinct-value
-    # cumulative frame; per q the min matching value is the answer.
-    return (
-        cum.select("__v", "__cum")
-        .join(F.broadcast(qrows), F.col("__cum") >= F.col("q") * F.col("__n"))
-        .groupBy("q")
-        .agg(F.min("__v").alias("exact"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"), F.col(f"__x{i}").alias("exact")
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return picked.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.q").alias("q"), F.col("__p.exact").alias("exact")
     )
 
 

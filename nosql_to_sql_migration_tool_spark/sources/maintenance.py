@@ -1,0 +1,109 @@
+"""Table maintenance — small-files compaction for parquet directories.
+
+The 100 TB failure mode this solves: streaming micro-batches, per-key
+dynamic overwrites and over-parallel writers leave a table as millions
+of KB-sized files; every subsequent scan then pays one open/seek per
+file (NameNode/S3 LIST + request overhead dominates actual IO) and
+Spark's split planning balloons. Periodic compaction rewrites the data
+into ~``target_bytes`` files. Table formats ship this as OPTIMIZE /
+rewrite_data_files (reference analogue: the migration tool has no
+maintenance story at all — its sink is a row-at-a-time DML database);
+on vanilla parquet it is a rewrite + atomic-rename swap, the same
+snapshot shape as ``operators/cdc.py``'s apply.
+
+Safety contract: the rewrite lands in a sibling temp directory, the row
+count is verified against the source BEFORE the swap, and the swap is
+delete + FileSystem rename (atomic on HDFS/local). A crash before the
+swap leaves the original untouched; a failed verification aborts and
+removes the temp dir. Readers racing the swap see the old or the new
+snapshot, never a mix — same guarantee (and same caveat: no concurrent
+WRITERS) as the CDC apply path, documented in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+    delete_paths,
+    list_files,
+    rename_path,
+)
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class CompactionStats:
+    """What the compaction did — returned, never printed."""
+
+    files_before: int
+    files_after: int
+    bytes_total: int
+    rows: int
+    compacted: bool
+
+
+def plan_output_files(total_bytes: int, target_bytes: int) -> int:
+    """ceil(total/target), floor 1 — parquet compression makes output
+    sizes approximate, which only shifts file sizes, never correctness."""
+    return max(1, math.ceil(total_bytes / max(1, target_bytes)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_gain: int = 2,
+) -> CompactionStats:
+    """Compact a parquet directory to ~``target_bytes`` files.
+
+    No-op (returns ``compacted=False``) unless the rewrite would reduce
+    the file count by at least ``min_gain`` files — compaction must not
+    churn a healthy table: rewriting N bytes to save one file open is a
+    net loss, and idempotence (second call is a no-op) falls out of the
+    same rule.
+
+    The rewrite is one ``repartition(n_out)`` — a single round-robin
+    shuffle sized so each task writes one ~target-sized file. Row-count
+    verification runs on the TEMP output before anything is deleted.
+    """
+    files = list_files(spark, path, suffix=".parquet")
+    total = sum(size for _, size in files)
+    n_out = plan_output_files(total, target_bytes)
+    if len(files) - n_out < min_gain:
+        return CompactionStats(
+            files_before=len(files),
+            files_after=len(files),
+            bytes_total=total,
+            rows=-1,
+            compacted=False,
+        )
+    src = spark.read.parquet(path)
+    n_rows = src.count()
+    tmp = path.rstrip("/") + ".__compacting"
+    delete_paths(spark, [tmp])
+    src.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n_rows:
+        delete_paths(spark, [tmp])
+        raise RuntimeError(
+            f"compaction aborted: rewrite has {n_tmp} rows, source has "
+            f"{n_rows}; original left untouched at {path}"
+        )
+    delete_paths(spark, [path])
+    if not rename_path(spark, tmp, path):
+        raise RuntimeError(
+            f"compaction swap failed: rewrite preserved at {tmp}"
+        )
+    after = list_files(spark, path, suffix=".parquet")
+    return CompactionStats(
+        files_before=len(files),
+        files_after=len(after),
+        bytes_total=total,
+        rows=n_rows,
+        compacted=True,
+    )

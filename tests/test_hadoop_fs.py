@@ -36,3 +36,26 @@ def test_delete_paths_removes_dirs_and_tolerates_absent(spark, tmp_path):
     removed = delete_paths(spark, [str(d1), str(d2)])
     assert removed == 1
     assert not d1.exists()
+
+
+def test_list_files_and_rename(spark, tmp_path):
+    """list_files returns (path, size) of plain files only, honoring the
+    suffix filter; rename_path moves a directory atomically."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+        list_files,
+        path_exists,
+        rename_path,
+    )
+
+    src = str(tmp_path / "dir_a")
+    spark.range(100).write.mode("overwrite").parquet(src)
+    files = list_files(spark, src, suffix=".parquet")
+    assert files and all(p.endswith(".parquet") and s > 0 for p, s in files)
+    # _SUCCESS marker is a file but filtered by suffix
+    all_files = list_files(spark, src)
+    assert len(all_files) >= len(files)
+
+    dst = str(tmp_path / "dir_b")
+    assert rename_path(spark, src, dst)
+    assert not path_exists(spark, src)
+    assert spark.read.parquet(dst).count() == 100

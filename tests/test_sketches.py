@@ -146,3 +146,36 @@ def test_quantile_sketch_error_within_one_bin_width(spark):
     bin_w = (row["mx"] - row["mn"]) / 128
     for q in est:
         assert abs(est[q] - exact[q]) <= bin_w + 1e-6, (q, est[q], exact[q])
+
+
+def test_exact_quantiles_property_random_multisets(spark):
+    """Property: for random value multisets (duplicates, negatives,
+    skewed magnitudes) every returned quantile is the min value whose
+    1-based sorted index reaches q*n. Driven by hypothesis over a
+    single parametrized run to keep Spark job count bounded."""
+    from hypothesis import given, settings, strategies as st
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(
+                [-5.0, -1.25, 0.0, 0.5, 1.0, 1.0, 2.5, 7.0, 1e6]
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {r["q"]: r["exact"] for r in exact_quantiles(df, "x").collect()}
+        s = sorted(vals)
+        n = len(s)
+        for q, exact in got.items():
+            expected = next(v for i, v in enumerate(s) if (i + 1) >= q * n)
+            assert exact == expected, (vals, q, exact, expected)
+
+    check()
