@@ -355,3 +355,46 @@ def test_stream_mixture_ingest_matches_batch(spark, tmp_path):
         budget_frac=0.8,
     )
     assert _same_rows(spark.read.parquet(out_dir), batch)
+
+
+def test_stream_hourly_rollup_matches_batch_and_resumes(spark, tmp_path):
+    """Continuous aggregate: three event drops (the third overlapping
+    hours already rolled up) processed across two availableNow runs
+    against one checkpoint must yield EXACTLY the batch tumbling
+    aggregate of all events — additive merge, partition-scoped rewrite,
+    no double counting on resume."""
+    from nosql_to_sql_migration_tool_spark.streaming.rollup import (
+        read_rollup,
+        stream_hourly_rollup,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stream_dir = str(tmp_path / "drops")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    part1 = events.filter(F.col("event_id") % 3 == 0)
+    part2 = events.filter(F.col("event_id") % 3 == 1)
+    part3 = events.filter(F.col("event_id") % 3 == 2)  # same hours again
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+        q = stream_hourly_rollup(stream, rollup, ckpt)
+        q.awaitTermination(180)
+
+    part1.coalesce(1).write.mode("append").parquet(stream_dir)
+    part2.coalesce(1).write.mode("append").parquet(stream_dir)
+    run()
+    part3.coalesce(1).write.mode("append").parquet(stream_dir)
+    run()  # resume from checkpoint: parts 1-2 must not re-count
+
+    got = read_rollup(spark, rollup).select(
+        "window_start", "event_type", "n", "total"
+    )
+    want = tumbling_window_agg(events)
+    assert _same_rows(got, want)
+    # spot-check a derived measure is consistent with the additive ones
+    r = read_rollup(spark, rollup).filter(F.col("n") > 0).first()
+    assert abs(r["avg_value"] - round(r["total"] / r["n"], 6)) < 1e-9
