@@ -5711,3 +5711,41 @@ def q_bpe_token_stats(spark, sf_dir):
             n_bpe * F.lit(1.0) / F.greatest(n_ws, F.lit(1)), 6
         ).alias("fertility"),
     )
+
+
+from nosql_to_sql_migration_tool_spark.functions.zorder import (  # noqa: E402
+    morton_key,
+    morton_key_sql,
+)
+
+_ZORDER_SQL = morton_key_sql(
+    "o_custkey",
+    "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+)
+
+
+@query(
+    "orders_zorder_keys",
+    f"""
+SELECT o_orderkey, {_ZORDER_SQL} AS zkey
+FROM orders
+""",
+)
+def q_orders_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order day) — the
+    OPTIMIZE ZORDER BY layout primitive as a plain deterministic
+    expression: writing the table repartitionByRange + sorted by this
+    key gives every parquet file a tight bounding box in BOTH
+    dimensions, so min/max data skipping prunes files for predicates on
+    either column (a lexicographic sort prunes only the first). Pure
+    shift/mask fold, whole-stage codegen, identical in DuckDB; the
+    locality property itself is pinned by pytest (a day-band predicate
+    touches ~4x fewer Morton chunks than row-major chunks)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    return orders.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey"), day).alias("zkey"),
+    )
