@@ -5437,7 +5437,7 @@ SELECT event_id, user_id,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / count(*) OVER w, 6) AS trailing_avg
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """,
 )
@@ -5446,6 +5446,10 @@ def q_events_trailing_hour_avg(spark, sf_dir):
     the trailing hour (inclusive). RANGE frames over epoch seconds — not
     ROWS — so simultaneous events are all in-frame regardless of tie
     order, making the result deterministic without a full tiebreak.
+    Both engines order by the SAME whole-second key (Spark
+    ``unix_timestamp`` truncates; the oracle mirrors it with
+    ``floor(epoch(ts))`` — ADVICE r5: fractional ``epoch`` could flip
+    frame membership for pairs within 1s of the 3600s boundary).
     One shuffle on user_id; DECIMAL accumulation pins the avg
     cross-engine at 6 dp."""
     events = load_table(spark, sf_dir, "events")
@@ -5749,3 +5753,120 @@ def q_orders_zorder_keys(spark, sf_dir):
         "o_orderkey",
         morton_key(F.col("o_custkey"), day).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bench prewarm registry (VERDICT r5 "What's wrong #1"): one-time artifact
+# builds — PQ codebooks + corpus encode, blocking quantizers/assignments,
+# the shared dedup/recall memo frames — used to be billed to whichever
+# family member the bench (or the driver's repeat-1 run) happened to time
+# first, producing phantom 3-17x "regressions" against the committed
+# min-of-2 baseline where the second iteration ran warm. ``bench.py`` now
+# times each build below as its OWN ``build:*`` row before the query loop,
+# so every per-query row measures the warm steady-state path on both
+# sides of the comparison. Order matters: each row's cost is incremental
+# over the rows above it (shingles build on the corpus frame, candidate
+# pairs on shingles, ...), which is exactly the artifact DAG a production
+# pipeline would persist stage by stage.
+# ---------------------------------------------------------------------------
+
+PREWARMS: "dict[str, object]" = {}
+
+
+def _prewarm(name: str):
+    def deco(fn):
+        PREWARMS[name] = fn
+        return fn
+
+    return deco
+
+
+def _force(df: DataFrame) -> None:
+    """Materialize a persisted memo frame (count touches every row)."""
+    df.count()
+
+
+@_prewarm("build:dedup_corpus")
+def _pw_dedup_corpus(spark, sf_dir):
+    _force(_dedup_docs(spark, sf_dir))
+
+
+@_prewarm("build:dedup_shingles")
+def _pw_dedup_shingles(spark, sf_dir):
+    _force(_dedup_shingles(spark, sf_dir))
+
+
+@_prewarm("build:raw_shingles")
+def _pw_raw_shingles(spark, sf_dir):
+    _force(_raw_shingles(spark, sf_dir))
+
+
+@_prewarm("build:minhash_candidates")
+def _pw_minhash_candidates(spark, sf_dir):
+    _force(_dedup_cands(spark, sf_dir))
+
+
+@_prewarm("build:near_dup_pairs")
+def _pw_near_dup_pairs(spark, sf_dir):
+    _force(_dedup_pairs(spark, sf_dir))
+
+
+@_prewarm("build:near_dup_components")
+def _pw_near_dup_components(spark, sf_dir):
+    _force(_dedup_components(spark, sf_dir))
+
+
+@_prewarm("build:simhash_signatures")
+def _pw_simhash(spark, sf_dir):
+    _force(_dedup_simhash(spark, sf_dir))
+
+
+@_prewarm("build:jaccard_truth_pairs")
+def _pw_jaccard_truth(spark, sf_dir):
+    _force(_prefix_truth_pairs(spark, sf_dir))
+
+
+@_prewarm("build:emb_near_dup_pairs")
+def _pw_emb_pairs(spark, sf_dir):
+    _force(_memo_emb_pairs(spark, sf_dir))
+
+
+@_prewarm("build:emb_truth_sample")
+def _pw_emb_truth(spark, sf_dir):
+    _force(_memo_truth_pairs(spark, sf_dir))
+
+
+@_prewarm("build:raw_centroids")
+def _pw_raw_centroids(spark, sf_dir):
+    _memo_centroids(spark, sf_dir, "raw", 8, 2, 256)
+
+
+@_prewarm("build:block_quantizer")
+def _pw_block_quantizer(spark, sf_dir):
+    k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
+    _dup_emb_centroids(spark, sf_dir, k, 2, tl)
+
+
+@_prewarm("build:block_assign_flat")
+def _pw_block_assign_flat(spark, sf_dir):
+    _force(_dup_emb_assigned(spark, sf_dir, "flat"))
+
+
+@_prewarm("build:block_assign_multiprobe")
+def _pw_block_assign_multiprobe(spark, sf_dir):
+    _force(_dup_emb_assigned(spark, sf_dir, "multiprobe"))
+
+
+@_prewarm("build:block_assign_two_level")
+def _pw_block_assign_two_level(spark, sf_dir):
+    _force(_dup_emb_assigned(spark, sf_dir, "two_level"))
+
+
+@_prewarm("build:pq_codebooks")
+def _pw_pq_books(spark, sf_dir):
+    _memo_pq_books(spark, sf_dir)
+
+
+@_prewarm("build:pq_encode")
+def _pw_pq_encode(spark, sf_dir):
+    _force(_memo_pq_encoded(spark, sf_dir))
