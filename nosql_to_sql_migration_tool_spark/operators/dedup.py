@@ -493,6 +493,7 @@ def near_dup_components_twostar(
         .localCheckpoint(eager=True)
     )
     prev_sig: tuple | None = None
+    converged = False
     for _ in range(max_iterations):
         edges = _star_round(edges, large=True)
         edges = _star_round(edges, large=False).localCheckpoint(eager=True)
@@ -504,8 +505,19 @@ def near_dup_components_twostar(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Labels from an unconverged star forest are silently WRONG
+        # (ADVICE r5): fail loudly instead. O(log² n) rounds suffice at
+        # the default 30 for any realistic corpus, so reaching this
+        # means the caller passed a too-small max_iterations.
+        raise RuntimeError(
+            "near_dup_components_twostar: star contraction did not reach "
+            f"a fixpoint within max_iterations={max_iterations}; "
+            "raise max_iterations (O(log² n) rounds are sufficient)"
+        )
     connected = edges.groupBy(F.col("a").alias(id_col)).agg(
         F.min("b").alias("component_id")
     )

@@ -67,9 +67,15 @@ def fit_pca(
 
     sample = _md5_ranked_sample(df, vec_col, id_col, train_limit)
 
-    first = sample.select(F.size("__v").alias("d")).first()
+    # d must come from a NON-NULL vector: size(NULL) is NULL and would
+    # surface later as a cryptic reshape TypeError (ADVICE r5).
+    first = (
+        sample.where(F.col("__v").isNotNull())
+        .select(F.size("__v").alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("fit_pca: empty input")
+        raise ValueError("fit_pca: no non-null vectors")
     d = first["d"]
 
     schema = "n long, s array<double>, ss array<double>"

@@ -13,11 +13,16 @@ snapshot shape as ``operators/cdc.py``'s apply.
 
 Safety contract: the rewrite lands in a sibling temp directory, the row
 count is verified against the source BEFORE the swap, and the swap is
-delete + FileSystem rename (atomic on HDFS/local). A crash before the
-swap leaves the original untouched; a failed verification aborts and
-removes the temp dir. Readers racing the swap see the old or the new
-snapshot, never a mix — same guarantee (and same caveat: no concurrent
-WRITERS) as the CDC apply path, documented in SCALE.md.
+rename-aside (old -> ``.__old``, tmp -> live, delete ``.__old``) — each
+step one FileSystem rename, atomic on HDFS/local, so the live path is
+never absent. A crash before the swap leaves the original untouched; a
+failed verification aborts and removes the temp dir; a crash mid-swap
+leaves the data in exactly one of the three named directories. Readers
+racing the swap see the old or the new snapshot, never a mix — same
+guarantee (and same caveat: no concurrent WRITERS) as the CDC apply
+path, documented in SCALE.md. S3A caveat: object-store "rename" is a
+non-atomic copy, so on S3 the whole swap (like every snapshot swap in
+this repo) needs a table format or an HDFS-like FS.
 """
 
 from __future__ import annotations
@@ -94,11 +99,26 @@ def compact_parquet(
             f"compaction aborted: rewrite has {n_tmp} rows, source has "
             f"{n_rows}; original left untouched at {path}"
         )
-    delete_paths(spark, [path])
-    if not rename_path(spark, tmp, path):
+    # Swap via rename-aside, not delete-then-rename (ADVICE r5, medium):
+    # old -> .__old, tmp -> live, delete .__old. Each step is ONE atomic
+    # rename on HDFS/local, so the live path is never absent — a reader
+    # racing the swap sees the old or the new snapshot, and a crash at
+    # any point leaves a recoverable directory (live, or .__old + tmp).
+    old = path.rstrip("/") + ".__old"
+    delete_paths(spark, [old])
+    if not rename_path(spark, path, old):
         raise RuntimeError(
-            f"compaction swap failed: rewrite preserved at {tmp}"
+            f"compaction swap failed moving {path} aside; rewrite "
+            f"preserved at {tmp}, original untouched"
         )
+    if not rename_path(spark, tmp, path):
+        # roll back: restore the original so the table stays live
+        rename_path(spark, old, path)
+        raise RuntimeError(
+            f"compaction swap failed: original restored at {path}, "
+            f"rewrite preserved at {tmp}"
+        )
+    delete_paths(spark, [old])
     after = list_files(spark, path, suffix=".parquet")
     return CompactionStats(
         files_before=len(files),

@@ -10,12 +10,33 @@ surface (events table), the streaming twin of
 Scale contract: per micro-batch, work is proportional to the batch
 plus the few hour partitions it touches — never to the rollup's
 history. That holds because the stored measures are ADDITIVE (count +
-exact DECIMAL sum): merging is read-touched-partitions → union →
-re-aggregate → dynamic-partition overwrite of ONLY those hour
-directories. Late events fold into their (old) hour exactly like
-current ones — additivity makes reprocessing order-free — and a crash
-between batches is safe because the checkpoint replays the batch into
-an idempotent per-partition overwrite.
+exact DECIMAL sum): merging is write-this-batch's-partials →
+re-aggregate the touched hours' partials → dynamic-partition overwrite
+of ONLY those hour directories. Late events fold into their (old) hour
+exactly like current ones — additivity makes reprocessing order-free.
+
+Replay safety (ADVICE r5, high): an earlier design read the rollup's
+existing hour partitions and re-ADDED the batch partials — so a batch
+replayed after the overwrite committed but before the streaming
+checkpoint committed would double-count (the rewrite's input included
+its own prior output). The merge is now a pure function of a
+PARTIALS STORE keyed by ``(hour_key, batch_id)``:
+
+  1. the batch's hourly partials are written with dynamic-partition
+     overwrite into ``<rollup>/.__partials`` — a replayed batch (same
+     ``batch_id``, same data: foreachBatch's replay contract)
+     overwrites exactly its own partition dirs with identical content;
+  2. each touched hour partition of the rollup is rebuilt by
+     re-aggregating ALL partials for that hour.
+
+Both steps are idempotent under exactly-replayed batches, so a crash
+at ANY point between them (or before the checkpoint commit) yields the
+correct table after replay — genuine exactly-once table maintenance on
+top of foreachBatch's at-least-once delivery. Partials-per-hour is
+bounded by the number of batches that touched the hour (current hours:
+a handful; late-data hours: rare by definition); a maintenance window
+can fold an old hour's partials into one row (``compact_partials``)
+without changing any query result, since the rebuild is associative.
 
 Derived measures (averages, rates) are computed at READ time from the
 additive ones (``read_rollup``) — storing a pre-divided average would
@@ -30,6 +51,7 @@ from pyspark.sql.types import DecimalType
 from pyspark.sql.utils import AnalysisException
 
 HOUR_FMT = "yyyy-MM-dd-HH"
+PARTIALS_DIR = ".__partials"
 
 
 def _hourly_partial(events: DataFrame) -> DataFrame:
@@ -56,37 +78,42 @@ def _hourly_partial(events: DataFrame) -> DataFrame:
     )
 
 
+def _partials_path(rollup_path: str) -> str:
+    return rollup_path.rstrip("/") + "/" + PARTIALS_DIR
+
+
 def merge_rollup_batch(
-    spark: SparkSession, batch: DataFrame, rollup_path: str
+    spark: SparkSession, batch: DataFrame, rollup_path: str,
+    batch_id: int = 0,
 ) -> None:
-    """Merge one batch's hourly partials into the rollup table: read
-    ONLY the touched hour partitions, re-aggregate the union, overwrite
-    only those partitions (dynamic partition overwrite). Idempotence
-    across replays is per-batch: a replayed batch rewrites the same
-    partitions from the same inputs."""
+    """Merge one batch's hourly partials into the rollup table,
+    replay-safely (see module docstring): write the batch's partials
+    under ``(hour_key, batch_id)`` (idempotent dynamic-partition
+    overwrite), then rebuild ONLY the touched hour partitions from the
+    partials store. The rollup is always a pure re-aggregation of
+    partials — never of its own previous output — so replaying a
+    crashed batch cannot double-count."""
     partial = _hourly_partial(batch).localCheckpoint(eager=True)
     hours = [r["hour_key"] for r in partial.select("hour_key").distinct().collect()]
     if not hours:
         return
-    try:
-        existing = (
-            spark.read.parquet(rollup_path)
-            .filter(F.col("hour_key").isin(hours))
-            .select(
-                "hour_key", "window_start", "event_type", "n",
-                F.col("total_dec").cast(DecimalType(18, 2)).alias("total_dec"),
-            )
-        )
-        merged_src = partial.unionByName(existing)
-    except AnalysisException:  # first batch: rollup does not exist yet
-        merged_src = partial
+    ppath = _partials_path(rollup_path)
+    (
+        partial.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("hour_key", "batch_id")
+        .parquet(ppath)
+    )
     merged = (
-        merged_src.groupBy("hour_key", "window_start", "event_type")
+        spark.read.parquet(ppath)
+        .filter(F.col("hour_key").isin(hours))
+        .groupBy("hour_key", "window_start", "event_type")
         .agg(
             F.sum("n").alias("n"),
             F.sum("total_dec").cast(DecimalType(18, 2)).alias("total_dec"),
         )
-        # materialize before overwriting the partitions this plan reads
+        # materialize before overwriting partitions a future plan reads
         .localCheckpoint(eager=True)
     )
     (
@@ -97,6 +124,42 @@ def merge_rollup_batch(
     )
 
 
+def compact_partials(
+    spark: SparkSession, rollup_path: str, hours: list[str] | None = None
+) -> None:
+    """Maintenance: fold an hour's many per-batch partial rows into one
+    (stored under the reserved ``batch_id=-1``), bounding the partials
+    store for long-lived late-data hours. Associativity of the additive
+    measures makes this a no-op for every query result. Run OUTSIDE the
+    stream (single writer — SCALE.md known limits)."""
+    ppath = _partials_path(rollup_path)
+    try:
+        parts = spark.read.parquet(ppath)
+    except AnalysisException:
+        return
+    if hours is not None:
+        parts = parts.filter(F.col("hour_key").isin(hours))
+    folded = (
+        parts.groupBy("hour_key", "window_start", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").cast(DecimalType(18, 2)).alias("total_dec"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    touched = [r["hour_key"] for r in folded.select("hour_key").distinct().collect()]
+    if not touched:
+        return
+    # Static overwrite of the touched hour_key dirs replaces ALL their
+    # batch_id subdirs with the single folded row. Done hour-by-hour so
+    # an interrupted compaction leaves every untouched hour intact.
+    for hk in touched:
+        folded.filter(F.col("hour_key") == hk).drop("hour_key").write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(f"{ppath}/hour_key={hk}")
+
+
 def stream_hourly_rollup(
     events_stream: DataFrame, rollup_path: str, checkpoint_path: str
 ) -> StreamingQuery:
@@ -105,10 +168,12 @@ def stream_hourly_rollup(
     incremental-refresh shape; a real deployment drops the trigger for
     true continuous maintenance)."""
 
-    def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_rollup_batch(batch_df.sparkSession, batch_df, rollup_path)
+        merge_rollup_batch(
+            batch_df.sparkSession, batch_df, rollup_path, batch_id=batch_id
+        )
 
     return (
         events_stream.writeStream.foreachBatch(handle_batch)

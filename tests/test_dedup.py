@@ -298,3 +298,24 @@ def test_twostar_converges_on_long_chain_in_log_rounds(spark):
         ).collect()
     }
     assert all(comps[i] == 0 for i in range(n))
+
+
+def test_twostar_raises_when_iteration_budget_too_small(spark):
+    """ADVICE r5: an unconverged star forest must raise, not silently
+    return wrong component ids. Two rounds cannot contract (and then
+    CONFIRM the fixpoint of) a 64-node path graph."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components_twostar,
+    )
+
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach"):
+        near_dup_components_twostar(docs, pairs=pairs, max_iterations=2)

@@ -398,3 +398,49 @@ def test_stream_hourly_rollup_matches_batch_and_resumes(spark, tmp_path):
     # spot-check a derived measure is consistent with the additive ones
     r = read_rollup(spark, rollup).filter(F.col("n") > 0).first()
     assert abs(r["avg_value"] - round(r["total"] / r["n"], 6)) < 1e-9
+
+
+def test_rollup_merge_replayed_batch_is_idempotent(spark, tmp_path):
+    """ADVICE r5 (high): a micro-batch replayed after its rollup
+    overwrite committed but before the streaming checkpoint committed
+    must NOT double-count. Simulate the crash window by calling
+    merge_rollup_batch twice with the same batch_id/data (exactly what
+    foreachBatch replay delivers) — the table must be unchanged, and a
+    genuinely NEW batch over the same hours must still merge
+    additively."""
+    from nosql_to_sql_migration_tool_spark.streaming.rollup import (
+        compact_partials,
+        merge_rollup_batch,
+        read_rollup,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rollup = str(tmp_path / "rollup")
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)  # same hours
+
+    merge_rollup_batch(spark, b1, rollup, batch_id=0)
+    once = read_rollup(spark, rollup).toPandas()
+    merge_rollup_batch(spark, b1, rollup, batch_id=0)  # replay crash window
+    twice = read_rollup(spark, rollup)
+    assert _same_rows(twice, spark.createDataFrame(once))
+
+    merge_rollup_batch(spark, b2, rollup, batch_id=1)
+    merge_rollup_batch(spark, b2, rollup, batch_id=1)  # replay again
+    got = read_rollup(spark, rollup).select(
+        "window_start", "event_type", "n", "total"
+    )
+    want = tumbling_window_agg(events)
+    assert _same_rows(got, want)
+
+    # Maintenance compaction folds per-batch partials without changing
+    # any result, and a post-compaction late batch still merges.
+    compact_partials(spark, rollup)
+    assert _same_rows(
+        read_rollup(spark, rollup).select(
+            "window_start", "event_type", "n", "total"
+        ),
+        want,
+    )
