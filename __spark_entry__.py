@@ -43,6 +43,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # fingerprints` re-pins an edited oracle with the upcoming round).
 _MANUAL_CHANGED_IN_ROUND = {
     "ivf_topk": 4,  # round 4: sample-trained quantizer (train_limit=256)
+    # round 6 plan-only changes (oracle unchanged, so the fingerprint pin
+    # can't auto-requeue them): deciles moved off the global-ntile window
+    # onto bucketed_rank + ntile_from_rank; the sketch cumsum moved off
+    # the partition-less window onto a broadcast triangular join.
+    "customer_spend_deciles": 6,
+    "price_quantile_sketch": 6,
 }
 
 
