@@ -155,3 +155,48 @@ def read_mongo(spark: SparkSession, options: dict[str, str]) -> DataFrame:
             "MongoDB read failed — the spark-mongodb connector package and "
             "a reachable server are required: " + str(exc)
         ) from exc
+
+
+# ---------------------------------------------------------------------------
+# Embedded Derby: the one JDBC endpoint that EXISTS in this environment
+# (Spark ships derby*.jar for its Hive metastore), so the JDBC read/
+# write path is executed for real here — batched writes, typed DDL via
+# createTableColumnTypes, partitioned parallel reads — not just option
+# wiring. The same read_jdbc/write_jdbc calls with mysql/sqlserver
+# options run against live servers; only the URL/driver differ.
+# ---------------------------------------------------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_options(
+    db_path: str, table: str, create: bool = True, batch_size: int = 1000
+) -> dict[str, str]:
+    """Option dict for an embedded (in-process, file-backed) Derby
+    database — a real executable JDBC target with zero server setup.
+    Embedded Derby allows ONE booting JVM per database directory; Spark
+    local-mode driver+executors share a JVM, so that holds here, and on
+    a real cluster an embedded path is driver-only anyway (use a
+    network server URL for executor-parallel access)."""
+    url = f"jdbc:derby:{db_path}"
+    if create:
+        url += ";create=true"
+    return {
+        "url": url,
+        "dbtable": table,
+        "driver": DERBY_DRIVER,
+        "batchsize": str(batch_size),
+    }
+
+
+def jdbc_roundtrip(
+    df: DataFrame,
+    options: dict[str, str],
+    column_types: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` to a JDBC table and read it back — the executed
+    migrate-then-validate shape (reference Data_Migration.ps1 write +
+    Validation.ps1 read-back) on a real database connection."""
+    write_jdbc(df, options, mode=mode, column_types=column_types)
+    return read_jdbc(df.sparkSession, options)
