@@ -162,3 +162,46 @@ def test_merge_into_delta(spark, tmp_path):
         key=lambda r: r.k,
     )
     assert [(r.k, r.v) for r in got] == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_spec_parity_with_partition_scoped_rewrite(spark, tmp_path):
+    """VERDICT r5 #7: the MERGE INTO when-ladder (merge_changes' spec —
+    matched+DELETED drop, matched+UPDATED replace, not-matched+NEW
+    insert) and the partition-scoped parquet rewrite must produce
+    IDENTICAL tables for any diff produced by sync() (whose
+    classification is consistent with the target by construction). The
+    spec is replayed literally row-by-row here, so if a Delta jar ever
+    appears, activating merge_changes is a flag flip with proven
+    semantics."""
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    source = regional_changed_customer_source(customer)
+    target_path = str(tmp_path / "tgt")
+    customer.write.partitionBy("c_nationkey").parquet(target_path)
+
+    diff, _state = sync(source, snapshot_state(customer, "c_custkey"), "c_custkey")
+    diff = diff.join(
+        source.select("c_custkey", "c_nationkey"), "c_custkey", "left"
+    ) if "c_nationkey" not in diff.columns else diff
+
+    # (a) partition-scoped rewrite (the shipping fallback)
+    apply_changes_to_path(
+        spark, target_path, diff, "c_custkey", "c_nationkey"
+    )
+    fallback = spark.read.parquet(target_path)
+
+    # (b) the MERGE spec replayed literally on the original target
+    tgt = {r["c_custkey"]: r.asDict() for r in customer.collect()}
+    for r in diff.collect():
+        k, ch = r["c_custkey"], r["change_type"]
+        row = {c: r[c] for c in customer.columns}
+        if k in tgt and ch == "DELETED":
+            del tgt[k]
+        elif k in tgt and ch == "UPDATED":
+            tgt[k] = row
+        elif k not in tgt and ch == "NEW":
+            tgt[k] = row
+    spec = spark.createDataFrame(list(tgt.values()), customer.schema)
+
+    assert _same_rows(
+        fallback.select(*customer.columns), spec
+    ), "merge-spec and partition-scoped rewrite diverged"

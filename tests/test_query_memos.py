@@ -1,0 +1,83 @@
+"""Shared-frame memo contract (VERDICT r5 #9): the bench wins of the
+dedup / recall-audit / PQ families depend on their expensive frames
+(shingle sets, candidate/verified pairs, truth samples, assignments,
+codebooks, encoded corpus) being built ONCE per (session, sf_dir). A
+refactor that silently un-shares them would keep every result correct
+while multiplying family cost — so the sharing itself is pinned here:
+accessor identity (cache hit returns the same object) plus a
+broken-builder probe (after warmup, the underlying builder is
+monkeypatched to raise; a query that re-derived instead of reusing
+would blow up)."""
+
+from __future__ import annotations
+
+import pytest
+
+import nosql_to_sql_migration_tool_spark.queries as q
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_dedup_family_memo_identity(spark):
+    sf = SF_DIR_SMOKE
+    assert q._dedup_docs(spark, sf) is q._dedup_docs(spark, sf)
+    assert q._dedup_shingles(spark, sf) is q._dedup_shingles(spark, sf)
+    assert q._raw_shingles(spark, sf) is q._raw_shingles(spark, sf)
+    assert q._dedup_cands(spark, sf) is q._dedup_cands(spark, sf)
+    assert q._dedup_pairs(spark, sf) is q._dedup_pairs(spark, sf)
+    assert q._dedup_simhash(spark, sf) is q._dedup_simhash(spark, sf)
+
+
+def test_embedding_family_memo_identity(spark):
+    sf = SF_DIR_SMOKE
+    assert q._memo_emb_pairs(spark, sf) is q._memo_emb_pairs(spark, sf)
+    assert q._memo_truth_pairs(spark, sf) is q._memo_truth_pairs(spark, sf)
+    assert q._dup_emb_assigned(spark, sf, "flat") is q._dup_emb_assigned(
+        spark, sf, "flat"
+    )
+    # centroid/codebook memos hold plain python objects
+    k, tl = q._blocking_params(q._dup_emb_count(spark, sf))
+    assert q._dup_emb_centroids(spark, sf, k, 2, tl) is q._dup_emb_centroids(
+        spark, sf, k, 2, tl
+    )
+    assert q._memo_pq_books(spark, sf) is q._memo_pq_books(spark, sf)
+    assert q._memo_pq_encoded(spark, sf) is q._memo_pq_encoded(spark, sf)
+
+
+def test_queries_reuse_memo_not_rebuild(spark):
+    """After warmup, break the builders: family queries must still run
+    (cache hit); a silent un-sharing regression raises immediately."""
+    import nosql_to_sql_migration_tool_spark.operators.dedup as dedup_mod
+    from nosql_to_sql_migration_tool_spark.operators import pq as pq_mod
+
+    sf = SF_DIR_SMOKE
+    q._dedup_cands(spark, sf)
+    q._memo_pq_encoded(spark, sf)
+
+    def boom(*_a, **_k):
+        raise AssertionError("memo bypassed: builder re-invoked")
+
+    orig_cand = dedup_mod.minhash_candidates
+    orig_enc = pq_mod.pq_encode
+    dedup_mod.minhash_candidates = boom
+    pq_mod.pq_encode = boom
+    try:
+        assert q.QUERIES["minhash_candidates"](spark, sf).count() > 0
+        assert q.QUERIES["pq_topk"](spark, sf).count() > 0
+    finally:
+        dedup_mod.minhash_candidates = orig_cand
+        pq_mod.pq_encode = orig_enc
+
+
+def test_memo_invalidates_on_new_session_key(spark):
+    """The cache key includes the SparkSession identity: a stale entry
+    from a stopped session must not leak into a new one (the guard is
+    the `entry[0] is not spark` check in `_cached`)."""
+    sf = SF_DIR_SMOKE
+    df = q._dedup_docs(spark, sf)
+    cache_entry = q._DEDUP_DOCS_CACHE[sf]
+    # simulate an entry from another session object
+    q._DEDUP_DOCS_CACHE[sf] = (object(), df)
+    rebuilt = q._dedup_docs(spark, sf)
+    assert q._DEDUP_DOCS_CACHE[sf][0] is spark
+    assert rebuilt is not None
+    q._DEDUP_DOCS_CACHE[sf] = cache_entry
