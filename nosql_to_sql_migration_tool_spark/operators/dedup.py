@@ -951,3 +951,90 @@ def jaccard_prefix_pairs_sql(
         f"{jaccard_prefix_ctes_sql(tau_num, tau_den)}\n"
         "SELECT id_a, id_b, jaccard FROM __truth"
     )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise EXACT shingle-Jaccard between sub-corpora (sources,
+    snapshots, crawls) — the corpus-level overlap matrix a dedup run is
+    planned from ("how much of crawl B is already in crawl A?"), the
+    group-granularity sibling of the per-document near-dup operators.
+
+    Shape: one distinct (group, shingle) projection (combinable
+    distinct), group set sizes, and an inverted-index self-join on the
+    shingle key — per-shingle fan-out is bounded by the number of
+    GROUPS (corpus-level entities: tens, not documents), so the join
+    output is at most k²/2 rows per shingle and the result is k²/2
+    rows total. Zero-overlap pairs are completed from the broadcast
+    k-row size table, never from data. Integer counts divide once at
+    the end: exact cross-engine.
+    """
+    sh = (
+        with_shingles(df, text_col, out_col="__sh", keep=(group_col,))
+        .select(F.col(group_col).alias("grp"), F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("grp").alias("grp_a"), "__s")
+        .join(sh.select(F.col("grp").alias("grp_b"), "__s"), "__s")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("n").alias("n_b"))
+    pairs = F.broadcast(sa).join(
+        F.broadcast(sb), F.col("grp_a") < F.col("grp_b")
+    )
+    common = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            common.alias("n_common"),
+            "n_a",
+            "n_b",
+            F.round(
+                common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - common),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def corpus_overlap_sql(
+    table: str, group_col: str = "source", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of ``corpus_overlap``."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        word_shingles_sql,
+    )
+
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT grp, s FROM (
+    SELECT {group_col} AS grp,
+           unnest({word_shingles_sql(text_expr)}) AS s
+    FROM {table}
+  )
+),
+sizes AS (SELECT grp, count(*) AS n FROM sh GROUP BY grp),
+inter AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (s) WHERE a.grp < b.grp GROUP BY 1, 2
+)
+SELECT sa.grp AS source_a, sb.grp AS source_b,
+       coalesce(i.n_common, 0) AS n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.grp < sb.grp
+LEFT JOIN inter i ON i.grp_a = sa.grp AND i.grp_b = sb.grp
+"""

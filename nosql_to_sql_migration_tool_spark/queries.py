@@ -5826,6 +5826,31 @@ def q_orders_zorder_keys(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level overlap: the dedup-planning diagnostic ("how much of
+# source B is already in source A") — group-granularity sibling of the
+# per-document near-dup operators.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
+    corpus_overlap,
+    corpus_overlap_sql,
+)
+
+
+@query("source_overlap_matrix", corpus_overlap_sql("documents", "source"))
+def q_source_overlap_matrix(spark, sf_dir):
+    """Pairwise exact shingle-Jaccard between SOURCES: distinct
+    (source, shingle) projection, inverted-index self-join on the
+    shingle key (fan-out bounded by the group count, never document
+    count), zero-overlap pairs completed from the broadcast size table.
+    At 100 TB this is the overlap matrix a crawl-ingestion plan reads
+    before choosing what to dedup against what."""
+    return corpus_overlap(
+        load_table(spark, sf_dir, "documents"), "source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Executed JDBC round trip (VERDICT r5 #8): embedded Derby ships with
 # Spark, so the batched-write + typed-DDL + read-back path runs for
 # REAL here — converting sources/connectors.py from option wiring into

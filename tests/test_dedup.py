@@ -319,3 +319,37 @@ def test_twostar_raises_when_iteration_budget_too_small(spark):
     )
     with pytest.raises(RuntimeError, match="did not reach"):
         near_dup_components_twostar(docs, pairs=pairs, max_iterations=2)
+
+
+def test_corpus_overlap_exact_small_fixture(spark):
+    """Hand-checkable overlap matrix: identical corpora -> jaccard 1,
+    disjoint -> 0 with the pair still present, partial computed from
+    distinct shingle sets."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        corpus_overlap,
+    )
+
+    # 5-token texts with SHINGLE_K-token shingles; craft via short texts
+    # (< k tokens collapse to one whole-text shingle) for exact control
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "A"),
+            (2, "gamma delta", "A"),
+            (3, "alpha beta", "B"),     # shares 1 of A's 2 shingles
+            (4, "epsilon zeta", "B"),
+            (5, "omega psi", "C"),      # disjoint from everyone
+            (6, "alpha beta", "D"),
+            (7, "gamma delta", "D"),    # D == A exactly
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in corpus_overlap(docs, "source").collect()
+    }
+    assert len(got) == 6  # 4 choose 2, zero-overlap pairs included
+    assert got[("A", "D")]["jaccard"] == 1.0
+    assert got[("A", "C")]["jaccard"] == 0.0 and got[("A", "C")]["n_common"] == 0
+    ab = got[("A", "B")]
+    assert (ab["n_common"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
+    assert ab["jaccard"] == round(1 / 3, 6)
