@@ -6,10 +6,11 @@ engine every operator takes DataFrames, so a connector is just reader/
 writer configuration:
 
 - file formats (parquet/json/csv/orc) — fully testable here;
-- JDBC (MySQL/SQL Server) — option building is pure and tested; the
-  actual round trip needs a driver jar + server, absent in this
-  container, so ``read_jdbc``/``write_jdbc`` raise a clear error if the
-  connector is unavailable rather than failing obscurely;
+- JDBC — EXECUTED here against embedded Derby (see below); MySQL/SQL
+  Server option building is pure and tested, their live round trip
+  needs a driver jar + server (absent in this container), and
+  ``read_jdbc``/``write_jdbc`` raise a clear error if a connector is
+  unavailable rather than failing obscurely;
 - MongoDB — same pattern via the Spark Mongo connector's options.
 
 A JDBC *write* of a normalized table plan replaces the reference's
@@ -200,3 +201,29 @@ def jdbc_roundtrip(
     Validation.ps1 read-back) on a real database connection."""
     write_jdbc(df, options, mode=mode, column_types=column_types)
     return read_jdbc(df.sparkSession, options)
+
+
+def test_connection(spark: SparkSession, options: dict[str, str]) -> bool:
+    """Executable connectivity probe (reference Test-MySQLConnection /
+    Test-SQLServerConnection / Test-MongoDBConnection,
+    Connection_DB.ps1:66-218): run ``SELECT 1`` through the JDBC reader
+    against the configured endpoint and report reachability as a bool
+    (never raises — the reference's probes return $true/$false). Uses
+    the ``query`` option so no target table needs to exist. Executed
+    for real against embedded Derby in tests; identical call against
+    MySQL/SQL Server URLs."""
+    probe = {
+        k: v for k, v in options.items() if k not in ("dbtable", "query")
+    }
+    # Derby has no FROM-less SELECT (and Spark's query-wrapping subquery
+    # breaks its VALUES form); probe its always-present dummy table.
+    probe["query"] = (
+        "SELECT 1 AS probe FROM SYSIBM.SYSDUMMY1"
+        if probe.get("url", "").startswith("jdbc:derby")
+        else "SELECT 1 AS probe"
+    )
+    try:
+        spark.read.format("jdbc").options(**probe).load().collect()
+        return True
+    except Exception:
+        return False

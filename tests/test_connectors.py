@@ -170,3 +170,21 @@ def test_derby_decimal_exactness(spark, tmp_path):
     want = cust.agg(F.sum("bal").alias("s")).first()["s"]
     got = back.agg(F.sum("bal").alias("s")).first()["s"]
     assert got == want
+
+
+def test_connection_probe_executes(spark, tmp_path):
+    """Test-*Connection parity, EXECUTED: the probe runs SELECT 1
+    through the JDBC reader — True against a real (embedded Derby)
+    endpoint, False (never raising) against an unreachable host."""
+    from nosql_to_sql_migration_tool_spark.sources.connectors import (
+        derby_options,
+        jdbc_options,
+        test_connection,
+    )
+
+    assert test_connection(
+        spark, derby_options(str(tmp_path / "probe_db"), "unused")
+    )
+    assert not test_connection(
+        spark, jdbc_options("mysql", "nohost.invalid", "d", "t")
+    )
