@@ -957,6 +957,8 @@ def corpus_overlap(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    doc_shingles: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Pairwise EXACT shingle-Jaccard between sub-corpora (sources,
     snapshots, crawls) — the corpus-level overlap matrix a dedup run is
@@ -971,12 +973,29 @@ def corpus_overlap(
     rows total. Zero-overlap pairs are completed from the broadcast
     k-row size table, never from data. Integer counts divide once at
     the end: exact cross-engine.
+
+    Pass ``doc_shingles`` (an ``(id_col, __sh)`` frame, e.g. the
+    persisted ``shingle_sets`` memo shared with fingerprint /
+    contamination queries) to skip re-deriving shingles — the dominant
+    cost; it is joined narrowly to the (id, group) projection of
+    ``df``.
     """
-    sh = (
-        with_shingles(df, text_col, out_col="__sh", keep=(group_col,))
-        .select(F.col(group_col).alias("grp"), F.explode("__sh").alias("__s"))
-        .distinct()
-    )
+    if doc_shingles is not None:
+        sh = (
+            doc_shingles.join(df.select(id_col, group_col), id_col)
+            .select(
+                F.col(group_col).alias("grp"), F.explode("__sh").alias("__s")
+            )
+            .distinct()
+        )
+    else:
+        sh = (
+            with_shingles(df, text_col, out_col="__sh", keep=(group_col,))
+            .select(
+                F.col(group_col).alias("grp"), F.explode("__sh").alias("__s")
+            )
+            .distinct()
+        )
     sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.select(F.col("grp").alias("grp_a"), "__s")

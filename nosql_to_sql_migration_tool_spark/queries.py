@@ -2901,6 +2901,10 @@ def q_customer_spend_deciles(spark, sf_dir):
             "total_spend"
         )
     )
+    # one eager materialization of the small aggregated frame: the
+    # sketch, bucket-count and total actions below otherwise each
+    # re-run the orders scan + groupBy (bench r6 flagged the rebuild)
+    spend = spend.localCheckpoint(eager=True)
     bucket = range_bucket_expr(spend, "total_spend", 32)
     ranked = bucketed_rank(
         spend, bucket, ["total_spend", "o_custkey"], out_col="__rk"
@@ -5845,8 +5849,9 @@ def q_source_overlap_matrix(spark, sf_dir):
     count), zero-overlap pairs completed from the broadcast size table.
     At 100 TB this is the overlap matrix a crawl-ingestion plan reads
     before choosing what to dedup against what."""
+    docs = load_table(spark, sf_dir, "documents")
     return corpus_overlap(
-        load_table(spark, sf_dir, "documents"), "source"
+        docs, "source", doc_shingles=_raw_shingles(spark, sf_dir)
     )
 
 
