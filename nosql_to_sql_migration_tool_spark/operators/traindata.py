@@ -471,3 +471,75 @@ SELECT doc_id, n_tokens,
        start % {seq_len} AS bin_offset
 FROM __c
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the fixed-context split that
+    feeds a training pipeline BEFORE packing: each document's token
+    stream becomes chunks of ``chunk_tokens`` starting every ``stride``
+    tokens (overlap = chunk_tokens - stride preserves cross-boundary
+    context). One row per chunk: ``(id, chunk_idx, n_tokens,
+    chunk_fp)`` where chunk_fp is the md5 of the chunk's joined tokens
+    (the dedup/provenance key chunk stores index on).
+
+    Pure explode of a generated start-offset array — per-doc work is
+    O(n_tokens), shuffle-free (no window, no join); empty documents
+    yield no chunks. The 100 TB shape: chunking is a projection, so it
+    pipelines with the scan."""
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)).cast("array<int>")
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), F.posexplode(starts).alias(
+            "chunk_idx", "__s"
+        )
+    )
+    piece = F.slice(F.col("__t"), F.col("__s") + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``chunk_documents``."""
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens_sql
+
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH tok AS (
+  SELECT {id_expr} AS doc_id, {toks} AS t FROM {table}
+),
+st AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN len(t) <= 0 THEN CAST([] AS INT[])
+                ELSE CAST(range(0, len(t), {stride}) AS INT[]) END) AS s,
+         generate_subscripts(CASE WHEN len(t) <= 0 THEN CAST([] AS INT[])
+                ELSE CAST(range(0, len(t), {stride}) AS INT[]) END, 1) - 1
+           AS chunk_idx
+  FROM tok
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(t, s + 1, s + {chunk_tokens})) AS n_tokens,
+       md5(array_to_string(list_slice(t, s + 1, s + {chunk_tokens}), ' '))
+         AS chunk_fp
+FROM st
+"""

@@ -5830,6 +5830,30 @@ def q_orders_zorder_keys(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window document chunking (fixed-context split with overlap),
+# the step before sequence packing in a training pipeline.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_sql,
+)
+
+
+@query("doc_chunks", chunk_documents_sql("documents", 32, 24))
+def q_doc_chunks(spark, sf_dir):
+    """Chunk every document into 32-token windows every 24 tokens
+    (8-token overlap): one projection with a generated start-offset
+    explode — no shuffle, no window, no Python — emitting the chunk
+    length and the md5 chunk fingerprint a chunk store would index for
+    retrieval/dedup. Chunking pipelines with the scan at any corpus
+    size."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), 32, 24
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level overlap: the dedup-planning diagnostic ("how much of
 # source B is already in source A") — group-granularity sibling of the
 # per-document near-dup operators.

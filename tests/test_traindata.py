@@ -110,3 +110,34 @@ def test_sequence_packing_layout_invariants(spark):
     assert {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in repacked} != {
         r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in packed
     }
+
+
+def test_chunk_documents_layout_and_edges(spark):
+    """Sliding chunks: starts every stride while < n_tokens, last chunk
+    truncated, short docs one chunk, empty docs none, fingerprints
+    content-true."""
+    import hashlib
+
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(70)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, 32, 24).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    got = [(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in rows]
+    assert got == [(1, 0, 32), (1, 1, 32), (1, 2, 22), (2, 0, 2)]
+    # fingerprint equals md5 of the exact token slice
+    fp0 = hashlib.md5(" ".join(words[0:32]).encode()).hexdigest()
+    fp2 = hashlib.md5(" ".join(words[48:70]).encode()).hexdigest()
+    assert rows[0]["chunk_fp"] == fp0 and rows[2]["chunk_fp"] == fp2
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0, 5)
