@@ -1,0 +1,155 @@
+"""Time-series operators over the events table — gap filling, LOCF
+interpolation, cohort retention (SURVEY.md §2C north-star events
+surface; the hypertable convenience layer: TimescaleDB's
+``time_bucket_gapfill`` / ``locf`` and the product-analytics retention
+matrix, restated as plain Spark plans).
+
+Reference analogue: none — the migration tool has no time-series
+surface at all.
+
+Scale shapes:
+
+- ``hourly_gapfill``: the dense grid is generated PER KEY from that
+  key's own [min, max] hour span (one combinable min/max aggregate,
+  then a ``sequence`` explode — no driver-side calendar, no global
+  range). Grid size is sum over keys of span-hours; the join back to
+  observed hours is an equi-join on (key, hour), both sides already
+  hash-partitioned by the same key. LOCF is one window per key ordered
+  by hour — the partition is a single key's grid, never global.
+- ``cohort_retention``: two combinable aggregates (first-seen week per
+  user, then distinct users per (cohort, offset) cell) — the matrix is
+  cohorts × horizon cells, metadata-sized at any event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DecimalType
+
+
+def hourly_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense per-key hourly series over each key's observed span:
+    ``(key, hour, n, total, locf_total)`` where missing hours appear
+    with n=0, NULL total, and ``locf_total`` carrying the last
+    observed hour's total forward (TimescaleDB ``locf``). Totals are
+    exact DECIMAL, cast to double for presentation."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    observed = (
+        events.select(F.col(key_col).alias("key"), hour.alias("hour"),
+                      F.col(value_col).alias("v"))
+        .groupBy("key", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast(DecimalType(18, 2))).alias("__tot"),
+        )
+    )
+    spans = observed.groupBy("key").agg(
+        F.min("hour").alias("__h0"), F.max("hour").alias("__h1")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence("__h0", "__h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    dense = grid.join(observed, ["key", "hour"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.col("key").alias(key_col),
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("__tot").cast("double").alias("total"),
+        F.last("__tot", ignorenulls=True).over(w).cast("double").alias(
+            "locf_total"
+        ),
+    )
+
+
+def hourly_gapfill_sql(
+    table: str,
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    value_expr: str = "value",
+) -> str:
+    """DuckDB twin of ``hourly_gapfill``."""
+    return f"""
+WITH observed AS (
+  SELECT {key_expr} AS key, date_trunc('hour', {ts_expr}) AS hour,
+         count(*) AS n,
+         sum(CAST({value_expr} AS DECIMAL(18,2))) AS tot
+  FROM {table} GROUP BY 1, 2
+),
+spans AS (
+  SELECT key, min(hour) AS h0, max(hour) AS h1 FROM observed GROUP BY key
+),
+grid AS (
+  SELECT key, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT g.key AS {key_expr}, g.hour AS hour,
+       coalesce(o.n, 0) AS n,
+       CAST(o.tot AS DOUBLE) AS total,
+       CAST(last_value(o.tot IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS locf_total
+FROM grid g LEFT JOIN observed o ON g.key = o.key AND g.hour = o.hour
+"""
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_weeks: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of the key's
+    FIRST event; one row per (cohort_week, weeks_since) with the
+    distinct keys active that week, bounded to ``horizon_weeks``."""
+    week = F.date_trunc("week", F.col(ts_col))
+    acts = events.select(F.col(key_col).alias("key"), week.alias("wk"))
+    first = acts.groupBy("key").agg(F.min("wk").alias("cohort_week"))
+    joined = acts.join(first, "key")
+    weeks_since = F.floor(
+        F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        joined.select("key", "cohort_week", weeks_since.alias("weeks_since"))
+        .filter(F.col("weeks_since") < horizon_weeks)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("key").alias("n_users"))
+    )
+
+
+def cohort_retention_sql(
+    table: str,
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    horizon_weeks: int = 8,
+) -> str:
+    """DuckDB twin of ``cohort_retention``."""
+    return f"""
+WITH acts AS (
+  SELECT {key_expr} AS key, date_trunc('week', {ts_expr}) AS wk
+  FROM {table}
+),
+first AS (
+  SELECT key, min(wk) AS cohort_week FROM acts GROUP BY key
+)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('day', f.cohort_week, a.wk) / 7) AS INT)
+         AS weeks_since,
+       count(DISTINCT a.key) AS n_users
+FROM acts a JOIN first f ON a.key = f.key
+WHERE floor(date_diff('day', f.cohort_week, a.wk) / 7) < {horizon_weeks}
+GROUP BY 1, 2
+"""

@@ -5830,6 +5830,46 @@ def q_orders_zorder_keys(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Time-series convenience layer over events: gap filling + LOCF and the
+# cohort retention matrix (the hypertable/product-analytics surface).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.timeseries import (  # noqa: E402
+    cohort_retention,
+    cohort_retention_sql,
+    hourly_gapfill,
+    hourly_gapfill_sql,
+)
+
+
+@query(
+    "events_hourly_gapfill",
+    hourly_gapfill_sql("(SELECT * FROM events WHERE user_id % 10 = 0)"),
+)
+def q_events_hourly_gapfill(spark, sf_dir):
+    """Dense per-user hourly series with zero-filled gaps and LOCF
+    carry-forward (time_bucket_gapfill + locf): the dense grid is
+    generated per key from its own observed span (sequence explode —
+    no driver calendar), joined back on the shared (key, hour)
+    partitioning, and LOCF is a per-key window. Missing hours surface
+    as n=0 / NULL total — exactly what a monitoring rollup consumer
+    needs to distinguish 'no data' from 'zero'."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    return hourly_gapfill(events)
+
+
+@query("user_cohort_retention", cohort_retention_sql("events"))
+def q_user_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = week of first event,
+    cells = distinct users active N weeks later. Two combinable
+    aggregates; the output is cohorts x horizon — metadata at any
+    event volume."""
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window document chunking (fixed-context split with overlap),
 # the step before sequence packing in a training pipeline.
 # ---------------------------------------------------------------------------

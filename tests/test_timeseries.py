@@ -1,0 +1,70 @@
+"""Time-series operators (operators/timeseries.py): gap filling, LOCF
+carry-forward, cohort retention — hand-checkable fixtures; corpus-level
+cross-engine values are covered by the oracle-parity suite."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_hourly_gapfill_fills_and_carries_forward(spark):
+    from nosql_to_sql_migration_tool_spark.operators.timeseries import (
+        hourly_gapfill,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 7, 10.0),
+        (2, datetime(2024, 1, 1, 0, 40), 7, 2.5),
+        # hour 1 and 2 silent
+        (3, datetime(2024, 1, 1, 3, 5), 7, 4.0),
+        (4, datetime(2024, 1, 1, 5, 0), 9, 1.0),  # other key: 1-hour span
+    ]
+    got = {
+        (r["user_id"], r["hour"].hour): r
+        for r in hourly_gapfill(_events(spark, rows)).collect()
+    }
+    # key 7 spans hours 0..3 inclusive -> 4 rows; key 9 -> 1 row
+    assert len(got) == 5
+    assert got[(7, 0)]["n"] == 2 and got[(7, 0)]["total"] == 12.5
+    for h in (1, 2):
+        r = got[(7, h)]
+        assert r["n"] == 0 and r["total"] is None
+        assert r["locf_total"] == 12.5  # carried forward across the gap
+    assert got[(7, 3)]["locf_total"] == 4.0
+    assert got[(9, 5)]["n"] == 1 and got[(9, 5)]["locf_total"] == 1.0
+
+
+def test_cohort_retention_cells_and_horizon(spark):
+    from nosql_to_sql_migration_tool_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday (week start on both engines)
+    rows = [
+        (1, datetime(2024, 1, 2), 1, 0.0),   # u1 cohort wk0
+        (2, datetime(2024, 1, 9), 1, 0.0),   # u1 active wk1
+        (3, datetime(2024, 1, 23), 1, 0.0),  # u1 active wk3
+        (4, datetime(2024, 1, 3), 2, 0.0),   # u2 cohort wk0
+        (5, datetime(2024, 1, 10), 3, 0.0),  # u3 cohort wk1
+        (6, datetime(2024, 3, 10), 3, 0.0),  # u3 beyond horizon 8
+    ]
+    got = {
+        (str(r["cohort_week"].date()), r["weeks_since"]): r["n_users"]
+        for r in cohort_retention(
+            _events(spark, rows), horizon_weeks=8
+        ).collect()
+    }
+    assert got[("2024-01-01", 0)] == 2      # u1, u2
+    assert got[("2024-01-01", 1)] == 1      # u1
+    assert got[("2024-01-01", 3)] == 1      # u1
+    assert got[("2024-01-08", 0)] == 1      # u3
+    assert ("2024-01-08", 8) not in got     # horizon filtered
+    assert len(got) == 4
