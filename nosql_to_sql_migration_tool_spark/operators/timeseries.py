@@ -153,3 +153,125 @@ FROM acts a JOIN first f ON a.key = f.key
 WHERE floor(date_diff('day', f.cohort_week, a.wk) / 7) < {horizon_weeks}
 GROUP BY 1, 2
 """
+
+
+def trailing_active_users(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-N-day distinct actives per day (the WAU/MAU counter):
+    each key's distinct active DAY fans out to the ``window_days``
+    report days it contributes to (bounded explode), then one distinct
+    count per report day. EXACT — no sketch — with work linear in
+    (active key-days x window), the standard scale shape for sliding
+    distinct counts; swap in an HLL sketch only when the window or
+    cardinality makes exactness unaffordable."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    key_days = events.select(
+        F.col(key_col).alias("key"), day.alias("d")
+    ).distinct()
+    fanout = key_days.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("report_day"),
+    )
+    return (
+        fanout.groupBy("report_day")
+        .agg(F.count_distinct("key").alias("active_users"))
+    )
+
+
+def trailing_active_users_sql(
+    table: str,
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    window_days: int = 7,
+) -> str:
+    """DuckDB twin of ``trailing_active_users``."""
+    return f"""
+WITH key_days AS (
+  SELECT DISTINCT {key_expr} AS key,
+         CAST(date_trunc('day', {ts_expr}) AS DATE) AS d
+  FROM {table}
+),
+fanout AS (
+  SELECT key, CAST(unnest(generate_series(d, d + {window_days - 1},
+                   INTERVAL 1 DAY)) AS DATE) AS report_day
+  FROM key_days
+)
+SELECT report_day, count(DISTINCT key) AS active_users
+FROM fanout GROUP BY report_day
+"""
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order first-touch funnel: users whose first ``steps[0]``
+    precedes a later ``steps[1]`` which precedes a later ``steps[2]``.
+    Three combinable conditional-min aggregates chained by key joins —
+    each stage shuffles only (key, ts) pairs, never event payloads.
+    One summary row ``(n_step1, n_step2, n_step3)``."""
+    s1, s2, s3 = steps
+    k, ts, et = F.col(key_col), F.col(ts_col), F.col(type_col)
+    t1 = events.filter(et == s1).groupBy(k.alias("key")).agg(
+        F.min(ts).alias("t1")
+    )
+    t2 = (
+        events.filter(et == s2)
+        .select(k.alias("key"), ts.alias("__ts"))
+        .join(t1, "key")
+        .filter(F.col("__ts") > F.col("t1"))
+        .groupBy("key")
+        .agg(F.min("__ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(et == s3)
+        .select(k.alias("key"), ts.alias("__ts"))
+        .join(t2, "key")
+        .filter(F.col("__ts") > F.col("t2"))
+        .groupBy("key")
+        .agg(F.min("__ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).alias("n_step2"))))
+        .crossJoin(F.broadcast(t3.agg(F.count(F.lit(1)).alias("n_step3"))))
+    )
+
+
+def event_funnel_sql(
+    table: str,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    type_expr: str = "event_type",
+) -> str:
+    """DuckDB twin of ``event_funnel``."""
+    s1, s2, s3 = steps
+    return f"""
+WITH t1 AS (
+  SELECT {key_expr} AS key, min({ts_expr}) AS t1
+  FROM {table} WHERE {type_expr} = '{s1}' GROUP BY 1
+),
+t2 AS (
+  SELECT e.{key_expr} AS key, min(e.{ts_expr}) AS t2
+  FROM {table} e JOIN t1 ON e.{key_expr} = t1.key
+  WHERE e.{type_expr} = '{s2}' AND e.{ts_expr} > t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.{key_expr} AS key, min(e.{ts_expr}) AS t3
+  FROM {table} e JOIN t2 ON e.{key_expr} = t2.key
+  WHERE e.{type_expr} = '{s3}' AND e.{ts_expr} > t2.t2 GROUP BY 1
+)
+SELECT (SELECT count(*) FROM t1) AS n_step1,
+       (SELECT count(*) FROM t2) AS n_step2,
+       (SELECT count(*) FROM t3) AS n_step3
+"""

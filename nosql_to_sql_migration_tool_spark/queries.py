@@ -5870,6 +5870,36 @@ def q_user_cohort_retention(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Event analytics: sliding distinct actives and ordered funnel.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.timeseries import (  # noqa: E402
+    event_funnel,
+    event_funnel_sql,
+    trailing_active_users,
+    trailing_active_users_sql,
+)
+
+
+@query("weekly_active_users", trailing_active_users_sql("events"))
+def q_weekly_active_users(spark, sf_dir):
+    """EXACT trailing-7-day distinct actives per day: each (user, day)
+    fans out to the 7 report days it feeds (bounded explode — the
+    standard exact shape for sliding distinct counts; the HLL sketch
+    operator is the approximate fallback when cardinality demands
+    it)."""
+    return trailing_active_users(load_table(spark, sf_dir, "events"))
+
+
+@query("event_funnel_counts", event_funnel_sql("events"))
+def q_event_funnel_counts(spark, sf_dir):
+    """Strict-order first-touch funnel view -> click -> purchase:
+    three conditional-min aggregates chained by key equi-joins — each
+    stage shuffles (key, ts) pairs only. One summary row."""
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window document chunking (fixed-context split with overlap),
 # the step before sequence packing in a training pipeline.
 # ---------------------------------------------------------------------------
@@ -5890,6 +5920,43 @@ def q_doc_chunks(spark, sf_dir):
     size."""
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), 32, 24
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact cross-document substring dedup via disjoint chunk fingerprints
+# (the chunk-granularity complement of line-level and doc-level dedup).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_doc_chunk_dups",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+chunks AS ({chunk_documents_sql("docs", 32, 32)})
+SELECT chunk_fp,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS keep_doc
+FROM chunks
+GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
+""",
+)
+def q_cross_doc_chunk_dups(spark, sf_dir):
+    """Exact 32-token-window dedup ACROSS documents (the chunk-level
+    approximation of suffix-array substring dedup used by large corpus
+    pipelines): disjoint chunks (stride = size), hash groupBy on the
+    chunk fingerprint, survivors = min doc. Work is one projection +
+    one combinable groupBy — linear, shuffle keyed by fingerprint."""
+    chunks = chunk_documents(_dedup_docs(spark, sf_dir), 32, 32)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
     )
 
 

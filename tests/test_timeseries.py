@@ -68,3 +68,51 @@ def test_cohort_retention_cells_and_horizon(spark):
     assert got[("2024-01-08", 0)] == 1      # u3
     assert ("2024-01-08", 8) not in got     # horizon filtered
     assert len(got) == 4
+
+
+def test_trailing_active_users_window_membership(spark):
+    from nosql_to_sql_migration_tool_spark.operators.timeseries import (
+        trailing_active_users,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5), 1, 0.0),
+        (2, datetime(2024, 1, 1, 9), 1, 0.0),   # same (user, day): no double
+        (3, datetime(2024, 1, 5, 1), 2, 0.0),
+        (4, datetime(2024, 1, 9, 1), 1, 0.0),
+    ]
+    got = {
+        str(r["report_day"]): r["active_users"]
+        for r in trailing_active_users(
+            _events(spark, rows), window_days=7
+        ).collect()
+    }
+    assert got["2024-01-01"] == 1           # u1 only
+    assert got["2024-01-05"] == 2           # u1 (jan1 within 7d) + u2
+    assert got["2024-01-07"] == 2           # jan1 still in trailing 7 (d..d+6)
+    assert got["2024-01-08"] == 1           # jan1 aged out; u2 remains
+    assert got["2024-01-09"] == 2           # u2 (jan5) + u1 (jan9)
+
+
+def test_event_funnel_strict_ordering(spark):
+    from nosql_to_sql_migration_tool_spark.operators.timeseries import (
+        event_funnel,
+    )
+
+    rows = [
+        # u1 completes in order
+        (1, datetime(2024, 1, 1, 1), 1, "view"),
+        (2, datetime(2024, 1, 1, 2), 1, "click"),
+        (3, datetime(2024, 1, 1, 3), 1, "purchase"),
+        # u2 clicks BEFORE first view: click must not count
+        (4, datetime(2024, 1, 1, 1), 2, "click"),
+        (5, datetime(2024, 1, 1, 2), 2, "view"),
+        (6, datetime(2024, 1, 1, 3), 2, "purchase"),  # no qualifying click
+        # u3 views only
+        (7, datetime(2024, 1, 1, 1), 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = event_funnel(df).first()
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (3, 1, 1)
