@@ -167,6 +167,8 @@ def test_no_query_plans_a_global_single_partition_window(spark):
         "price_quantile_error_audit",
         "sequence_packing_bins",
         "customer_spend_percentile_by_nation",
+        "events_hourly_gapfill",
+        "events_trailing_hour_avg",
     ):
         plan = _plan(QUERIES[name](spark, SF_DIR_SMOKE))
         # A PARTITIONED WindowExec prints three bracket groups:
