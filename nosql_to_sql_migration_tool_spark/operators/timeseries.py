@@ -176,10 +176,15 @@ def trailing_active_users(
         "key",
         F.explode(
             F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
-        ).alias("report_day"),
+        ).alias("__d"),
     )
+    # midnight TIMESTAMP, not DATE: DuckDB's generate_series yields
+    # timestamps and its DATE still maps to datetime64 in pandas, so a
+    # DATE here would string-format differently in the driver compare.
     return (
-        fanout.groupBy("report_day")
+        fanout.groupBy(
+            F.col("__d").cast("timestamp").alias("report_day")
+        )
         .agg(F.count_distinct("key").alias("active_users"))
     )
 
@@ -198,8 +203,9 @@ WITH key_days AS (
   FROM {table}
 ),
 fanout AS (
-  SELECT key, CAST(unnest(generate_series(d, d + {window_days - 1},
-                   INTERVAL 1 DAY)) AS DATE) AS report_day
+  SELECT key, unnest(generate_series(CAST(d AS TIMESTAMP),
+                   CAST(d AS TIMESTAMP) + INTERVAL {window_days - 1} DAY,
+                   INTERVAL 1 DAY)) AS report_day
   FROM key_days
 )
 SELECT report_day, count(DISTINCT key) AS active_users

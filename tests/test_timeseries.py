@@ -82,7 +82,7 @@ def test_trailing_active_users_window_membership(spark):
         (4, datetime(2024, 1, 9, 1), 1, 0.0),
     ]
     got = {
-        str(r["report_day"]): r["active_users"]
+        str(r["report_day"].date()): r["active_users"]
         for r in trailing_active_users(
             _events(spark, rows), window_days=7
         ).collect()
