@@ -1057,3 +1057,127 @@ FROM sizes sa
 JOIN sizes sb ON sa.grp < sb.grp
 LEFT JOIN inter i ON i.grp_a = sa.grp AND i.grp_b = sb.grp
 """
+
+
+DEFAULT_CONTAINMENT_DF_CAP = 20
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    df_cap: int = DEFAULT_CONTAINMENT_DF_CAP,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A ∩ B| / |A|`` — the quote/superset signal symmetric Jaccard
+    misses (a short document wholly embedded in a long one has low
+    Jaccard but containment 1.0; corpus pipelines treat the contained
+    doc as the duplicate). Output one row per unordered candidate pair:
+    ``(id_a, id_b, containment_a_in_b, containment_b_in_a)`` where
+    either direction clears ``threshold_num/threshold_den`` (a rational
+    so both engines compare integers — no float threshold drift).
+
+    Blocking: candidates must share at least one RARE shingle (global
+    document frequency <= ``df_cap``) — the df-capped inverted-index
+    discipline of ``tfidf_cosine_pairs``: per-shingle join fan-out is
+    bounded by df_cap², so candidate volume is linear in corpus size.
+    Recall caveat (documented, like the tf-idf family): a pair whose
+    EVERY shared shingle is more common than df_cap generates no
+    candidate; for boilerplate-heavy corpora raise df_cap or fall back
+    to the provably-complete prefix-filter join. Verification is exact
+    (array_intersect over the full distinct shingle sets).
+    """
+    sh_sets = (
+        shingles if shingles is not None else shingle_sets(df, text_col, id_col)
+    )
+    rows = sh_sets.select(
+        F.col(id_col).alias("id"), F.explode("__sh").alias("__s")
+    )
+    rare = (
+        rows.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("__s")
+    )
+    rare_rows = rows.join(rare, "__s")
+    cands = (
+        rare_rows.select(F.col("id").alias("id_a"), "__s")
+        .join(rare_rows.select(F.col("id").alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh_sets.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b = sh_sets.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    na, nb = F.size("__sh_a"), F.size("__sh_b")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter)
+        .filter(
+            (F.col("__i") * threshold_den >= F.lit(threshold_num) * na)
+            | (F.col("__i") * threshold_den >= F.lit(threshold_num) * nb)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__i") * F.lit(1.0) / na, 6).alias(
+                "containment_a_in_b"
+            ),
+            F.round(F.col("__i") * F.lit(1.0) / nb, 6).alias(
+                "containment_b_in_a"
+            ),
+        )
+    )
+
+
+def containment_pairs_sql(
+    docs_sql: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    df_cap: int = DEFAULT_CONTAINMENT_DF_CAP,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``containment_pairs``."""
+    shingles = word_shingles_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+sets AS (
+  SELECT doc_id, {shingles} AS sh FROM docs
+),
+rows_ AS (
+  SELECT doc_id, unnest(sh) AS s FROM sets
+),
+rare AS (
+  SELECT s FROM rows_ GROUP BY s HAVING count(*) <= {df_cap}
+),
+rr AS (
+  SELECT doc_id, r.s FROM rows_ r JOIN rare USING (s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rr a JOIN rr b USING (s) WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS i,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / na, 6) AS containment_a_in_b,
+       round(i * 1.0 / nb, 6) AS containment_b_in_a
+FROM verified
+WHERE i * {threshold_den} >= {threshold_num} * na
+   OR i * {threshold_den} >= {threshold_num} * nb
+"""

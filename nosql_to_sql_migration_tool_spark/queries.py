@@ -5924,6 +5924,34 @@ def q_doc_chunks(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric containment dedup (quote/superset detection).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
+    containment_pairs,
+    containment_pairs_sql,
+)
+
+
+@query(
+    "containment_dup_pairs",
+    containment_pairs_sql(DUPLICATED_DOCUMENTS_SQL, 4, 5),
+)
+def q_containment_dup_pairs(spark, sf_dir):
+    """Shingle CONTAINMENT pairs (|A∩B| / |A| >= 4/5 in either
+    direction): the asymmetric near-dup signal — a short document
+    embedded in a longer one has low Jaccard but containment 1.0, and
+    pipelines drop the contained copy. Rare-shingle (df-capped
+    inverted index) blocking bounds per-shingle fan-out; verification
+    is exact array_intersect over the persisted shingle memo. Rational
+    threshold ⇒ integer compares on both engines."""
+    return containment_pairs(
+        _dedup_docs(spark, sf_dir),
+        shingles=_dedup_shingles(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact cross-document substring dedup via disjoint chunk fingerprints
 # (the chunk-granularity complement of line-level and doc-level dedup).
 # ---------------------------------------------------------------------------

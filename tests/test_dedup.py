@@ -353,3 +353,27 @@ def test_corpus_overlap_exact_small_fixture(spark):
     ab = got[("A", "B")]
     assert (ab["n_common"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
     assert ab["jaccard"] == round(1 / 3, 6)
+
+
+def test_containment_catches_embedded_subset_jaccard_misses(spark):
+    """The asymmetric case containment exists for: a short doc wholly
+    embedded in a long one — low Jaccard (below 0.6) but containment
+    1.0 — plus a disjoint doc that must produce nothing."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a_in_b"] == 1.0       # short fully inside long
+    assert r["containment_b_in_a"] < 0.5        # and NOT vice versa
+    # sanity: symmetric Jaccard would be ~6/47 — far below any near-dup
+    # threshold, which is exactly why a Jaccard pipeline misses this
