@@ -5924,6 +5924,61 @@ def q_doc_chunks(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Executed file-format round trips (read_file surface: csv + json).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.sources.connectors import (  # noqa: E402
+    read_file,
+)
+
+
+@query(
+    "file_roundtrip_counts",
+    """
+SELECT fmt, n_rows, n_regions, sum_keys FROM (
+  SELECT 'csv' AS fmt, count(*) AS n_rows,
+         count(DISTINCT n_regionkey) AS n_regions,
+         CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
+  FROM nation
+  UNION ALL
+  SELECT 'json', count(*), count(DISTINCT n_regionkey),
+         CAST(sum(n_nationkey) AS BIGINT)
+  FROM nation
+)
+""",
+)
+def q_file_roundtrip_counts(spark, sf_dir):
+    """EXECUTED file-connector round trip: the nation table written to
+    csv (header) and line-delimited json, read back through
+    ``read_file`` (csv with schema inference), and aggregated — the
+    oracle aggregates the parquet source directly, so any loss or type
+    corruption through either format breaks the hash."""
+    import os
+    import tempfile
+    import uuid
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = os.path.join(
+        tempfile.gettempdir(), f"file_rt_{uuid.uuid4().hex}"
+    )
+    csv_path, json_path = base + ".csv", base + ".json"
+    nation.write.option("header", "true").csv(csv_path)
+    nation.write.json(json_path)
+
+    def agg(df, fmt):
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("n_regionkey").alias("n_regions"),
+            F.sum("n_nationkey").cast("long").alias("sum_keys"),
+        )
+
+    return agg(read_file(spark, csv_path, "csv"), "csv").unionByName(
+        agg(read_file(spark, json_path, "json"), "json")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Asymmetric containment dedup (quote/superset detection).
 # ---------------------------------------------------------------------------
 
