@@ -110,3 +110,45 @@ def test_word_frequency_table_bound_and_determinism(spark):
     assert [(r["word"], r["weight"]) for r in rows] == [
         ("z", 3), ("a", 2), ("b", 2)  # count DESC, word ASC tiebreak
     ]
+
+
+def test_apply_matches_python_replace_reference_property():
+    """Property pin of the application rule: for arbitrary words and
+    merge lists the generated DuckDB replace chain must equal the
+    pure-python sequential str.replace reference (Java-side parity is
+    pinned batch-wise in test_apply_parity_spark_vs_duckdb). Hundreds
+    of cases, no Spark job per example."""
+    from hypothesis import given, settings, strategies as st
+
+    merge_pool = [
+        ("a", "b"), ("a", "a"), ("aa", "a"), ("ab", "a"),
+        ("b", "b"), ("aa", "aa"), ("b", "ab"),
+    ]
+    words_st = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1, max_size=5,
+    )
+    merges_st = st.permutations(merge_pool).map(lambda p: list(p)[:4])
+
+    def py_apply(word, merges):
+        seq = " " + " ".join(word) + " "
+        for l, r in merges:
+            seq = seq.replace(f" {l} {r} ", f" {l}{r} ")
+        return seq.split()
+
+    @settings(max_examples=60, deadline=None)
+    @given(words_st, merges_st)
+    def prop(words, merges):
+        con = duckdb.connect()
+        sql = bpe_apply_sql("w", merges)
+        for w in words:
+            got = con.sql(
+                f"SELECT string_split(trim({sql}), ' ') "
+                f"FROM (SELECT '{w}' AS w)"
+            ).fetchone()[0]
+            want = py_apply(w, merges)
+            assert got == want, (w, merges, got, want)
+            assert "".join(got) == w  # segmentation, never loss
+        con.close()
+
+    prop()
