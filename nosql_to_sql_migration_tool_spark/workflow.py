@@ -238,3 +238,60 @@ def incremental_migration(
         report.validation = counts
     report.duration_sec = time.monotonic() - start
     return report
+
+
+def run_workflow_from_config(
+    spark: SparkSession,
+    config_path: str,
+    collections: dict[str, DataFrame],
+    operation: str,
+    output_dir: str,
+    *,
+    required_sections: list[str] | None = None,
+    sink_section: str | None = None,
+    **kwargs,
+) -> dict[str, MigrationReport]:
+    """The reference's FULL entry flow (InteractiveMenu aside): load the
+    JSON config (Get-AppConfig), probe every required endpoint
+    (Initialize-DatabaseConnections — the reference aborts on a $false,
+    mirrored here as a RuntimeError before any work runs), run the
+    migration workflow, and, when ``sink_section`` names a JDBC section
+    (e.g. the embedded ``Derby`` target executable in this
+    environment), load every migrated table into that database through
+    the batched JDBC writer — Start-DataMigration's load phase against
+    a REAL sink instead of parquet only."""
+    from nosql_to_sql_migration_tool_spark.sources.config import (
+        connector_options_from_config,
+        initialize_connections,
+        load_app_config,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.connectors import (
+        write_jdbc,
+    )
+
+    config = load_app_config(config_path)
+    if required_sections:
+        status = initialize_connections(spark, config, required_sections)
+        if not all(status.values()):
+            raise RuntimeError(
+                f"connection bootstrap failed: {status} — aborting before "
+                "migration (reference Initialize-DatabaseConnections "
+                "contract)"
+            )
+    reports = run_migration_workflow(
+        spark, collections, operation, output_dir, **kwargs
+    )
+    if sink_section is not None:
+        for coll, report in reports.items():
+            for table in report.tables:
+                df = spark.read.parquet(
+                    os.path.join(output_dir, coll, f"{table}.parquet")
+                )
+                write_jdbc(
+                    df,
+                    connector_options_from_config(
+                        config, sink_section, table=table
+                    ),
+                    mode="overwrite",
+                )
+    return reports

@@ -81,3 +81,67 @@ def test_initialize_connections_executes_probes(spark, tmp_path):
     opts = connector_options_from_config(config, "Derby")
     back = jdbc_roundtrip(nation, opts)
     assert back.count() == nation.count()
+
+
+def test_workflow_from_config_end_to_end_with_derby_sink(spark, tmp_path):
+    """The complete reference flow, EXECUTED: config load -> probe ->
+    full migration -> load every produced table into the config-declared
+    embedded Derby sink -> read the sink back over JDBC and match the
+    parquet row counts. A failed probe aborts before any work."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.sources.connectors import (
+        read_jdbc,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from nosql_to_sql_migration_tool_spark.workflow import (
+        run_workflow_from_config,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF_DIR_SMOKE, "customer")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("string").alias("_id"),
+            F.to_json(
+                F.struct("c_name", "c_nationkey", "c_acctbal")
+            ).alias("doc"),
+        )
+    )
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({
+        "Derby": {"DatabasePath": str(tmp_path / "sinkdb")},
+        "MySQL": CONFIG["MySQL"],
+    }))
+
+    reports = run_workflow_from_config(
+        spark,
+        str(cfg),
+        {"customers": docs},
+        "FullMigration",
+        str(tmp_path / "out"),
+        required_sections=["Derby"],
+        sink_section="Derby",
+    )
+    assert reports["customers"].tables["customers"] == 20
+    opts_tables = reports["customers"].tables
+    from nosql_to_sql_migration_tool_spark.sources.config import (
+        connector_options_from_config,
+    )
+    config = json.loads(cfg.read_text())
+    for table, n in opts_tables.items():
+        back = read_jdbc(
+            spark, connector_options_from_config(config, "Derby", table=table)
+        )
+        assert back.count() == n, table
+
+    # a dead required endpoint aborts BEFORE migration
+    with pytest.raises(RuntimeError, match="connection bootstrap failed"):
+        run_workflow_from_config(
+            spark, str(cfg), {"customers": docs}, "FullMigration",
+            str(tmp_path / "out2"), required_sections=["MySQL"],
+        )
+    assert not (tmp_path / "out2").exists()
