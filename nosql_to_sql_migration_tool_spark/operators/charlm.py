@@ -1,0 +1,178 @@
+"""Character-bigram language-model quality scoring — the KenLM-style
+"perplexity filter" of CCNet/Wikipedia-reference pipelines (Wenzek et
+al. 2020), restated Spark-first with a PINNED integer surprisal table
+so two engines replay the identical model bit-for-bit.
+
+Reference analogue: none — the migration tool has no text analytics;
+this extends the SURVEY.md §2C north-star "quality scoring" surface
+beyond rule-based signals (``text.py:quality_scores``) to a trained
+model score.
+
+Scale shape (the Lloyd's / mini-BPE pin-and-replay discipline):
+
+- TRAINING is one distributed bigram-count groupBy (map-side
+  combinable; the key space is bounded by charset², not corpus size)
+  collected to the driver — a metadata-sized model like k-means
+  centroids, PQ codebooks, or the BPE merge table;
+- the MODEL is pinned as ``(bigram, surprisal_microbits)`` integer
+  rows: surprisal = -log2(count(c1c2) / count(c1·)) computed ONCE at
+  training time, scaled by 1e6 and rounded to int. Query-time scoring
+  never touches libm — it is pure table lookup + integer sum, so the
+  cross-engine hash contract holds exactly (the same reason
+  ``token_rarity`` avoids ln());
+- SCORING is a generated-column explode (one bigram row per adjacent
+  char pair) + a literal-map lookup (``element_at`` on a broadcast
+  map literal — no join, no shuffle before the per-doc agg) + a LONG
+  sum. At 100 TB this is a linear whole-stage-codegen projection; the
+  only shuffle is the per-document aggregation, combinable map-side.
+
+Score semantics: ``bits_per_char = mean surprisal over the doc's
+(overlapping) char bigrams`` — the log2 cross-entropy of the doc under
+the bigram model; unseen bigrams pay a pinned FLOOR surprisal (one bit
+above the rarest trained bigram), so gibberish scores high and fluent
+corpus-like text scores low, the exact signal the CCNet filter
+thresholds on.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def char_bigrams(text: Column) -> Column:
+    """Array of the text's overlapping character bigrams (length-1
+    entries never occur because callers filter ``char_length >= 2``;
+    the guard keeps ANSI ``sequence`` from seeing an empty range)."""
+    n = F.char_length(text)
+    return F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.substring(text, i, 2),
+    )
+
+
+def char_bigrams_sql(expr: str) -> str:
+    """DuckDB twin of ``char_bigrams`` (``range(1, n)`` is exclusive of
+    ``n``, matching Spark's inclusive ``sequence(1, n-1)``)."""
+    return (
+        f"list_transform(range(1, length({expr})), i -> substr({expr}, i, 2))"
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed (bigram, n) histogram over the corpus — key space is
+    charset²-bounded, so the groupBy is map-side combinable and the
+    result is metadata-sized regardless of corpus size."""
+    return (
+        df.filter(F.char_length(F.col(text_col)) >= 2)
+        .select(F.explode(char_bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def learn_char_lm(
+    df: DataFrame, text_col: str = "text", top_k: int = 256
+) -> tuple[list[tuple[str, int]], int]:
+    """Train the bigram LM and return the PINNED model:
+    ``([(bigram, surprisal_microbits)], floor_microbits)``.
+
+    surprisal(c1c2) = -log2(count(c1c2) / count(c1·)) where count(c1·)
+    sums every trained bigram starting with c1 (derived from the same
+    histogram, so learner and normalizer can never disagree). The table
+    keeps the ``top_k`` most frequent bigrams (count DESC, bigram ASC —
+    deterministic); everything else pays ``floor`` = the table's max
+    surprisal + 1,000,000 microbits (one extra bit — strictly worse
+    than any trained bigram). Values are round()ed to integer microbits
+    at TRAINING time; scoring replays integers only.
+
+    The collect is sanctioned: the histogram is charset²-bounded
+    metadata (the Lloyd's-sample discipline), not data-sized.
+    """
+    rows = bigram_counts(df, text_col).collect()
+    counts = {r["bigram"]: r["n"] for r in rows}
+    prefix: dict[str, int] = {}
+    for bg, n in counts.items():
+        prefix[bg[0]] = prefix.get(bg[0], 0) + n
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    table = [
+        (bg, round(-math.log2(n / prefix[bg[0]]) * 1_000_000))
+        for bg, n in ranked
+    ]
+    floor = (max(su for _, su in table) if table else 0) + 1_000_000
+    return table, floor
+
+
+def charlm_score(
+    df: DataFrame,
+    model: list[tuple[str, int]],
+    floor: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with ``>= 2`` chars:
+    ``(id, n_bigrams, bits_per_char)``. Lookup is ``element_at`` on a
+    map LITERAL (broadcast with the plan, no join); the sum is LONG
+    microbits (exact, order-free); the single division + round happens
+    once per document, identically on both engines."""
+    lm_map = F.create_map(
+        *[F.lit(x) for bg, su in model for x in (bg, su)]
+    )
+    # try_element_at, not element_at/[]: ANSI mode (on in this engine)
+    # makes a plain map subscript THROW on a missing key, and unseen
+    # bigrams are exactly the case the floor exists for.
+    su = F.coalesce(
+        F.try_element_at(lm_map, F.col("__bg")), F.lit(floor).cast("long")
+    ).cast("long")
+    return (
+        df.filter(F.char_length(F.col(text_col)) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(char_bigrams(F.col(text_col))).alias("__bg"),
+        )
+        .select(F.col(id_col), su.alias("__su"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__su").cast("double")
+                / (F.lit(1_000_000.0) * F.count(F.lit(1))),
+                6,
+            ).alias("bits_per_char"),
+        )
+    )
+
+
+def charlm_score_sql(
+    model: list[tuple[str, int]],
+    floor: int,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``charlm_score`` — the pinned model replayed as a
+    VALUES join (LEFT JOIN + coalesce = the map-miss floor)."""
+    values = ",\n  ".join(
+        f"('{_sql_quote(bg)}', {su}::BIGINT)" for bg, su in model
+    )
+    return f"""
+WITH __lm(bg, su) AS (VALUES
+  {values}
+),
+__bgs AS (
+  SELECT {id_expr} AS doc_id,
+         unnest({char_bigrams_sql(text_expr)}) AS bg
+  FROM {table} WHERE length({text_expr}) >= 2
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(CAST(sum(coalesce(l.su, {floor}::BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)), 6) AS bits_per_char
+FROM __bgs b LEFT JOIN __lm l ON b.bg = l.bg
+GROUP BY doc_id
+"""

@@ -56,3 +56,71 @@ def salted_join(
         salted_fact.join(salted_dim, [key, "__salt"], how)
         .drop("__salt")
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnostic — the histogram you read BEFORE picking
+    a strategy (plain shuffle / AQE skew split / ``salted_join`` /
+    broadcast): bucket every key by floor(log2(rows-per-key)) and
+    report, per bucket, how many keys live there and what share of the
+    table's rows they carry. A healthy key is a flat low-bucket
+    profile; a hot-key table shows a high bucket carrying a large
+    ``rows_share`` with ``n_keys`` of 1-2 — those are the keys a
+    shuffle partitions onto single straggler tasks.
+
+    Purity contract: the log2 bucket is ``length(bin(n)) - 1`` — bit
+    length of the per-key count — pure integer/string work, so the
+    bucket boundary can never drift between engines the way a libm
+    ``floor(log2())`` could for counts one ulp from a power of two.
+
+    Plan: one combinable per-key count, one bucket groupBy (both
+    map-side partial), and a single-row broadcast total for the share —
+    linear at 100 TB, output bounded by 64 buckets.
+    """
+    per_key = (
+        df.select(F.col(key_col).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    bucketed = (
+        per_key.withColumn(
+            "log2_bucket",
+            (F.length(F.bin(F.col("__n"))) - 1).cast("int"),
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_rows_per_key"),
+        )
+    )
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        bucketed.crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket",
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__total"), 6
+            ).alias("rows_share"),
+        )
+    )
+
+
+def key_skew_profile_sql(table: str, key_expr: str) -> str:
+    """DuckDB twin of ``key_skew_profile`` (same bit-length bucket)."""
+    return f"""
+WITH __per_key AS (
+  SELECT {key_expr} AS k, count(*) AS n FROM {table} GROUP BY {key_expr}
+),
+__total AS (SELECT count(*) AS total FROM {table})
+SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS log2_bucket,
+       count(*) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       max(n) AS max_rows_per_key,
+       round(CAST(sum(n) AS DOUBLE) / any_value(total), 6) AS rows_share
+FROM __per_key CROSS JOIN __total
+GROUP BY 1
+"""

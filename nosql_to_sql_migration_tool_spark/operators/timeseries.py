@@ -281,3 +281,83 @@ SELECT (SELECT count(*) FROM t1) AS n_step1,
        (SELECT count(*) FROM t2) AS n_step2,
        (SELECT count(*) FROM t3) AS n_step3
 """
+
+
+def mad_outlier_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-series anomaly detection: flag days whose event count
+    deviates from that series' MEDIAN daily count by more than
+    ``k`` × MAD (median absolute deviation) — the breakdown-resistant
+    alternative to the z-score detector (``event_value_outliers``),
+    which a single extreme day can mask by inflating its own sigma.
+    Output one row per flagged (series, day):
+    ``(event_type, day, n_events, med, mad)``.
+
+    Determinism contract: daily counts are integers; both engines
+    define median of an even count as the mean of the two middle values
+    — every median/MAD here is therefore an exact binary fraction
+    (``x.0``/``x.5``/``x.25`` grid), so the ``> k*MAD`` comparison can
+    never straddle a rounding difference. No libm anywhere.
+
+    Plan: one combinable (type, day) count, two metadata-sized
+    median aggregates over the per-day table (series × days rows, tiny
+    relative to events), two broadcastable joins back. Linear at
+    100 TB; no window, no global sort — median runs per series key.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.select(F.col(type_col).alias("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.median("n_events").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "__absdev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("__absdev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("n_events") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad")
+        )
+        .select("event_type", "day", "n_events", "med", "mad")
+    )
+
+
+def mad_outlier_days_sql(
+    table: str = "events",
+    ts_expr: str = "ts",
+    type_expr: str = "event_type",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of ``mad_outlier_days``."""
+    return f"""
+WITH __daily AS (
+  SELECT {type_expr} AS event_type,
+         date_trunc('day', {ts_expr}) AS day,
+         count(*) AS n_events
+  FROM {table} GROUP BY 1, 2
+),
+__med AS (
+  SELECT event_type, median(n_events) AS med FROM __daily GROUP BY 1
+),
+__dev AS (
+  SELECT d.*, m.med, abs(d.n_events - m.med) AS absdev
+  FROM __daily d JOIN __med m USING (event_type)
+),
+__mad AS (
+  SELECT event_type, median(absdev) AS mad FROM __dev GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events, d.med, a.mad
+FROM __dev d JOIN __mad a USING (event_type)
+WHERE abs(d.n_events - d.med) > {k}.0 * a.mad
+"""

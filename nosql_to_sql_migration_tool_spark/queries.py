@@ -6314,3 +6314,130 @@ def _pw_pq_books(spark, sf_dir):
 @_prewarm("build:pq_encode")
 def _pw_pq_encode(spark, sf_dir):
     _force(_memo_pq_encoded(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: trained char-bigram LM quality scoring (pinned-model
+# replay), join-key skew diagnostics, market-basket pair mining, robust
+# MAD anomaly days. Pin-and-replay discipline identical to BPE_PINNED_MERGES:
+# the model below is learned from sf0.001 by operators/charlm.py
+# (re-derived byte-identically in tests/test_charlm.py); scoring is pure
+# integer lookup+sum on both engines — no libm at query time.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.charlm import (  # noqa: E402
+    charlm_score,
+    charlm_score_sql,
+)
+
+CHARLM_PINNED: list[tuple[str, int]] = [
+    (' s', 2317413), ('er', 1370014), ('e ', 1393789), ('r ', 1722335),
+    ('or', 1703519), ('in', 706871), ('n ', 743836), ('t ', 1848771),
+    ('ow', 1763352), ('st', 1614353), ('w ', 443060), ('rt', 2639171),
+    ('lu', 1940225), ('ue', 1323153), ('ar', 2786072), ('pa', 578529),
+    (' a', 3890631), ('al', 2805458), (' v', 3896883), ('y ', 0),
+    ('as', 2814856), (' c', 3907890), ('me', 1335469), ('to', 2468197),
+    ('g ', 1357104), ('at', 2838625), (' f', 3930159), ('ro', 2744998),
+    ('ta', 2484940), ('a ', 2845832), ('h ', 1015191), (' t', 3945468),
+    (' b', 3949524), ('an', 3714692), ('ca', 2253473), ('sc', 3081759),
+    ('co', 2262297), ('mn', 2234668), ('ol', 3261682), ('um', 2269045),
+    ('do', 1559111), ('nd', 2289339), ('wi', 1919059), ('de', 1560590),
+    ('rd', 3629521), ('so', 3096496), ('up', 2291344), (' w', 4837050),
+    (' o', 4840058), ('ag', 3760874), ('gg', 2280152), (' p', 4852157),
+    ('va', 985500), ('li', 2967418), ('ne', 2334380), ('ey', 3668859),
+    ('ke', 962103), ('jo', 0), ('oi', 3325007), ('ge', 2307662),
+    ('rg', 3689957), ('gr', 2309206), ('ou', 3328093), ('qu', 0),
+    ('ry', 3691501), (' l', 4879754), ('ct', 2333350), ('ec', 3690392),
+    ('ve', 1014647), (' k', 4885959), ('p ', 1597915), ('ha', 1974772),
+    ('sh', 3174087), (' j', 4896883), ('lo', 3006057), ('sl', 3177217),
+    (' q', 4898450), (' g', 4900019), ('am', 3813286), ('ea', 3709108),
+    ('re', 3714858), ('tr', 3453998), ('fi', 996850), ('il', 2346883),
+    ('lt', 3012337), ('te', 3457141), ('fa', 1003157), ('ba', 1570623),
+    ('ch', 2366265), ('he', 1995236), ('rk', 3729057), ('sp', 3194551),
+    ('tc', 3468197), ('th', 3468197), (' m', 4918982), (' d', 4920573),
+    ('ab', 3838625), ('bl', 1581764), ('le', 3034532), ('m ', 2349777),
+    (' h', 4928557), ('ll', 3042543), ('ma', 2357787), ('sm', 3213702),
+    ('da', 1682493), ('k ', 1038919), ('bi', 1602684), ('ig', 2390000),
+    ('cu', 2399948), ('om', 3399333), ('us', 2406696), ('l ', 3061952),
+    (' r', 5004160), ('du', 6631867),
+]
+CHARLM_FLOOR = 7631867
+
+
+_CHARLM_ORACLE = charlm_score_sql(CHARLM_PINNED, CHARLM_FLOOR)
+
+
+@query("charlm_doc_scores", _CHARLM_ORACLE)
+def q_charlm_doc_scores(spark, sf_dir):
+    """Model-based quality score per document: mean char-bigram
+    surprisal (bits/char) under the PINNED LM — the CCNet-style
+    perplexity filter signal, complementing the rule-based
+    quality_scores and the corpus-frequency token_rarity. Scoring is a
+    generated-column explode + broadcast map-literal lookup + LONG sum:
+    whole-stage codegen, no join, one combinable per-doc agg — linear
+    at 100 TB. The oracle replays the identical integer table, so
+    model drift or extraction drift breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return charlm_score(docs, CHARLM_PINNED, CHARLM_FLOOR)
+
+
+from nosql_to_sql_migration_tool_spark.operators.skew import (  # noqa: E402
+    key_skew_profile,
+    key_skew_profile_sql,
+)
+
+
+@query(
+    "events_user_skew_profile",
+    key_skew_profile_sql("events", "user_id"),
+)
+def q_events_user_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic for events.user_id: per
+    floor(log2(rows-per-key)) bucket, how many keys and what row share
+    — the histogram that decides shuffle vs salted_join vs broadcast
+    BEFORE the join runs. Bit-length bucketing (length(bin(n))-1) keeps
+    the bucket boundary pure-integer on both engines. Two combinable
+    aggregates + a single-row broadcast total; output ≤ 64 rows at any
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id")
+
+
+from nosql_to_sql_migration_tool_spark.operators.basket import (  # noqa: E402
+    basket_pair_lift,
+    basket_pair_lift_sql,
+)
+
+
+@query(
+    "part_pair_lift",
+    basket_pair_lift_sql("lineitem", "l_orderkey", "l_partkey", 2),
+)
+def q_part_pair_lift(spark, sf_dir):
+    """Market-basket 2-itemsets over orders: part pairs co-ordered in
+    >= 2 orders, with per-part supports and independence lift. Pair
+    fan-out is bounded per basket (<= 7 lineitems in TPC-H orders), so
+    candidate volume is linear in order count; supports are combinable
+    groupBys and the item-support lookups broadcast. Lift is one
+    integer-product double division rounded to 6 dp on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pair_lift(li, "l_orderkey", "l_partkey", 2)
+
+
+from nosql_to_sql_migration_tool_spark.operators.timeseries import (  # noqa: E402
+    mad_outlier_days,
+    mad_outlier_days_sql,
+)
+
+
+@query("event_mad_outlier_days", mad_outlier_days_sql())
+def q_event_mad_outlier_days(spark, sf_dir):
+    """Robust anomaly days per event series: daily count deviating from
+    the series median by > 3 × MAD — the breakdown-resistant companion
+    to the z-score detector (one extreme day cannot mask itself by
+    inflating sigma). All medians land on an exact binary-fraction grid
+    (integer counts), so the flag comparison is drift-free without any
+    rounding. One combinable daily count + two metadata-sized median
+    aggregates + broadcast joins back — no window, linear at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return mad_outlier_days(events)

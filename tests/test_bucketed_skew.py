@@ -101,3 +101,21 @@ def test_salted_join_rejects_outer_joins(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="fact-preserving"):
             salted_join(df, df, "k", n_salts=2, how=how)
+
+
+def test_key_skew_profile_buckets_and_shares(spark):
+    from nosql_to_sql_migration_tool_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    # keys: a×1 b×2 c×3 d×8 → buckets: 1→{a}, 2→{b,c}, 8→{d}
+    rows = [("a",)] + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 8
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["log2_bucket"]: r for r in key_skew_profile(df, "k").collect()
+    }
+    assert set(got) == {0, 1, 3}
+    assert (got[0]["n_keys"], got[0]["n_rows"]) == (1, 1)
+    assert (got[1]["n_keys"], got[1]["n_rows"]) == (2, 5)
+    assert (got[3]["n_keys"], got[3]["max_rows_per_key"]) == (1, 8)
+    assert got[3]["rows_share"] == round(8 / 14, 6)

@@ -116,3 +116,48 @@ def test_event_funnel_strict_ordering(spark):
     )
     r = event_funnel(df).first()
     assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (3, 1, 1)
+
+
+def test_mad_outlier_days_flags_only_extreme_days(spark):
+    from nosql_to_sql_migration_tool_spark.operators.timeseries import (
+        mad_outlier_days,
+    )
+
+    # series 'x': daily counts 4,4,4,5,5,20 → med 4.5, absdevs
+    # {.5,.5,.5,.5,.5,15.5} → MAD .5 → threshold 1.5 ⇒ only the
+    # 20-count day flags. The extreme day cannot mask itself (it
+    # WOULD under a mean/stddev rule with few days).
+    rows = []
+    counts = [4, 4, 4, 5, 5, 20]
+    eid = 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime(2024, 3, day, 12, 0, 0), "x")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = mad_outlier_days(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 20
+    assert r["med"] == 4.5 and r["mad"] == 0.5
+    assert r["day"] == datetime(2024, 3, 6, 0, 0, 0)
+
+
+def test_mad_zero_flags_any_deviation(spark):
+    from nosql_to_sql_migration_tool_spark.operators.timeseries import (
+        mad_outlier_days,
+    )
+
+    # counts 3,3,3,4 → med 3, absdevs {0,0,0,1} → MAD 0 ⇒ the single
+    # deviating day flags (3*0 threshold).
+    rows = []
+    eid = 0
+    for day, n in enumerate([3, 3, 3, 4], start=1):
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 3, day, 1, 0, 0), "y"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = mad_outlier_days(df).collect()
+    assert [(r["n_events"], r["mad"]) for r in out] == [(4, 0.0)]
