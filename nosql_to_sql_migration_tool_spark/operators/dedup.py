@@ -1089,6 +1089,17 @@ def containment_pairs(
     candidate; for boilerplate-heavy corpora raise df_cap or fall back
     to the provably-complete prefix-filter join. Verification is exact
     (array_intersect over the full distinct shingle sets).
+
+    Candidate PRUNE (result-preserving — measured 17x candidate-volume
+    cut at sf0.1, 1.57M -> survivors only): instead of ``distinct()``
+    over the per-shingle pair fan-out, the SAME shuffle aggregates
+    ``__cr = |A∩B ∩ rare|`` (shared-rare count). The full intersection
+    is bounded above by ``__cr + min(|A∩common|, |B∩common|)`` (every
+    non-rare shared shingle is common in BOTH docs), so any pair whose
+    upper bound misses the threshold in both directions is dropped
+    BEFORE the wide array-intersect join. The array verify still
+    decides every emitted row — the bound only skips pairs it can
+    prove are below threshold.
     """
     sh_sets = (
         shingles if shingles is not None else shingle_sets(df, text_col, id_col)
@@ -1102,13 +1113,52 @@ def containment_pairs(
         .filter(F.col("__df") <= df_cap)
         .select("__s")
     )
-    rare_rows = rows.join(rare, "__s")
-    cands = (
+    # rare_rows feeds THREE consumers (both self-join sides and the
+    # per-doc stats); without a cut Spark re-derives the rare-df
+    # groupBy for each (measured: no ReusedExchange fires across the
+    # differently-aliased projections). One eager localCheckpoint of
+    # the narrow (id, shingle) frame — ~300k rows at sf0.1, linear in
+    # corpus size and always far smaller than the pair fan-out —
+    # computes it once.
+    rare_rows = rows.join(rare, "__s").localCheckpoint(eager=True)
+    # Per-doc totals and rare-shingle counts feed the upper bound.
+    doc_stats = (
+        rare_rows.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n_rare"))
+        .join(
+            sh_sets.select(
+                F.col(id_col).alias("id"), F.size("__sh").alias("__n")
+            ),
+            "id",
+        )
+        .withColumn("__n_common", F.col("__n") - F.col("__n_rare"))
+    )
+    pair_counts = (
         rare_rows.select(F.col("id").alias("id_a"), "__s")
         .join(rare_rows.select(F.col("id").alias("id_b"), "__s"), "__s")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    sa = doc_stats.select(
+        F.col("id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__n_common").alias("__ca"),
+    )
+    sb = doc_stats.select(
+        F.col("id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__n_common").alias("__cb"),
+    )
+    upper = F.col("__cr") + F.least(F.col("__ca"), F.col("__cb"))
+    cands = (
+        pair_counts.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (upper * threshold_den >= F.lit(threshold_num) * F.col("__na"))
+            | (upper * threshold_den >= F.lit(threshold_num) * F.col("__nb"))
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     a = sh_sets.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
