@@ -1,0 +1,202 @@
+"""Declarative data-quality constraints and column profiling — the
+deequ-style audit layer (Schelter et al., "Automating Large-Scale Data
+Quality Verification", VLDB 2018) a migration pipeline runs AFTER
+loading and BEFORE switching reads over.
+
+Reference analogue: generalizes the migration tool's fixed integrity
+checks (Test-DataIntegrity's null-PK / dup-PK counts and
+Test-MigrationValidation's count compare — reference
+private/Validation.ps1) into a declarative, extensible constraint set
+evaluated in bulk.
+
+Scale shape:
+
+- every ROW-WISE constraint (completeness, bounds, set membership)
+  compiles to one conditional aggregate — the whole set evaluates in a
+  SINGLE combinable pass over the table, however many constraints are
+  declared (deequ's core trick, native to Spark's agg pushdown);
+- uniqueness adds exact distinct counts to the same pass (Spark plans
+  the expand; at 100 TB swap in approx_count_distinct per the sketch
+  family's documented trade);
+- referential checks are one left join + conditional count each — the
+  dimension side is the small side by construction and broadcasts;
+- the report is constraints-many ROWS (metadata-sized): stack() of the
+  one-row aggregate, never a second scan.
+
+Determinism: metrics are round(x, 6) fractions of exact integer
+counts — single double division, identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+Check = tuple  # (kind, column, predicate-param, threshold)
+
+
+def not_null(col: str, threshold: float = 1.0) -> Check:
+    """Fraction of rows with ``col`` present must reach threshold."""
+    return ("not_null", col, None, threshold)
+
+
+def unique(col: str, threshold: float = 1.0) -> Check:
+    """distinct(col)/rows must reach threshold (1.0 = a true key)."""
+    return ("unique", col, None, threshold)
+
+
+def bounds(
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    threshold: float = 1.0,
+) -> Check:
+    """Fraction of rows with lo <= col <= hi (NULL fails) must reach
+    threshold."""
+    return ("bounds", col, (lo, hi), threshold)
+
+
+def in_set(col: str, allowed: list[str], threshold: float = 1.0) -> Check:
+    """Fraction of rows whose value is in the allowed set (NULL fails)
+    must reach threshold."""
+    return ("in_set", col, list(allowed), threshold)
+
+
+def _check_name(kind: str, col: str) -> str:
+    return f"{kind}({col})"
+
+
+def constraint_report(
+    df: DataFrame,
+    checks: list[Check],
+    fks: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate every declared constraint; one output row per
+    constraint: ``(check_name, metric, threshold, passed)``.
+
+    All ``checks`` fold into ONE aggregate pass; each entry of ``fks``
+    (``(fact_col, dim_df, dim_col)`` — every fact value must exist in
+    the dimension) adds one broadcast left join + conditional count,
+    reported as ``fk(fact_col->dim_col)``.
+    """
+    n = F.count(F.lit(1))
+    aggs: list = []
+    names: list[str] = []
+    thresholds: list[float] = []
+    for kind, col, param, threshold in checks:
+        if kind == "not_null":
+            metric = F.count(F.col(col)) / n
+        elif kind == "unique":
+            metric = F.count_distinct(F.col(col)) / n
+        elif kind == "bounds":
+            lo, hi = param
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+            metric = F.count_if(F.coalesce(pred, F.lit(False))) / n
+        elif kind == "in_set":
+            metric = (
+                F.count_if(
+                    F.coalesce(F.col(col).isin(param), F.lit(False))
+                )
+                / n
+            )
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        names.append(_check_name(kind, col))
+        thresholds.append(threshold)
+        aggs.append(F.round(metric, 6).alias(f"__m{len(aggs)}"))
+
+    frames = []
+    if aggs:
+        wide = df.agg(*aggs)
+        triples = ", ".join(
+            f"'{name}', __m{i}, CAST({th} AS DOUBLE)"
+            for i, (name, th) in enumerate(zip(names, thresholds))
+        )
+        frames.append(
+            wide.selectExpr(
+                f"stack({len(names)}, {triples}) AS "
+                f"(check_name, metric, threshold)"
+            )
+        )
+    for fact_col, dim_df, dim_col in fks or []:
+        dim_keys = dim_df.select(
+            F.col(dim_col).alias("__dim_key")
+        ).distinct()
+        joined = df.select(F.col(fact_col).alias("__fk")).join(
+            F.broadcast(dim_keys),
+            F.col("__fk") == F.col("__dim_key"),
+            "left",
+        )
+        frames.append(
+            joined.agg(
+                F.lit(_check_name("fk", f"{fact_col}->{dim_col}")).alias(
+                    "check_name"
+                ),
+                F.round(
+                    F.count_if(F.col("__dim_key").isNotNull())
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("metric"),
+                F.lit(1.0).alias("threshold"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumn(
+        "passed", F.col("metric") >= F.col("threshold")
+    )
+
+
+def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass numeric column profiler: one row per column with
+    ``(col_name, n_rows, n_non_null, n_distinct, min_value, max_value,
+    mean_value)``. The stack() unpivot multiplies rows by |cols| but
+    every aggregate is map-side combinable, so the shuffle carries one
+    partial row per (partition, column). Means accumulate in
+    DECIMAL(18,6) (order-free) then divide once — the pricing_summary
+    determinism contract."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    unpivoted = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (col_name, value)"
+    )
+    dec = F.sum(
+        F.col("value").cast("decimal(18,6)")
+    ).cast("double")
+    return unpivoted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_non_null"),
+        F.count_distinct(F.col("value")).alias("n_distinct"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(dec / F.count("value"), 6).alias("mean_value"),
+    )
+
+
+def numeric_profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of ``numeric_profile`` (UNION ALL per column — the
+    same unpivot semantics)."""
+    selects = [
+        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS value "
+        f"FROM {table}"
+        for c in cols
+    ]
+    un = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH __u AS (
+{un}
+)
+SELECT col_name,
+       count(*) AS n_rows,
+       count(value) AS n_non_null,
+       count(DISTINCT value) AS n_distinct,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(value), 6) AS mean_value
+FROM __u
+GROUP BY col_name
+"""

@@ -6441,3 +6441,93 @@ def q_event_mad_outlier_days(spark, sf_dir):
     aggregates + broadcast joins back — no window, linear at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     return mad_outlier_days(events)
+
+
+from nosql_to_sql_migration_tool_spark.operators.quality import (  # noqa: E402
+    bounds,
+    constraint_report,
+    in_set,
+    not_null,
+    numeric_profile,
+    numeric_profile_sql,
+    unique,
+)
+
+_ORDERS_AUDIT_ORACLE = """
+WITH __m AS (
+  SELECT 'not_null(o_orderkey)' AS check_name,
+         round(CAST(count(o_orderkey) AS DOUBLE) / count(*), 6) AS metric,
+         CAST(1.0 AS DOUBLE) AS threshold
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6),
+         1.0
+  FROM orders
+  UNION ALL
+  SELECT 'bounds(o_totalprice)',
+         round(CAST(count_if(coalesce(o_totalprice >= 0.0, false))
+                    AS DOUBLE) / count(*), 6),
+         1.0
+  FROM orders
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)',
+         round(CAST(count_if(coalesce(o_orderstatus IN ('O','F','P'),
+                                      false)) AS DOUBLE) / count(*), 6),
+         1.0
+  FROM orders
+  UNION ALL
+  SELECT 'fk(o_custkey->c_custkey)',
+         round(CAST(count_if(c.c_custkey IS NOT NULL) AS DOUBLE)
+               / count(*), 6),
+         1.0
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+)
+SELECT check_name, metric, threshold, metric >= threshold AS passed
+FROM __m
+"""
+
+
+@query("orders_constraint_audit", _ORDERS_AUDIT_ORACLE)
+def q_orders_constraint_audit(spark, sf_dir):
+    """Declarative data-quality audit (deequ-style) over orders: key
+    completeness + uniqueness, a price bound, a status domain, and
+    customer referential integrity — one row per constraint with its
+    measured metric and pass verdict. Every row-wise check folds into
+    a SINGLE combinable aggregate pass; the FK check is one broadcast
+    left join. This generalizes the reference's fixed null-PK/dup-PK
+    integrity probes into a constraint set that costs one scan no
+    matter how many checks are declared."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return constraint_report(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            bounds("o_totalprice", lo=0.0),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+        fks=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_numeric_profile",
+    numeric_profile_sql("lineitem", _PROFILE_COLS),
+)
+def q_lineitem_numeric_profile(spark, sf_dir):
+    """Single-pass numeric profiler over lineitem's measure columns:
+    per column, row/non-null/distinct counts, min/max, and the
+    DECIMAL-accumulated mean — the table-profiling step a migration
+    runs to sanity-check a load before cutover. stack() unpivots to
+    (col_name, value) rows; every aggregate is map-side combinable so
+    the shuffle carries one partial per (partition, column) however
+    wide the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_profile(li, _PROFILE_COLS)
