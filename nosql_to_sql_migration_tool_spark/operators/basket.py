@@ -45,6 +45,10 @@ def basket_pairs(
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
+    return _pairs_from_items(items, min_support)
+
+
+def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
     a = items.select(F.col("__b"), F.col("__i").alias("item_a"))
     b = items.select(F.col("__b"), F.col("__i").alias("item_b"))
     return (
@@ -66,11 +70,21 @@ def basket_pair_lift(
     ``lift = pair_support * n_baskets / (support_a * support_b)`` —
     > 1 means the items co-occur more than independence predicts.
     Output ``(item_a, item_b, pair_support, support_a, support_b,
-    lift)``."""
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    pairs = basket_pairs(df, basket_col, item_col, min_support)
+    lift)``.
+
+    The distinct (basket, item) projection feeds FOUR consumers (both
+    pair-join sides, item supports, the basket total); one eager
+    localCheckpoint computes its shuffle once — the same explicit
+    materialization decision as the dedup family's rare-rows frame
+    (a production pipeline would persist this projection stage)."""
+    items = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = _pairs_from_items(items, min_support)
     item_support = items.groupBy("__i").agg(
         F.count(F.lit(1)).alias("__sup")
     )

@@ -309,10 +309,15 @@ def mad_outlier_days(
     100 TB; no window, no global sort — median runs per series key.
     """
     day = F.date_trunc("day", F.col(ts_col))
+    # The (series, day) count table feeds three consumers (median, the
+    # deviation join, the MAD aggregate); it is series×days rows —
+    # metadata-sized — so one eager localCheckpoint computes the
+    # data-sized daily scan exactly once.
     daily = (
         events.select(F.col(type_col).alias("event_type"), day.alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
     )
     med = daily.groupBy("event_type").agg(
         F.median("n_events").alias("med")
