@@ -6514,12 +6514,12 @@ def q_orders_constraint_audit(spark, sf_dir):
     )
 
 
-_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_NUMERIC_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 @query(
     "lineitem_numeric_profile",
-    numeric_profile_sql("lineitem", _PROFILE_COLS),
+    numeric_profile_sql("lineitem", _NUMERIC_PROFILE_COLS),
 )
 def q_lineitem_numeric_profile(spark, sf_dir):
     """Single-pass numeric profiler over lineitem's measure columns:
@@ -6530,4 +6530,36 @@ def q_lineitem_numeric_profile(spark, sf_dir):
     the shuffle carries one partial per (partition, column) however
     wide the table."""
     li = load_table(spark, sf_dir, "lineitem")
-    return numeric_profile(li, _PROFILE_COLS)
+    return numeric_profile(li, _NUMERIC_PROFILE_COLS)
+
+
+from nosql_to_sql_migration_tool_spark.operators.cdc import (  # noqa: E402
+    maintain_aggregate,
+)
+
+_IVM_ORACLE = f"""
+WITH src AS ({CHANGED_CUSTOMER_SOURCE_SQL})
+SELECT c_nationkey,
+       count(*) AS n_rows,
+       CAST(sum(CAST(coalesce(c_acctbal, 0) AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_measure
+FROM src
+GROUP BY c_nationkey
+"""
+
+
+@query("incremental_nation_stats", _IVM_ORACLE)
+def q_incremental_nation_stats(spark, sf_dir):
+    """Incremental view maintenance: per-nation (count, acctbal sum)
+    maintained by applying per-group DELTAS from the customer CDC diff
+    to the old aggregate — departures subtract, arrivals add, group
+    moves decompose into both, unchanged rows never reach the shuffle.
+    The oracle recomputes the aggregate from the new snapshot directly,
+    so the hash proves delta maintenance ≡ full recompute. At scale
+    the old aggregate is a persisted metadata table and the diff is a
+    change feed: maintenance cost follows CHURN, not table size."""
+    customer = load_table(spark, sf_dir, "customer")
+    source = changed_customer_source(customer)
+    return maintain_aggregate(
+        customer, source, "c_custkey", "c_nationkey", "c_acctbal"
+    )

@@ -82,3 +82,21 @@ def test_mismatched_sf_baseline_ignored(tmp_path, capsys):
     (tmp_path / "bench_detail.json").write_text(json.dumps(detail))
     bench._regression_report({f"q{i}": 3.0 for i in range(10)}, 0.1, tmp_path)
     assert "REGRESSION" not in capsys.readouterr().err
+
+
+def test_no_duplicate_module_globals_in_queries():
+    """Regression guard: queries.py is one module, so a second
+    assignment to a helper global (e.g. a column list reused by an
+    earlier query's builder at CALL time) silently rebinds it for
+    everyone — exactly how lineitem's profile columns once broke
+    customer_profile. Every module-level name may be assigned once."""
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    src = Path("nosql_to_sql_migration_tool_spark/queries.py").read_text()
+    names = re.findall(
+        r"^([A-Za-z_][A-Za-z0-9_]*)\s*(?::[^=]+)?=(?!=)", src, re.M
+    )
+    dups = {n: c for n, c in Counter(names).items() if c > 1}
+    assert not dups, f"module globals assigned more than once: {dups}"

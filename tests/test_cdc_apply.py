@@ -205,3 +205,62 @@ def test_merge_spec_parity_with_partition_scoped_rewrite(spark, tmp_path):
     assert _same_rows(
         fallback.select(*customer.columns), spec
     ), "merge-spec and partition-scoped rewrite diverged"
+
+
+def test_maintain_aggregate_equals_recompute(spark):
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        changed_customer_source,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.cdc import (
+        maintain_aggregate,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR_SMOKE
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    source = changed_customer_source(customer)
+    maintained = {
+        r["c_nationkey"]: (r["n_rows"], r["sum_measure"])
+        for r in maintain_aggregate(
+            customer, source, "c_custkey", "c_nationkey", "c_acctbal"
+        ).collect()
+    }
+    recomputed = {
+        r["c_nationkey"]: (r["n_rows"], r["sum_measure"])
+        for r in source.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.coalesce(F.col("c_acctbal"), F.lit(0)).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("sum_measure"),
+        )
+        .collect()
+    }
+    assert maintained == recomputed
+
+
+def test_maintain_aggregate_group_move_and_drop(spark):
+    from nosql_to_sql_migration_tool_spark.operators.cdc import (
+        maintain_aggregate,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        "k long, g string, m double",
+    )
+    # key 1 moves a->b with new measure; key 2 deleted (group a empties);
+    # key 4 arrives in c with NULL measure (counts, adds 0).
+    new = spark.createDataFrame(
+        [(1, "b", 4.0), (3, "b", 7.0), (4, "c", None)],
+        "k long, g string, m double",
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in maintain_aggregate(old, new, "k", "g", "m").collect()
+    }
+    assert got == {"b": (2, 11.0), "c": (1, 0.0)}  # 'a' dropped at 0
