@@ -91,18 +91,30 @@ def learn_char_lm(
     than any trained bigram). Values are round()ed to integer microbits
     at TRAINING time; scoring replays integers only.
 
-    The collect is sanctioned: the histogram is charset²-bounded
-    metadata (the Lloyd's-sample discipline), not data-sized.
+    Driver traffic is bounded by top_k + |charset|, NOT by the full
+    histogram: the conditional's denominators (per-first-char totals)
+    aggregate distributively to charset-many rows, and the table rows
+    come back through a TakeOrdered top-k — so even a unicode corpus
+    whose bigram histogram is millions of rows ships only model-sized
+    data to the driver (the Lloyd's-sample discipline).
     """
-    rows = bigram_counts(df, text_col).collect()
-    counts = {r["bigram"]: r["n"] for r in rows}
-    prefix: dict[str, int] = {}
-    for bg, n in counts.items():
-        prefix[bg[0]] = prefix.get(bg[0], 0) + n
-    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    hist = bigram_counts(df, text_col)
+    prefix = {
+        r["__c1"]: r["__pn"]
+        for r in hist.groupBy(
+            F.substring("bigram", 1, 1).alias("__c1")
+        )
+        .agg(F.sum("n").alias("__pn"))
+        .collect()
+    }
+    ranked = (
+        hist.orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(top_k)
+        .collect()
+    )
     table = [
-        (bg, round(-math.log2(n / prefix[bg[0]]) * 1_000_000))
-        for bg, n in ranked
+        (r["bigram"], round(-math.log2(r["n"] / prefix[r["bigram"][0]]) * 1_000_000))
+        for r in ranked
     ]
     floor = (max(su for _, su in table) if table else 0) + 1_000_000
     return table, floor
