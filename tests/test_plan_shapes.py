@@ -64,16 +64,19 @@ def test_no_query_plans_a_cartesian_product(spark):
     are the accepted cross-join form; an unbroadcast cartesian at 100 TB
     is always a bug. Plans only — nothing executes beyond the training
     collects some builders run at plan time."""
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+    )
     from nosql_to_sql_migration_tool_spark.queries import QUERIES
 
     offenders = []
     for name, fn in QUERIES.items():
         try:
-            plan = _plan(fn(spark, SF_DIR_SMOKE))
+            n = cartesian_products(fn(spark, SF_DIR_SMOKE))
         except Exception as exc:  # a broken builder is its own failure
             offenders.append(f"{name}: build failed: {exc}")
             continue
-        if "CartesianProduct" in plan:
+        if n:
             offenders.append(name)
     assert not offenders, offenders
 
@@ -156,8 +159,9 @@ def test_no_query_plans_a_global_single_partition_window(spark):
     two; this guard keeps future queries honest. (Optimized-out empty
     frames don't appear in the physical plan, which is exactly the
     point: the check is on what would EXECUTE.)"""
-    import re
-
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        global_windows,
+    )
     from nosql_to_sql_migration_tool_spark.queries import QUERIES
 
     offenders = []
@@ -170,16 +174,7 @@ def test_no_query_plans_a_global_single_partition_window(spark):
         "events_hourly_gapfill",
         "events_trailing_hour_avg",
     ):
-        plan = _plan(QUERIES[name](spark, SF_DIR_SMOKE))
-        # A PARTITIONED WindowExec prints three bracket groups:
-        #   Window [exprs...], [partition cols...], [order...]
-        # a GLOBAL one prints only two (no partition list):
-        #   Window [exprs...], [order...]
-        # so one "], [" separator = single-partition sort. (Verified
-        # against hand-built global/partitioned plans — the inner
-        # windowspecdefinition(...) text contains no "], [".)
-        for line in plan.splitlines():
-            if re.search(r"\bWindow\b", line) and "windowspecdefinition(" in line:
-                if line.count("], [") == 1:
-                    offenders.append((name, line.strip()[:160]))
+        n = global_windows(QUERIES[name](spark, SF_DIR_SMOKE))
+        if n:
+            offenders.append((name, n))
     assert not offenders, offenders
