@@ -35,10 +35,13 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Every non-empty ``PushedFilters`` entry in the scan nodes."""
+    """Every non-empty ``PushedFilters`` entry in the scan nodes.
+    Greedy to the LAST ``]`` on the line: filter text itself may nest
+    brackets (``In(col, [a,b])``), and nothing bracketed follows on a
+    scan line (``ReadSchema`` prints ``struct<...>``)."""
     plan = physical_plan(df)
     out = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", plan):
         body = m.group(1).strip()
         if body:
             out.append(body)

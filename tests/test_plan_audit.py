@@ -4,6 +4,8 @@ its target shape."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Window, functions as F
 
 from nosql_to_sql_migration_tool_spark.plans.audit import (
@@ -101,3 +103,13 @@ def test_plan_report_shape(spark):
         "global_windows",
     }
     assert rep["cartesian_products"] == 0 and rep["global_windows"] == 0
+
+
+def test_pushed_filters_with_nested_brackets(spark):
+    df = load_table(spark, SF_DIR_SMOKE, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    got = pushed_filters(df)
+    # the In list survives intact (not truncated at its inner bracket)
+    assert any(re.search(r"In\(o_orderstatus, \[[FO],[FO]\]\)", f)
+               for f in got), got
