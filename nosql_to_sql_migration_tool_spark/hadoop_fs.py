@@ -71,3 +71,12 @@ def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     fs, src_p = _filesystem_for(spark, src)
     _, dst_p = _filesystem_for(spark, dst)
     return bool(fs.rename(src_p, dst_p))
+
+
+def executed_plan_string(df) -> str:
+    """The executed physical plan as text — the input to
+    ``plans/audit.py``'s detectors. PySpark's public surface only
+    PRINTS plans (``df.explain``), so reading one as a string needs the
+    private ``_jdf`` handle; contained here like the FileSystem
+    access so the exposure stays auditable in one place."""
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -27,11 +27,14 @@ import re
 
 from pyspark.sql import DataFrame
 
+from nosql_to_sql_migration_tool_spark.hadoop_fs import executed_plan_string
+
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The executed-plan string Spark would run for ``df``."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The executed-plan string Spark would run for ``df`` (via the
+    repo's single sanctioned private-JVM shim)."""
+    return executed_plan_string(df)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
