@@ -143,6 +143,11 @@ def constraint_report(
                 F.lit(1.0).alias("threshold"),
             )
         )
+    if not frames:
+        raise ValueError(
+            "constraint_report: no constraints declared (checks and fks "
+            "both empty)"
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

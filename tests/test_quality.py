@@ -105,3 +105,8 @@ def test_numeric_profile_golden(spark):
     b = out["b"]
     assert (b["n_rows"], b["n_non_null"], b["n_distinct"]) == (3, 2, 2)
     assert b["mean_value"] == 20.0
+
+
+def test_empty_constraint_set_raises(spark):
+    with pytest.raises(ValueError, match="no constraints declared"):
+        constraint_report(_facts(spark), [])
