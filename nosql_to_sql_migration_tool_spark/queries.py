@@ -5944,15 +5944,19 @@ SELECT fmt, n_rows, n_regions, sum_keys FROM (
   SELECT 'json', count(*), count(DISTINCT n_regionkey),
          CAST(sum(n_nationkey) AS BIGINT)
   FROM nation
+  UNION ALL
+  SELECT 'orc', count(*), count(DISTINCT n_regionkey),
+         CAST(sum(n_nationkey) AS BIGINT)
+  FROM nation
 )
 """,
 )
 def q_file_roundtrip_counts(spark, sf_dir):
     """EXECUTED file-connector round trip: the nation table written to
-    csv (header) and line-delimited json, read back through
-    ``read_file`` (csv with schema inference), and aggregated — the
-    oracle aggregates the parquet source directly, so any loss or type
-    corruption through either format breaks the hash."""
+    csv (header), line-delimited json AND columnar orc, read back
+    through ``read_file`` (csv with schema inference), and aggregated —
+    the oracle aggregates the parquet source directly, so any loss or
+    type corruption through any format breaks the hash."""
     import os
     import tempfile
     import uuid
@@ -5961,9 +5965,12 @@ def q_file_roundtrip_counts(spark, sf_dir):
     base = os.path.join(
         tempfile.gettempdir(), f"file_rt_{uuid.uuid4().hex}"
     )
-    csv_path, json_path = base + ".csv", base + ".json"
+    csv_path, json_path, orc_path = (
+        base + ".csv", base + ".json", base + ".orc"
+    )
     nation.write.option("header", "true").csv(csv_path)
     nation.write.json(json_path)
+    nation.write.orc(orc_path)
 
     def agg(df, fmt):
         return df.agg(
@@ -5973,8 +5980,10 @@ def q_file_roundtrip_counts(spark, sf_dir):
             F.sum("n_nationkey").cast("long").alias("sum_keys"),
         )
 
-    return agg(read_file(spark, csv_path, "csv"), "csv").unionByName(
-        agg(read_file(spark, json_path, "json"), "json")
+    return (
+        agg(read_file(spark, csv_path, "csv"), "csv")
+        .unionByName(agg(read_file(spark, json_path, "json"), "json"))
+        .unionByName(agg(read_file(spark, orc_path, "orc"), "orc"))
     )
 
 
