@@ -444,3 +444,57 @@ def test_rollup_merge_replayed_batch_is_idempotent(spark, tmp_path):
         ),
         want,
     )
+
+
+def test_stream_constraint_metrics_per_batch(spark, tmp_path):
+    """Continuous quality monitoring: each micro-batch's audit lands as
+    metric rows tagged with its batch_id, and per-batch values equal
+    the batch operator run directly on the same data."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        bounds,
+        constraint_report,
+        not_null,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.quality_stream import (
+        stream_constraint_metrics,
+    )
+
+    source_dir = str(tmp_path / "drops")
+    metrics = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    checks = [not_null("k"), bounds("v", lo=0.0)]
+    batch1 = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 3.0)], "k long, v double"
+    )
+    batch2 = spark.createDataFrame(
+        [(4, 1.0), (5, 2.0)], "k long, v double"
+    )
+
+    def run_round():
+        stream = spark.readStream.schema(batch1.schema).parquet(source_dir)
+        q = stream_constraint_metrics(stream, checks, metrics, ckpt)
+        q.awaitTermination(120)
+
+    batch1.coalesce(1).write.mode("append").parquet(source_dir)
+    run_round()
+    batch2.coalesce(1).write.mode("append").parquet(source_dir)
+    run_round()
+
+    got = spark.read.parquet(metrics)
+    assert got.count() == 4  # 2 checks x 2 batches
+    by_batch = {
+        (r["batch_id"], r["check_name"]): r for r in got.collect()
+    }
+    # batch ids are distinct across rounds (checkpointed epoch counter)
+    batch_ids = sorted({b for b, _ in by_batch})
+    assert len(batch_ids) == 2
+    b1, b2 = batch_ids
+    # per-batch streamed metrics == direct batch audit
+    direct1 = {
+        r["check_name"]: r for r in constraint_report(batch1, checks).collect()
+    }
+    assert by_batch[(b1, "not_null(k)")]["metric"] == direct1["not_null(k)"]["metric"]
+    assert by_batch[(b1, "bounds(v)")]["metric"] == direct1["bounds(v)"]["metric"]
+    assert not by_batch[(b1, "bounds(v)")]["passed"]
+    assert by_batch[(b2, "not_null(k)")]["metric"] == 1.0
+    assert by_batch[(b2, "bounds(v)")]["passed"]
