@@ -6572,3 +6572,38 @@ def q_incremental_nation_stats(spark, sf_dir):
     return maintain_aggregate(
         customer, source, "c_custkey", "c_nationkey", "c_acctbal"
     )
+
+
+from nosql_to_sql_migration_tool_spark.operators.graph import (  # noqa: E402
+    pagerank,
+    pagerank_sql,
+)
+
+_PAGERANK_ORACLE = f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+),
+{pagerank_sql('pairs')}
+"""
+
+
+@query("near_dup_pagerank", _PAGERANK_ORACLE)
+def q_near_dup_pagerank(spark, sf_dir):
+    """Fixed-round (3) PageRank over the verified near-dup pair graph —
+    the hub score that ranks each duplicate cluster's canonical
+    document (the ranking complement of the component closure). Reuses
+    the persisted verified-pair memo; per round = one edge join + one
+    combinable sum, every arithmetic step a rounded double op or a
+    DECIMAL sum, so the DuckDB oracle's unrolled three-CTE replay is
+    bit-identical."""
+    return pagerank(_dedup_pairs(spark, sf_dir))
