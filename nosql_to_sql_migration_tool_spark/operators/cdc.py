@@ -383,18 +383,20 @@ def maintain_aggregate(
         .agg(F.sum("__dn").alias("__dn"), F.sum("__dm").alias("__dm"))
     )
     old_agg = old.groupBy(F.col("__g_old").alias(group_col)).agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__m_old").alias("__m")
+        F.sum(F.lit(1)).alias("__dn"), F.sum("__m_old").alias("__dm")
     )
-    merged = old_agg.join(deltas, group_col, "full_outer").select(
-        F.col(group_col),
-        (
-            F.coalesce(F.col("__n"), F.lit(0))
-            + F.coalesce(F.col("__dn"), F.lit(0))
-        ).alias("n_rows"),
-        (
-            F.coalesce(F.col("__m"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("__dm"), F.lit(0).cast("decimal(18,2)"))
-        ).alias("__sum"),
+    # Merge by UNION + groupBy, not a join on the group column: a JOIN
+    # key never matches NULL to NULL, so a NULL-valued group's old
+    # aggregate and its delta would land in two separate output rows;
+    # groupBy treats NULL as one group (caught by the randomized IVM
+    # property test).
+    merged = (
+        old_agg.unionByName(deltas)
+        .groupBy(group_col)
+        .agg(
+            F.sum("__dn").alias("n_rows"),
+            F.sum("__dm").alias("__sum"),
+        )
     )
     return merged.filter(F.col("n_rows") > 0).select(
         group_col,

@@ -264,3 +264,58 @@ def test_maintain_aggregate_group_move_and_drop(spark):
         for r in maintain_aggregate(old, new, "k", "g", "m").collect()
     }
     assert got == {"b": (2, 11.0), "c": (1, 0.0)}  # 'a' dropped at 0
+
+
+def test_maintain_aggregate_property_random_churn(spark):
+    """Randomized pin of the IVM invariant: for arbitrary keyed old/new
+    snapshots — including NULL groups, NULL measures, group moves,
+    pure inserts and pure deletes — delta maintenance must equal the
+    full recompute. Few examples, real Spark jobs (the per-example cost
+    is the join pipeline, so the sample count stays small; the
+    fixture-based tests above pin the named edge cases
+    deterministically)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.cdc import (
+        maintain_aggregate,
+    )
+
+    rng = random.Random(20260814)
+    groups = ["a", "b", "c", None]
+    for _ in range(6):
+        old_rows = [
+            (k, rng.choice(groups), rng.choice([None, 1.25, -3.5, 10.0]))
+            for k in rng.sample(range(20), rng.randint(0, 12))
+        ]
+        # new snapshot: each old key survives/mutates with p=.5, plus
+        # fresh keys
+        new_rows = [
+            (k, rng.choice(groups), rng.choice([None, 1.25, 7.75]))
+            for (k, _, _) in old_rows
+            if rng.random() < 0.5
+        ] + [
+            (k, rng.choice(groups), rng.choice([None, 2.0]))
+            for k in rng.sample(range(20, 30), rng.randint(0, 5))
+        ]
+        old = spark.createDataFrame(old_rows, "k long, g string, m double")
+        new = spark.createDataFrame(new_rows, "k long, g string, m double")
+        maintained = {
+            r["g"]: (r["n_rows"], r["sum_measure"])
+            for r in maintain_aggregate(old, new, "k", "g", "m").collect()
+        }
+        recomputed = {
+            r["g"]: (r["n_rows"], r["sum_measure"])
+            for r in new.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.coalesce(F.col("m"), F.lit(0)).cast("decimal(18,2)")
+                )
+                .cast("double")
+                .alias("sum_measure"),
+            )
+            .collect()
+        }
+        assert maintained == recomputed, (old_rows, new_rows)
