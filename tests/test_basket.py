@@ -61,3 +61,54 @@ def test_single_item_baskets_produce_no_pairs(spark):
         [(1, "a"), (2, "b")], "basket long, item string"
     )
     assert basket_pairs(df, "basket", "item", 1).count() == 0
+
+
+def test_lift_property_random_baskets(spark):
+    """Randomized pin against a brute-force python reference: supports,
+    pair supports and lifts must match exact enumeration for arbitrary
+    baskets with duplicate lines."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    for _ in range(4):
+        rows = [
+            (rng.randint(1, 8), rng.choice("abcde"))
+            for _ in range(rng.randint(0, 40))
+        ]
+        df = spark.createDataFrame(
+            rows or [(1, "a")], "basket long, item string"
+        )
+        data = rows or [(1, "a")]
+        baskets = {}
+        for b, i in data:
+            baskets.setdefault(b, set()).add(i)
+        nb = len(baskets)
+        sup = {}
+        for items in baskets.values():
+            for i in items:
+                sup[i] = sup.get(i, 0) + 1
+        pair_sup = {}
+        for items in baskets.values():
+            for x, y in itertools.combinations(sorted(items), 2):
+                pair_sup[(x, y)] = pair_sup.get((x, y), 0) + 1
+        expect = {
+            (x, y): (
+                c,
+                sup[x],
+                sup[y],
+                round(c * nb / (sup[x] * sup[y]), 6),
+            )
+            for (x, y), c in pair_sup.items()
+            if c >= 1
+        }
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["pair_support"],
+                r["support_a"],
+                r["support_b"],
+                r["lift"],
+            )
+            for r in basket_pair_lift(df, "basket", "item", 1).collect()
+        }
+        assert got == expect, data
