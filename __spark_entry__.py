@@ -53,12 +53,18 @@ _MANUAL_CHANGED_IN_ROUND = {
 
 
 def _changed_in_round() -> dict[str, int]:
-    from nosql_to_sql_migration_tool_spark.fingerprints import changed_rounds
+    from nosql_to_sql_migration_tool_spark.fingerprints import (
+        changed_rounds,
+        plan_changed_rounds,
+    )
 
     merged = dict(_MANUAL_CHANGED_IN_ROUND)
-    for name, rnd in changed_rounds().items():
-        if rnd > merged.get(name, 0):
-            merged[name] = rnd
+    # oracle-TEXT pins and Spark-PLAN pins (round 7: builder-source AST
+    # closure hashes) both mechanically re-queue; manual dict is fallback.
+    for source in (changed_rounds(), plan_changed_rounds()):
+        for name, rnd in source.items():
+            if rnd > merged.get(name, 0):
+                merged[name] = rnd
     return merged
 
 

@@ -78,6 +78,189 @@ def refresh(repo: Path | None = None, path: Path = FINGERPRINT_PATH) -> dict:
     return pinned
 
 
+# ---------------------------------------------------------------------------
+# Plan fingerprints (VERDICT r6 next #2): the Spark-side twin of the oracle
+# pins. A query's plan hash covers the builder function's AST plus the
+# transitive closure of package-local functions/classes it references, so a
+# refactor inside e.g. operators/dedup.py mechanically re-queues every dedup
+# query — closing the stale-green loophole that previously relied on the
+# hand-maintained _MANUAL_CHANGED_IN_ROUND dict. Docstrings and comments are
+# excluded (AST dump), so cosmetic edits don't burn verification-window slots.
+# ---------------------------------------------------------------------------
+
+PLAN_FINGERPRINT_PATH = _HERE / "plan_fingerprints.json"
+
+# __package__, not __name__: under `python -m ...fingerprints` __name__ is
+# "__main__" and would silently exclude every package-local reference.
+_PACKAGE_PREFIX = (__package__ or "nosql_to_sql_migration_tool_spark") + "."
+
+
+def _ast_digest(obj) -> str | None:
+    """md5 of the docstring-stripped AST dump of a function/class source,
+    or None when source is unavailable (builtins, C extensions)."""
+    import ast
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(obj))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError, IndentationError):
+        return None
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module)
+        ):
+            body = getattr(node, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:]
+    return hashlib.md5(
+        ast.dump(tree, include_attributes=False).encode("utf-8")
+    ).hexdigest()
+
+
+def _is_package_local(obj) -> bool:
+    mod = getattr(obj, "__module__", None)
+    return isinstance(mod, str) and (
+        mod.startswith(_PACKAGE_PREFIX) or mod == _PACKAGE_PREFIX[:-1]
+    )
+
+
+def _referenced(fn):
+    """Package-local functions/classes reachable from fn: via its code
+    globals (including names inside nested lambdas/comprehensions) AND via
+    package-local imports written inside the function body — the dominant
+    style in queries.py is `from ...operators.x import helper` inside the
+    builder, which never appears in __globals__."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+    import types
+
+    code = getattr(fn, "__code__", None)
+    globs = getattr(fn, "__globals__", {})
+    if code is None:
+        return []
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        names.update(c.co_freevars)
+        stack.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+    out = []
+    for name in sorted(names):
+        obj = globs.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, (types.FunctionType, type)) and _is_package_local(obj):
+            out.append(obj)
+    # function-body imports
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError, IndentationError):
+        return out
+    pkg_root = _PACKAGE_PREFIX[:-1]
+    own_pkg = (getattr(fn, "__module__", "") or "").rsplit(".", 1)[0]
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            mod_name = node.module or ""
+            if node.level:  # relative import, resolve against fn's package
+                base = own_pkg.rsplit(".", node.level - 1)[0] if node.level > 1 else own_pkg
+                mod_name = f"{base}.{mod_name}" if mod_name else base
+            if not (mod_name == pkg_root or mod_name.startswith(_PACKAGE_PREFIX)):
+                continue
+            try:
+                mod = importlib.import_module(mod_name)
+            except ImportError:
+                continue
+            for alias in node.names:
+                obj = getattr(mod, alias.name, None)
+                if isinstance(obj, (types.FunctionType, type)) and _is_package_local(
+                    obj
+                ):
+                    out.append(obj)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name == pkg_root or alias.name.startswith(_PACKAGE_PREFIX):
+                    try:
+                        mod = importlib.import_module(alias.name)
+                    except ImportError:
+                        continue
+                    for obj in vars(mod).values():
+                        if isinstance(
+                            obj, (types.FunctionType, type)
+                        ) and getattr(obj, "__module__", None) == alias.name:
+                            out.append(obj)
+    return out
+
+
+def plan_hash(fn) -> str:
+    """Combined digest of fn and every package-local function/class in its
+    transitive reference closure, keyed by qualified name for stability."""
+    import types
+
+    seen: dict[str, str] = {}
+    stack = [fn]
+    visited: set[tuple[str, str]] = set()
+    while stack:
+        obj = stack.pop()
+        key = (getattr(obj, "__module__", "?"), getattr(obj, "__qualname__", "?"))
+        if key in visited:
+            continue
+        visited.add(key)
+        digest = _ast_digest(obj)
+        if digest is not None:
+            seen[".".join(key)] = digest
+        if isinstance(obj, types.FunctionType):
+            stack.extend(_referenced(obj))
+        elif isinstance(obj, type):
+            for attr in vars(obj).values():
+                if isinstance(attr, types.FunctionType) and _is_package_local(attr):
+                    stack.append(attr)
+    blob = json.dumps(seen, sort_keys=True)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
+def plan_changed_rounds(path: Path = PLAN_FINGERPRINT_PATH) -> dict[str, int]:
+    """name -> round its Spark plan last changed (1 = initial)."""
+    return {
+        name: int(entry.get("changed_in_round", 1))
+        for name, entry in load_fingerprints(path).items()
+    }
+
+
+def refresh_plans(
+    repo: Path | None = None, path: Path = PLAN_FINGERPRINT_PATH
+) -> dict:
+    """Re-pin plan fingerprints with the same round bookkeeping as oracle
+    pins: unchanged entries keep their round, changed/new entries get the
+    upcoming round, dropped queries are pruned."""
+    from nosql_to_sql_migration_tool_spark.queries import QUERIES
+
+    repo = repo if repo is not None else _HERE.parent
+    prior = load_fingerprints(path)
+    rnd = next_round(repo) if prior else 1
+    pinned: dict[str, dict] = {}
+    for name, fn in QUERIES.items():
+        h = plan_hash(fn)
+        old = prior.get(name)
+        if old and old.get("hash") == h:
+            pinned[name] = old
+        else:
+            pinned[name] = {"hash": h, "changed_in_round": rnd}
+    path.write_text(json.dumps(pinned, indent=1, sort_keys=True) + "\n")
+    return pinned
+
+
 if __name__ == "__main__":
     result = refresh()
     print(f"pinned {len(result)} oracle fingerprints -> {FINGERPRINT_PATH}")
+    plans = refresh_plans()
+    print(f"pinned {len(plans)} plan fingerprints -> {PLAN_FINGERPRINT_PATH}")
