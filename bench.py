@@ -99,6 +99,26 @@ def main() -> None:
         )
     except Exception as exc:  # warmup must never fail the bench
         print(f"bench: warmup query failed: {exc}", file=sys.stderr)
+    # Round 7 (VERDICT r6 next #3): two machinery classes the r5 warmup
+    # missed, attributed by decomposition — the FIRST local-relation job
+    # (createDataFrame path init, ~1.1s, previously billed to
+    # show_columns) and the FIRST Arrow python-worker fan-out (32 worker
+    # processes spin up lazily, ~2-7s, previously billed to
+    # infer_props_schema). Both are session-level one-time costs, same
+    # category as JVM startup.
+    try:
+        spark.createDataFrame(
+            [("warm", "up")], "x string, y string"
+        ).write.format("noop").mode("overwrite").save()
+
+        def _ident(batches):
+            yield from batches
+
+        spark.range(64).repartition(32).mapInPandas(
+            _ident, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        print(f"bench: warmup (local/arrow) failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: list[str] = []

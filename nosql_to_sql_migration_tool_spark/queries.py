@@ -33,6 +33,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(label: str) -> str:
+    """One stable scratch path per (label, process), cleaned at exit —
+    ADVICE r6: uuid-fresh directories per query invocation leaked disk
+    (and, for embedded Derby, driver-JVM memory: every booted database
+    stays registered until JVM shutdown). Overwrite-mode writes make
+    reuse idempotent across --repeat N and driver reruns."""
+    if label not in _SCRATCH_DIRS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_scratch_{label}_{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        # sibling format suffixes (path + ".csv" etc.) share the prefix
+        atexit.register(
+            lambda p=path: [
+                shutil.rmtree(p + ext, ignore_errors=True)
+                for ext in (".csv", ".json", ".orc")
+            ]
+        )
+        _SCRATCH_DIRS[label] = path
+    return _SCRATCH_DIRS[label]
+
 
 def query(name: str, oracle: str | None = None):
     """Register a query (and optionally its DuckDB oracle)."""
@@ -5957,20 +5986,14 @@ def q_file_roundtrip_counts(spark, sf_dir):
     through ``read_file`` (csv with schema inference), and aggregated —
     the oracle aggregates the parquet source directly, so any loss or
     type corruption through any format breaks the hash."""
-    import os
-    import tempfile
-    import uuid
-
     nation = load_table(spark, sf_dir, "nation")
-    base = os.path.join(
-        tempfile.gettempdir(), f"file_rt_{uuid.uuid4().hex}"
-    )
+    base = _scratch_dir("file_rt")
     csv_path, json_path, orc_path = (
         base + ".csv", base + ".json", base + ".orc"
     )
-    nation.write.option("header", "true").csv(csv_path)
-    nation.write.json(json_path)
-    nation.write.orc(orc_path)
+    nation.write.mode("overwrite").option("header", "true").csv(csv_path)
+    nation.write.mode("overwrite").json(json_path)
+    nation.write.mode("overwrite").orc(orc_path)
 
     def agg(df, fmt):
         return df.agg(
@@ -6109,14 +6132,12 @@ def q_jdbc_roundtrip_agg(spark, sf_dir):
     (DECIMAL column type carried via createTableColumnTypes), read back
     over JDBC, and aggregated — the oracle aggregates the parquet
     directly, so any loss or type corruption in the database round trip
-    breaks the hash. A fresh database directory per call keeps the query
-    rerunnable; at scale the identical calls target a server URL
-    (MySQL/SQL Server options in the same module) instead of an
-    embedded path."""
-    import os
-    import tempfile
-    import uuid
-
+    breaks the hash. One database directory per process (overwrite-mode
+    write keeps repeats idempotent; ADVICE r6 — a fresh uuid directory
+    per call leaked disk AND driver-JVM memory, since embedded Derby
+    keeps every booted database registered for the JVM's lifetime); at
+    scale the identical calls target a server URL (MySQL/SQL Server
+    options in the same module) instead of an embedded path."""
     base = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 10 == 0)
@@ -6126,9 +6147,7 @@ def q_jdbc_roundtrip_agg(spark, sf_dir):
             F.col("c_acctbal").cast(T.DecimalType(18, 2)).alias("c_acctbal"),
         )
     )
-    db = os.path.join(
-        tempfile.gettempdir(), f"derby_rt_{uuid.uuid4().hex}"
-    )
+    db = _scratch_dir("derby_rt")
     back = jdbc_roundtrip(
         base,
         derby_options(db, "customer_rt"),
@@ -6252,6 +6271,26 @@ def _pw_dedup_shingles(spark, sf_dir):
 @_prewarm("build:raw_shingles")
 def _pw_raw_shingles(spark, sf_dir):
     _force(_raw_shingles(spark, sf_dir))
+
+
+@_prewarm("build:text_canon_fp")
+def _pw_text_canon_fp(spark, sf_dir):
+    """One-time codegen compile of the shared text-canonicalization +
+    md5 fingerprint projection (regexp_replace/lower/trim/md5 over the
+    documents text column). Attributed in round 7: this stage's Janino
+    compile (~1.2s) was billed to whichever fingerprint query ran first
+    under the driver's repeat-1 (doc_fingerprint, flagged 2 rounds as a
+    phantom regression); warm steady-state for the family is ~0.4s."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        with_fingerprints,
+    )
+
+    with_fingerprints(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_raw_shingles(spark, sf_dir),
+    ).select("doc_id", "exact_fp", "shingle_fp").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 @_prewarm("build:minhash_candidates")
