@@ -314,6 +314,7 @@ def maintain_aggregate(
     key: str,
     group_col: str,
     measure_col: str,
+    validate_unique_key: bool = False,
 ) -> DataFrame:
     """Incremental view maintenance for a grouped (count, sum)
     aggregate: given the OLD snapshot and the NEW source, produce the
@@ -340,7 +341,29 @@ def maintain_aggregate(
     NULL measures count as 0 so a group of NULLs maintains to 0, not
     NULL. Groups whose count reaches zero drop out, matching the
     recompute.
+
+    PRECONDITION (ADVICE r6): ``key`` must be unique in BOTH snapshots.
+    A duplicate key fans out the full_outer join, multiplying its
+    departure/arrival deltas and silently corrupting the aggregate.
+    ``validate_unique_key=True`` adds one cheap groupBy-count guard per
+    side (a separate job, run before the maintenance plan) and raises
+    ``ValueError`` on the first duplicate found.
     """
+    if validate_unique_key:
+        for side, df in (("old_snapshot", old_snapshot), ("new_source", new_source)):
+            dup = (
+                df.groupBy(key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"maintain_aggregate: duplicate key {key}="
+                    f"{dup[0][key]!r} in {side} — the full_outer join "
+                    "would fan out and multiply deltas"
+                )
     dec = lambda c: F.coalesce(c, F.lit(0)).cast("decimal(18,2)")  # noqa: E731
     # Presence flags, not group-NULL checks: a live row whose GROUP
     # value is NULL must still contribute its departure/arrival.

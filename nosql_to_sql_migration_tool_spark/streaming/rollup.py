@@ -124,14 +124,53 @@ def merge_rollup_batch(
     )
 
 
+def last_committed_batch_id(
+    spark: SparkSession, checkpoint_path: str
+) -> int | None:
+    """Highest batch id the streaming checkpoint has COMMITTED (the
+    ``commits/`` dir holds one file per completed batch — Structured
+    Streaming's public checkpoint layout). Batches above this value may
+    replay after a restart; pass the result to ``compact_partials`` as
+    ``max_safe_batch_id``. Returns None when no batch has committed."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+        list_files,
+        path_exists,
+    )
+
+    commits = checkpoint_path.rstrip("/") + "/commits"
+    if not path_exists(spark, commits):
+        return None
+    ids = []
+    for p, _size in list_files(spark, commits):
+        base = p.rsplit("/", 1)[-1]
+        if base.isdigit():
+            ids.append(int(base))
+    return max(ids) if ids else None
+
+
 def compact_partials(
-    spark: SparkSession, rollup_path: str, hours: list[str] | None = None
+    spark: SparkSession,
+    rollup_path: str,
+    hours: list[str] | None = None,
+    max_safe_batch_id: int | None = None,
 ) -> None:
     """Maintenance: fold an hour's many per-batch partial rows into one
     (stored under the reserved ``batch_id=-1``), bounding the partials
     store for long-lived late-data hours. Associativity of the additive
     measures makes this a no-op for every query result. Run OUTSIDE the
-    stream (single writer — SCALE.md known limits)."""
+    stream (single writer — SCALE.md known limits).
+
+    Crash-window rule (ADVICE r6, medium): a batch whose partials are
+    written but whose streaming checkpoint has NOT committed may replay
+    after restart — if compaction had folded it into the ``batch_id=-1``
+    row, the replay would re-create its ``(hour_key, batch_id)``
+    partition while its contribution also survives inside ``-1``,
+    double-counting the hour. Pass ``max_safe_batch_id`` (from
+    ``last_committed_batch_id`` on the stream's checkpoint) and only
+    batches known committed are folded; partials above the bound are
+    preserved verbatim. ``max_safe_batch_id=None`` folds everything and
+    is only safe when no stream is attached or the stream is known
+    cleanly stopped (no pending replay)."""
     ppath = _partials_path(rollup_path)
     try:
         parts = spark.read.parquet(ppath)
@@ -139,21 +178,32 @@ def compact_partials(
         return
     if hours is not None:
         parts = parts.filter(F.col("hour_key").isin(hours))
+    if max_safe_batch_id is not None:
+        safe_pred = (F.col("batch_id") == -1) | (
+            F.col("batch_id") <= int(max_safe_batch_id)
+        )
+    else:
+        safe_pred = F.lit(True)
     folded = (
-        parts.groupBy("hour_key", "window_start", "event_type")
+        parts.filter(safe_pred)
+        .groupBy("hour_key", "window_start", "event_type")
         .agg(
             F.sum("n").alias("n"),
             F.sum("total_dec").cast(DecimalType(18, 2)).alias("total_dec"),
         )
         .withColumn("batch_id", F.lit(-1))
+        # unsafe (possibly-replaying) batches ride along untouched so the
+        # per-hour overwrite below cannot lose them
+        .unionByName(parts.filter(~safe_pred))
         .localCheckpoint(eager=True)
     )
     touched = [r["hour_key"] for r in folded.select("hour_key").distinct().collect()]
     if not touched:
         return
     # Static overwrite of the touched hour_key dirs replaces ALL their
-    # batch_id subdirs with the single folded row. Done hour-by-hour so
-    # an interrupted compaction leaves every untouched hour intact.
+    # batch_id subdirs with the folded row (+ any preserved unsafe
+    # partials). Done hour-by-hour so an interrupted compaction leaves
+    # every untouched hour intact.
     for hk in touched:
         folded.filter(F.col("hour_key") == hk).drop("hour_key").write.mode(
             "overwrite"

@@ -319,3 +319,33 @@ def test_maintain_aggregate_property_random_churn(spark):
             .collect()
         }
         assert maintained == recomputed, (old_rows, new_rows)
+
+
+def test_maintain_aggregate_duplicate_key_guard(spark):
+    """ADVICE r6: a duplicate key fans out the full_outer join and
+    silently multiplies deltas — validate_unique_key=True must raise on
+    either side; unique inputs must pass the guard unchanged."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.cdc import (
+        maintain_aggregate,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "k long, g string, m double"
+    )
+    new_dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 3.0)], "k long, g string, m double"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        maintain_aggregate(
+            old, new_dup, "k", "g", "m", validate_unique_key=True
+        )
+    with pytest.raises(ValueError, match="old_snapshot"):
+        maintain_aggregate(
+            new_dup, old, "k", "g", "m", validate_unique_key=True
+        )
+    ok = maintain_aggregate(
+        old, old, "k", "g", "m", validate_unique_key=True
+    ).collect()
+    assert {(r["g"], r["n_rows"]) for r in ok} == {("a", 2)}

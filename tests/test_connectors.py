@@ -188,3 +188,17 @@ def test_connection_probe_executes(spark, tmp_path):
     assert not test_connection(
         spark, jdbc_options("mysql", "nohost.invalid", "d", "t")
     )
+
+
+def test_probe_mongo_reports_false_without_connector(spark):
+    """ADVICE r6: Mongo reachability is PROBED (1-row read attempt),
+    not hardcoded — in this container the connector package is absent
+    so the probe returns False, never raises; against a live server
+    with the connector on the classpath the same call returns True."""
+    from nosql_to_sql_migration_tool_spark.sources.connectors import (
+        mongo_options,
+        probe_mongo,
+    )
+
+    opts = mongo_options("mongodb://localhost:27017", "db", "coll")
+    assert probe_mongo(spark, opts) is False

@@ -56,8 +56,8 @@ def test_constraint_report_metrics_and_verdicts(spark):
     assert not out["not_null(k)"]["passed"]
     # distinct non-null keys {1,2,5} over 5 rows
     assert out["unique(k)"]["metric"] == 0.6
-    assert out["bounds(price)"]["metric"] == 0.8
-    assert out["in_set(status)"]["metric"] == 0.8
+    assert out["bounds(price,0.0<=x)"]["metric"] == 0.8
+    assert out["in_set(status,{O,F,P})"]["metric"] == 0.8
     # cust 99 is an orphan -> 4/5
     assert out["fk(cust->c)"]["metric"] == 0.8
     assert not out["fk(cust->c)"]["passed"]

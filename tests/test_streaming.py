@@ -446,6 +446,80 @@ def test_rollup_merge_replayed_batch_is_idempotent(spark, tmp_path):
     )
 
 
+def test_compaction_preserves_uncommitted_batch_for_replay(spark, tmp_path):
+    """ADVICE r6 (medium): compaction run in the crash window — after a
+    batch's partials landed but BEFORE its streaming checkpoint commit —
+    must not fold that batch into the ``batch_id=-1`` row, or its replay
+    re-adds a contribution the fold already absorbed. With
+    ``max_safe_batch_id``, the unsafe batch's partials survive compaction
+    verbatim, so the replay overwrites its own partition (idempotent) and
+    the hour never double-counts."""
+    from nosql_to_sql_migration_tool_spark.streaming.rollup import (
+        compact_partials,
+        merge_rollup_batch,
+        read_rollup,
+    )
+
+    events = load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rollup = str(tmp_path / "rollup")
+    b1 = events.filter(F.col("event_id") % 3 == 0)
+    b2 = events.filter(F.col("event_id") % 3 == 1)
+    b3 = events.filter(F.col("event_id") % 3 == 2)
+    want = tumbling_window_agg(b1.unionByName(b2).unionByName(b3))
+
+    merge_rollup_batch(spark, b1, rollup, batch_id=0)
+    merge_rollup_batch(spark, b2, rollup, batch_id=1)
+    # batch 2's partials land, checkpoint does NOT commit (crash window)
+    merge_rollup_batch(spark, b3, rollup, batch_id=2)
+    # maintenance compaction during downtime: only batches <= 1 are safe
+    compact_partials(spark, rollup, max_safe_batch_id=1)
+    partials = spark.read.parquet(rollup + "/.__partials")
+    left = {r["batch_id"] for r in partials.select("batch_id").distinct().collect()}
+    assert left == {-1, 2}, left
+    # post-restart replay of the uncommitted batch (same id, same data)
+    merge_rollup_batch(spark, b3, rollup, batch_id=2)
+    got = read_rollup(spark, rollup).select(
+        "window_start", "event_type", "n", "total"
+    )
+    assert _same_rows(got, want)
+    # a second compaction once batch 2 IS committed folds everything
+    compact_partials(spark, rollup, max_safe_batch_id=2)
+    partials = spark.read.parquet(rollup + "/.__partials")
+    left = {r["batch_id"] for r in partials.select("batch_id").distinct().collect()}
+    assert left == {-1}, left
+    assert _same_rows(
+        read_rollup(spark, rollup).select(
+            "window_start", "event_type", "n", "total"
+        ),
+        want,
+    )
+
+
+def test_last_committed_batch_id_reads_checkpoint(spark, tmp_path):
+    """last_committed_batch_id reads the commits/ dir of a real
+    Structured Streaming checkpoint and returns the max committed id."""
+    from nosql_to_sql_migration_tool_spark.streaming.rollup import (
+        last_committed_batch_id,
+        stream_hourly_rollup,
+    )
+
+    assert last_committed_batch_id(spark, str(tmp_path / "absent")) is None
+    src = str(tmp_path / "src")
+    load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(50).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    rollup, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    q = stream_hourly_rollup(stream, rollup, ckpt)
+    q.awaitTermination(120)
+    got = last_committed_batch_id(spark, ckpt)
+    assert got is not None and got >= 0
+
+
 def test_stream_constraint_metrics_per_batch(spark, tmp_path):
     """Continuous quality monitoring: each micro-batch's audit lands as
     metric rows tagged with its batch_id, and per-batch values equal
@@ -494,7 +568,7 @@ def test_stream_constraint_metrics_per_batch(spark, tmp_path):
         r["check_name"]: r for r in constraint_report(batch1, checks).collect()
     }
     assert by_batch[(b1, "not_null(k)")]["metric"] == direct1["not_null(k)"]["metric"]
-    assert by_batch[(b1, "bounds(v)")]["metric"] == direct1["bounds(v)"]["metric"]
-    assert not by_batch[(b1, "bounds(v)")]["passed"]
+    assert by_batch[(b1, "bounds(v,0.0<=x)")]["metric"] == direct1["bounds(v,0.0<=x)"]["metric"]
+    assert not by_batch[(b1, "bounds(v,0.0<=x)")]["passed"]
     assert by_batch[(b2, "not_null(k)")]["metric"] == 1.0
-    assert by_batch[(b2, "bounds(v)")]["passed"]
+    assert by_batch[(b2, "bounds(v,0.0<=x)")]["passed"]
