@@ -6429,6 +6429,211 @@ def q_charlm_doc_scores(spark, sf_dir):
     return charlm_score(docs, CHARLM_PINNED, CHARLM_FLOOR)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive-Bayes classifier (VERDICT r6 next #6): the model
+# below is learned ONCE from the sf0.001 documents corpus by
+# operators/nb.py:learn_naive_bayes (label = lang, global top-64 vocab =
+# the corpus's full 31-token vocabulary, Laplace smoothing) and pinned
+# as integer microbits — re-derived byte-identically by
+# tests/test_nb.py, the charlm/mini-BPE pin-and-replay contract.
+# Scoring is libm-free on both engines.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.nb import (  # noqa: E402
+    nb_score,
+    nb_score_sql,
+)
+
+NB_CLASSES = [
+    ('de', 2816037, 12001760),
+    ('en', 1373327, 13340685),
+    ('es', 2643856, 12150699),
+    ('fr', 2608232, 12275252),
+    ('zh', 2756331, 12006677),
+]
+NB_TABLE = [
+    ('de', 'a', 4782592),
+    ('de', 'agg', 5082897),
+    ('de', 'batch', 4914297),
+    ('de', 'big', 5156270),
+    ('de', 'column', 4946478),
+    ('de', 'customer', 5106942),
+    ('de', 'data', 4725636),
+    ('de', 'dup', 10416798),
+    ('de', 'fast', 4924944),
+    ('de', 'filter', 4924944),
+    ('de', 'group', 4882819),
+    ('de', 'hash', 4990533),
+    ('de', 'join', 4872477),
+    ('de', 'key', 4782592),
+    ('de', 'line', 4782592),
+    ('de', 'merge', 4990533),
+    ('de', 'order', 4979392),
+    ('de', 'part', 4852013),
+    ('de', 'query', 5071023),
+    ('de', 'row', 5059246),
+    ('de', 'scan', 4734973),
+    ('de', 'slow', 4924944),
+    ('de', 'small', 4688877),
+    ('de', 'sort', 4802088),
+    ('de', 'spark', 4792307),
+    ('de', 'stream', 4914297),
+    ('de', 'table', 4782592),
+    ('de', 'the', 4862209),
+    ('de', 'value', 5094869),
+    ('de', 'vector', 5143779),
+    ('de', 'window', 4841889),
+    ('en', 'a', 4961306),
+    ('en', 'agg', 4824985),
+    ('en', 'batch', 4897741),
+    ('en', 'big', 4897741),
+    ('en', 'column', 4744495),
+    ('en', 'customer', 5009768),
+    ('en', 'data', 4927057),
+    ('en', 'dup', 9533330),
+    ('en', 'fast', 4974362),
+    ('en', 'filter', 4969997),
+    ('en', 'group', 4987538),
+    ('en', 'hash', 4952667),
+    ('en', 'join', 4836859),
+    ('en', 'key', 4817123),
+    ('en', 'line', 4944080),
+    ('en', 'merge', 4848832),
+    ('en', 'order', 4918620),
+    ('en', 'part', 4906056),
+    ('en', 'query', 4848832),
+    ('en', 'row', 5050666),
+    ('en', 'scan', 4824985),
+    ('en', 'slow', 4914420),
+    ('en', 'small', 4969997),
+    ('en', 'sort', 4782264),
+    ('en', 'spark', 4952667),
+    ('en', 'stream', 4931294),
+    ('en', 'table', 5009768),
+    ('en', 'the', 5023272),
+    ('en', 'value', 4836859),
+    ('en', 'vector', 4939805),
+    ('en', 'window', 4821048),
+    ('es', 'a', 4856079),
+    ('es', 'agg', 4801971),
+    ('es', 'batch', 5021416),
+    ('es', 'big', 5011148),
+    ('es', 'column', 4707756),
+    ('es', 'customer', 4931531),
+    ('es', 'data', 5219962),
+    ('es', 'dup', 9565737),
+    ('es', 'fast', 4960875),
+    ('es', 'filter', 4837816),
+    ('es', 'group', 5063236),
+    ('es', 'hash', 4793147),
+    ('es', 'join', 4990828),
+    ('es', 'key', 4921881),
+    ('es', 'line', 4724435),
+    ('es', 'merge', 4883913),
+    ('es', 'order', 4865297),
+    ('es', 'part', 4732847),
+    ('es', 'query', 5031758),
+    ('es', 'row', 5084610),
+    ('es', 'scan', 4801971),
+    ('es', 'slow', 4856079),
+    ('es', 'small', 5084610),
+    ('es', 'sort', 5063236),
+    ('es', 'spark', 4819782),
+    ('es', 'stream', 4902772),
+    ('es', 'table', 4921881),
+    ('es', 'the', 4980774),
+    ('es', 'value', 4874575),
+    ('es', 'vector', 4856079),
+    ('es', 'window', 4810849),
+    ('fr', 'a', 4917700),
+    ('fr', 'agg', 4882934),
+    ('fr', 'batch', 4989849),
+    ('fr', 'big', 4908929),
+    ('fr', 'column', 4953323),
+    ('fr', 'customer', 4799518),
+    ('fr', 'data', 5017864),
+    ('fr', 'dup', 9690289),
+    ('fr', 'fast', 4926523),
+    ('fr', 'filter', 5008465),
+    ('fr', 'group', 4791436),
+    ('fr', 'hash', 4799518),
+    ('fr', 'join', 5056083),
+    ('fr', 'key', 5036847),
+    ('fr', 'line', 4962369),
+    ('fr', 'merge', 5095342),
+    ('fr', 'order', 4682795),
+    ('fr', 'part', 4865861),
+    ('fr', 'query', 4720663),
+    ('fr', 'row', 4882934),
+    ('fr', 'scan', 4926523),
+    ('fr', 'slow', 4953323),
+    ('fr', 'small', 5095342),
+    ('fr', 'sort', 4705396),
+    ('fr', 'spark', 5075579),
+    ('fr', 'stream', 4832308),
+    ('fr', 'table', 5065798),
+    ('fr', 'the', 4900212),
+    ('fr', 'value', 4799518),
+    ('fr', 'vector', 4832308),
+    ('fr', 'window', 4908929),
+    ('zh', 'a', 4951394),
+    ('zh', 'agg', 4877394),
+    ('zh', 'batch', 4929861),
+    ('zh', 'big', 5029397),
+    ('zh', 'column', 4995449),
+    ('zh', 'customer', 5029397),
+    ('zh', 'data', 4984309),
+    ('zh', 'dup', 9684749),
+    ('zh', 'fast', 4836752),
+    ('zh', 'filter', 4846805),
+    ('zh', 'group', 4702896),
+    ('zh', 'hash', 5075939),
+    ('zh', 'join', 4816852),
+    ('zh', 'key', 4962283),
+    ('zh', 'line', 4940588),
+    ('zh', 'merge', 4758749),
+    ('zh', 'order', 4702896),
+    ('zh', 'part', 4887736),
+    ('zh', 'query', 4984309),
+    ('zh', 'row', 4951394),
+    ('zh', 'scan', 4846805),
+    ('zh', 'slow', 4984309),
+    ('zh', 'small', 4940588),
+    ('zh', 'sort', 4995449),
+    ('zh', 'spark', 5052480),
+    ('zh', 'stream', 5075939),
+    ('zh', 'table', 4887736),
+    ('zh', 'the', 4826768),
+    ('zh', 'value', 4887736),
+    ('zh', 'vector', 4768272),
+    ('zh', 'window', 4836752),
+]
+
+NB_MODEL = (NB_CLASSES, NB_TABLE)
+
+
+@query("nb_doc_scores", nb_score_sql(NB_MODEL))
+def q_nb_doc_scores(spark, sf_dir):
+    """Trained multinomial naive-Bayes classification per document:
+    argmin-surprisal class over the PINNED integer model, per-token
+    cross-entropy of the winner, and the winner/runner-up margin (the
+    confidence signal a quality or language filter thresholds on).
+    One token explode + per-class broadcast map-literal lookups + a
+    SINGLE combinable groupBy with one LONG sum per class; the argmin
+    falls out of array_sort over (total, class) structs with
+    deterministic class-ascending ties — no join, no window, linear at
+    100 TB. The oracle replays the identical integer model, so model
+    drift or scoring drift breaks the hash. (The synthetic fixture
+    draws tokens i.i.d. independent of lang, so prediction accuracy
+    here is chance-level BY CONSTRUCTION — what this query verifies is
+    the training math + scoring fold; tests/test_nb.py proves the
+    classifier reaches 100% on a corpus with genuine class signal.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_score(docs, NB_MODEL)
+
+
 from nosql_to_sql_migration_tool_spark.operators.skew import (  # noqa: E402
     key_skew_profile,
     key_skew_profile_sql,
@@ -6513,13 +6718,13 @@ WITH __m AS (
          1.0
   FROM orders
   UNION ALL
-  SELECT 'bounds(o_totalprice)',
+  SELECT 'bounds(o_totalprice,0.0<=x)',
          round(CAST(count_if(coalesce(o_totalprice >= 0.0, false))
                     AS DOUBLE) / count(*), 6),
          1.0
   FROM orders
   UNION ALL
-  SELECT 'in_set(o_orderstatus)',
+  SELECT 'in_set(o_orderstatus,{O,F,P})',
          round(CAST(count_if(coalesce(o_orderstatus IN ('O','F','P'),
                                       false)) AS DOUBLE) / count(*), 6),
          1.0
