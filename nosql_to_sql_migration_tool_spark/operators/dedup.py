@@ -1231,3 +1231,160 @@ FROM verified
 WHERE i * {threshold_den} >= {threshold_num} * na
    OR i * {threshold_den} >= {threshold_num} * nb
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingest (VERDICT r6 next #7): the near-dup twin of
+# incremental_new_docs. The corpus's LSH band buckets persist as an INDEX
+# table maintained incrementally (build once, append per ingested batch —
+# the rollup-partials discipline), so steady-state ingest probes the index
+# with O(batch) new work and never recomputes corpus signatures.
+# ---------------------------------------------------------------------------
+
+
+def band_bucket_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The persistable LSH index rows of a corpus:
+    ``(band_idx, band_hash, <id_col>)`` — one row per document per band.
+    Pure function of the text, so index maintenance is append-only:
+    rows for a new batch are computed from the batch alone."""
+    sig = minhash_sig_table(df, text_col, id_col, shingles)
+    bands_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__h{b * ROWS_PER_BAND + j}")
+                        for j in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(bands_arr).alias("band_idx", "band_hash"),
+    ).select("band_idx", "band_hash", id_col)
+
+
+def build_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus band index (one-time build). Partitioned
+    by band_idx so a probe joining one band's buckets prunes the other
+    bands' files."""
+    band_bucket_rows(df, text_col, id_col).write.mode("overwrite").partitionBy(
+        "band_idx"
+    ).parquet(path)
+
+
+def update_band_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an ingested batch into the index: compute the BATCH's bucket
+    rows (O(batch) — the corpus is never read) and append them. After
+    the update the index is byte-equivalent to a fresh build over
+    corpus + batch, because bucket rows are a pure per-document
+    function (pytest-pinned)."""
+    band_bucket_rows(batch, text_col, id_col).write.mode("append").partitionBy(
+        "band_idx"
+    ).parquet(path)
+
+
+def ingest_near_dup_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_buckets: DataFrame | None = None,
+    max_bucket_width: int = 64,
+) -> DataFrame:
+    """Per-batch-document near-dup-vs-corpus verdict:
+    ``(<id_col>, n_cand, best_jaccard, is_near_dup)`` where ``n_cand``
+    counts distinct corpus documents sharing at least one (band, hash)
+    bucket with the doc, ``best_jaccard`` is the max VERIFIED n-gram
+    Jaccard over those candidates (0.0 when none), and ``is_near_dup``
+    thresholds it.
+
+    ``corpus_buckets`` takes the persisted index (``build_band_index``
+    + ``update_band_index``) so the corpus side costs one pruned index
+    scan; without it the buckets are computed inline (the registered
+    query's oracle-checkable form). Buckets wider than
+    ``max_bucket_width`` on the corpus side are df-capped away — a
+    degenerate band hash (e.g. the empty-text band) cannot fan the
+    probe out quadratically; real near-dup buckets are narrow by
+    construction (the containment_pairs df-cap discipline). The Jaccard
+    verify joins corpus shingles ONLY for candidate corpus docs (one
+    semi-join; at scale this is the point-fetch against the document
+    store), so probe work is O(batch + candidates), never O(corpus)."""
+    from pyspark.sql import Window
+
+    cb = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else band_bucket_rows(corpus, text_col, id_col)
+    )
+    w = Window.partitionBy("band_idx", "band_hash")
+    kept = (
+        cb.withColumn("__w", F.count(F.lit(1)).over(w))
+        .filter(F.col("__w") <= max_bucket_width)
+        .select("band_idx", "band_hash", F.col(id_col).alias("__corpus_id"))
+    )
+    bb = band_bucket_rows(batch, text_col, id_col).select(
+        "band_idx", "band_hash", F.col(id_col).alias("__batch_id")
+    )
+    cand = (
+        bb.join(kept, ["band_idx", "band_hash"])
+        .select("__batch_id", "__corpus_id")
+        .distinct()
+    )
+    bsh = shingle_sets(batch, text_col, id_col).select(
+        F.col(id_col).alias("__batch_id"), F.col("__sh").alias("__sh_b")
+    )
+    corpus_cand = corpus.join(
+        cand.select(F.col("__corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    csh = shingle_sets(corpus_cand, text_col, id_col).select(
+        F.col(id_col).alias("__corpus_id"), F.col("__sh").alias("__sh_c")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("__sh_b", "__sh_c"))
+        * F.lit(1.0)
+        / F.size(F.array_union("__sh_b", "__sh_c")),
+        6,
+    )
+    ver = (
+        cand.join(bsh, "__batch_id")
+        .join(csh, "__corpus_id")
+        .select("__batch_id", jac.alias("__j"))
+    )
+    agg = ver.groupBy("__batch_id").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.max("__j").alias("__best")
+    )
+    return (
+        batch.select(F.col(id_col).alias("__batch_id"))
+        .join(agg, "__batch_id", "left")
+        .select(
+            F.col("__batch_id").alias(id_col),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("__best"), F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce(F.col("__best"), F.lit(0.0)) >= F.lit(threshold)).alias(
+                "is_near_dup"
+            ),
+        )
+    )

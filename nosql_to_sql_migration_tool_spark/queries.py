@@ -3945,6 +3945,92 @@ def q_ingest_new_docs(spark, sf_dir):
     return incremental_new_docs(corpus, incoming)
 
 
+_INGEST_NEAR_DUP_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' near dup tail'
+  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+),
+csig AS (SELECT doc_id, {minhash_signature_sql('text')} AS sig FROM corpus),
+cbands AS (
+  SELECT doc_id, generate_subscripts(b, 1) AS band_idx, unnest(b) AS band_hash
+  FROM (SELECT doc_id, {band_hashes_sql('sig')} AS b FROM csig)
+),
+ckept AS (
+  SELECT band_idx, band_hash, doc_id AS corpus_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS w
+    FROM cbands
+  ) WHERE w <= 64
+),
+bsig AS (SELECT doc_id, {minhash_signature_sql('text')} AS sig FROM batch),
+bbands AS (
+  SELECT doc_id AS batch_id, generate_subscripts(b, 1) AS band_idx,
+         unnest(b) AS band_hash
+  FROM (SELECT doc_id, {band_hashes_sql('sig')} AS b FROM bsig)
+),
+cand AS (
+  SELECT DISTINCT b.batch_id, c.corpus_id
+  FROM bbands b JOIN ckept c USING (band_idx, band_hash)
+),
+bsh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM batch),
+csh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM corpus),
+ver AS (
+  SELECT cand.batch_id,
+         round(len(list_intersect(sb.sh, sc.sh)) * 1.0 /
+               len(list_distinct(sb.sh || sc.sh)), 6) AS j
+  FROM cand
+  JOIN bsh sb ON sb.doc_id = cand.batch_id
+  JOIN csh sc ON sc.doc_id = cand.corpus_id
+),
+agg AS (
+  SELECT batch_id, count(*) AS n_cand, max(j) AS best
+  FROM ver GROUP BY batch_id
+)
+SELECT b.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       coalesce(a.best, 0.0) AS best_jaccard,
+       coalesce(a.best, 0.0) >= 0.6 AS is_near_dup
+FROM batch b LEFT JOIN agg a ON a.batch_id = b.doc_id
+"""
+
+
+@query("ingest_near_dup", _INGEST_NEAR_DUP_ORACLE)
+def q_ingest_near_dup(spark, sf_dir):
+    """Incremental NEAR-dup ingestion (VERDICT r6 next #7) — the fuzzy
+    twin of ingest_new_docs: an incoming batch (fresh docs plus planted
+    edited copies of corpus docs) probes the corpus's LSH band buckets,
+    shared buckets df-capped at width 64 (a degenerate band hash cannot
+    fan out), candidates verified with exact n-gram Jaccard joined only
+    for candidate corpus docs (one semi-join — the point-fetch shape).
+    Output per batch doc: candidate fan-in, best verified Jaccard, and
+    the near-dup verdict. In production the corpus buckets come from
+    the PERSISTED index maintained by build_band_index /
+    update_band_index (append-only, O(batch) per ingest — pytest-pinned
+    equivalent to a fresh rebuild); the inline form here is the
+    oracle-checkable same plan."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        ingest_near_dup_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    corpus = docs.filter(k % 5 != 0).select("doc_id", "text")
+    batch = (
+        docs.filter(k % 5 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((k % 5 != 0) & (k % 7 == 1)).select(
+                (k + F.lit(1_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+            )
+        )
+    )
+    return ingest_near_dup_flags(corpus, batch, threshold=0.6)
+
+
+
 # ---------------------------------------------------------------------------
 # Behavioral analytics: cohort retention, z-score outliers from exact moments.
 # ---------------------------------------------------------------------------

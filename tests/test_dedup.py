@@ -377,3 +377,62 @@ def test_containment_catches_embedded_subset_jaccard_misses(spark):
     assert r["containment_b_in_a"] < 0.5        # and NOT vice versa
     # sanity: symmetric Jaccard would be ~6/47 — far below any near-dup
     # threshold, which is exactly why a Jaccard pipeline misses this
+
+
+def test_band_index_incremental_update_equals_rebuild(spark, tmp_path):
+    """VERDICT r6 #7: the persisted LSH band index is maintained
+    append-only — updating with a batch computes bucket rows from the
+    BATCH ALONE (O(batch); the update plan never references the corpus)
+    and the updated index is row-equivalent to a fresh rebuild over
+    corpus + batch. Probing the persisted index gives the same verdicts
+    as the inline oracle-checked form."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+        executed_plan_string,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        band_bucket_rows,
+        build_band_index,
+        ingest_near_dup_flags,
+        update_band_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "band_index")
+
+    build_band_index(corpus, idx)
+    # O(batch): the update's input plan scans the batch only — the
+    # corpus parquet must not appear anywhere in it
+    update_plan = executed_plan_string(band_bucket_rows(batch))
+    assert "band_index" not in update_plan
+    update_band_index(batch, idx)
+
+    rebuilt = band_bucket_rows(docs)
+    stored = spark.read.parquet(idx).select(
+        "band_idx", "band_hash", "doc_id"
+    )
+    assert stored.count() == rebuilt.count()
+    assert stored.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(stored).isEmpty()
+
+    # probing the PERSISTED index == computing corpus buckets inline
+    incoming = batch.select(
+        (F.col("doc_id") + F.lit(500_000)).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    corpus_all = docs  # index now covers corpus + batch
+    via_index = ingest_near_dup_flags(
+        corpus_all,
+        incoming,
+        corpus_buckets=spark.read.parquet(idx).select(
+            "band_idx", "band_hash", "doc_id"
+        ),
+    )
+    inline = ingest_near_dup_flags(corpus_all, incoming)
+    assert via_index.exceptAll(inline).isEmpty()
+    assert inline.exceptAll(via_index).isEmpty()
+    # planted edits must be flagged
+    assert via_index.filter(F.col("is_near_dup")).count() > 0
