@@ -42,7 +42,10 @@ def pushed_filters(df: DataFrame) -> list[str]:
     Greedy to the LAST ``]`` on the line: filter text itself may nest
     brackets (``In(col, [a,b])``), and nothing bracketed follows on a
     scan line (``ReadSchema`` prints ``struct<...>``)."""
-    plan = physical_plan(df)
+    return pushed_filters_in(physical_plan(df))
+
+
+def pushed_filters_in(plan: str) -> list[str]:
     out = []
     for m in re.finditer(r"PushedFilters: \[(.*)\]", plan):
         body = m.group(1).strip()
@@ -55,14 +58,20 @@ def read_schemas(df: DataFrame) -> list[str]:
     """The pruned ``ReadSchema`` of every scan — what actually leaves
     storage. A schema listing columns the query never returns means
     pruning failed."""
-    plan = physical_plan(df)
+    return read_schemas_in(physical_plan(df))
+
+
+def read_schemas_in(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
 
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (hash or single-partition) the plan
     executes — each is a full materialization boundary."""
-    plan = physical_plan(df)
+    return shuffle_count_in(physical_plan(df))
+
+
+def shuffle_count_in(plan: str) -> int:
     return len(
         re.findall(
             r"Exchange (?:hashpartitioning|rangepartitioning|"
@@ -75,7 +84,11 @@ def shuffle_count(df: DataFrame) -> int:
 def broadcast_count(df: DataFrame) -> int:
     """Number of broadcast exchanges — small sides shipped to every
     task instead of shuffled."""
-    return physical_plan(df).count("BroadcastExchange")
+    return broadcast_count_in(physical_plan(df))
+
+
+def broadcast_count_in(plan: str) -> int:
+    return plan.count("BroadcastExchange")
 
 
 def python_stage_count(df: DataFrame) -> int:
@@ -83,7 +96,10 @@ def python_stage_count(df: DataFrame) -> int:
     mapInPandas, Python UDFs). The hot path of a JVM-first engine
     should report 0; sanctioned Arrow stages report exactly where they
     run."""
-    plan = physical_plan(df)
+    return python_stage_count_in(physical_plan(df))
+
+
+def python_stage_count_in(plan: str) -> int:
     return len(
         re.findall(
             r"ArrowEvalPython|BatchEvalPython|MapInPandas|"
@@ -95,7 +111,11 @@ def python_stage_count(df: DataFrame) -> int:
 
 def cartesian_products(df: DataFrame) -> int:
     """Unbroadcast cartesian products — always a bug at scale."""
-    return physical_plan(df).count("CartesianProduct")
+    return cartesian_products_in(physical_plan(df))
+
+
+def cartesian_products_in(plan: str) -> int:
+    return plan.count("CartesianProduct")
 
 
 def global_windows(df: DataFrame) -> int:
@@ -106,23 +126,42 @@ def global_windows(df: DataFrame) -> int:
     two, leaving one ``], [`` separator instead of two (the inner
     ``windowspecdefinition(...)`` text contains no ``], [`` — same
     detection the repo's own plan guard uses)."""
-    plan = physical_plan(df)
+    return global_windows_in(physical_plan(df))
+
+
+def global_windows_in(plan: str) -> int:
+    # Two bracket groups alone are NOT conclusive: a PARTITIONED window
+    # with no ORDER BY (count() over (partition by k) — fine at scale)
+    # also prints two. A genuinely GLOBAL window's trailing group is a
+    # SORT spec (`x ASC NULLS FIRST`); a partition group is bare column
+    # refs (round 7 fix — the r6 detector flagged five unordered
+    # partitioned windows as global).
     n = 0
     for line in plan.splitlines():
         if re.search(r"\bWindow\b", line) and "windowspecdefinition(" in line:
             if line.count("], [") == 1:
-                n += 1
+                tail = line.rsplit("], [", 1)[1]
+                if " ASC" in tail or " DESC" in tail:
+                    n += 1
     return n
 
 
 def plan_report(df: DataFrame) -> dict:
-    """One-call audit summary — the dict a CI gate asserts against."""
+    """One-call audit summary — the dict a CI gate asserts against.
+    Analyzes the plan ONCE and runs every detector on the same string
+    (round 7: the per-detector physical_plan re-analysis made a
+    full-surface sweep 7x slower than necessary)."""
+    return plan_report_from_string(physical_plan(df))
+
+
+def plan_report_from_string(plan: str) -> dict:
+    """The same audit summary from an already-extracted plan string."""
     return {
-        "pushed_filters": pushed_filters(df),
-        "read_schemas": read_schemas(df),
-        "shuffles": shuffle_count(df),
-        "broadcasts": broadcast_count(df),
-        "python_stages": python_stage_count(df),
-        "cartesian_products": cartesian_products(df),
-        "global_windows": global_windows(df),
+        "pushed_filters": pushed_filters_in(plan),
+        "read_schemas": read_schemas_in(plan),
+        "shuffles": shuffle_count_in(plan),
+        "broadcasts": broadcast_count_in(plan),
+        "python_stages": python_stage_count_in(plan),
+        "cartesian_products": cartesian_products_in(plan),
+        "global_windows": global_windows_in(plan),
     }

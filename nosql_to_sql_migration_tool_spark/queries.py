@@ -376,7 +376,10 @@ def q_catalog_listing(spark, sf_dir):
 
     register_views(spark, sf_dir)
     names = sorted(set(list_collections(spark)) & set(TABLES))
-    return spark.createDataFrame([(n,) for n in names], "name string")
+    # pure-JVM VALUES local relation (the show_columns round-7 fix): a
+    # metadata row list must not take the pickled-slices python path
+    vals = ", ".join("('{}')".format(n.replace("'", "''")) for n in names)
+    return spark.sql(f"SELECT col1 AS name FROM VALUES {vals}")
 
 
 # ---------------------------------------------------------------------------

@@ -57,27 +57,44 @@ def test_scan_after_pushes_range_predicate(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_no_query_plans_a_cartesian_product(spark):
-    """Global scale guard over the ENTIRE declared surface: no query may
-    plan a CartesianProduct. Broadcast nested-loop joins against
-    metadata-sized sides (single-row query vectors, centroid tables)
-    are the accepted cross-join form; an unbroadcast cartesian at 100 TB
-    is always a bug. Plans only — nothing executes beyond the training
-    collects some builders run at plan time."""
+def test_full_surface_plan_invariants(spark):
+    """VERDICT r6 next #8 — the plan-audit gate over the ENTIRE declared
+    surface in ONE pass (each query's plan analyzed once, every detector
+    run on the same string): no unbroadcast cartesian product, no
+    global single-partition ORDERED window, and Python stages only in
+    the sanctioned Arrow set (the schema-inference mapInPandas walk and
+    the multimodal decode UDFs — everything else stays JVM-side).
+    Plans only; nothing executes beyond the training collects some
+    builders run at plan time."""
     from nosql_to_sql_migration_tool_spark.plans.audit import (
-        cartesian_products,
+        physical_plan,
+        plan_report_from_string,
     )
     from nosql_to_sql_migration_tool_spark.queries import QUERIES
 
+    sanctioned_python = {
+        "infer_props_schema",
+        "infer_ragged_schema",
+        "sql_type_mapping",
+        "variant_doc_extract",
+        "media_features",
+        "media_resize",
+        "media_ppm_decode_stats",
+        "media_wav_decode_stats",
+    }
     offenders = []
     for name, fn in QUERIES.items():
         try:
-            n = cartesian_products(fn(spark, SF_DIR_SMOKE))
+            rep = plan_report_from_string(physical_plan(fn(spark, SF_DIR_SMOKE)))
         except Exception as exc:  # a broken builder is its own failure
             offenders.append(f"{name}: build failed: {exc}")
             continue
-        if n:
-            offenders.append(name)
+        if rep["cartesian_products"]:
+            offenders.append(f"{name}: cartesian x{rep['cartesian_products']}")
+        if rep["global_windows"]:
+            offenders.append(f"{name}: global window x{rep['global_windows']}")
+        if rep["python_stages"] and name not in sanctioned_python:
+            offenders.append(f"{name}: python stages x{rep['python_stages']}")
     assert not offenders, offenders
 
 
@@ -150,31 +167,3 @@ def test_domain_mixture_sample_joins_broadcast_only(spark):
     plan = _plan(domain_mixture_sample(docs, "lang"))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-
-
-def test_no_query_plans_a_global_single_partition_window(spark):
-    """VERDICT r5 #3/#6: no declared query may sort DATA on one
-    partition — a Window with an empty partition spec is the canonical
-    offender. The deciles and sketch-cumsum rewrites removed the last
-    two; this guard keeps future queries honest. (Optimized-out empty
-    frames don't appear in the physical plan, which is exactly the
-    point: the check is on what would EXECUTE.)"""
-    from nosql_to_sql_migration_tool_spark.plans.audit import (
-        global_windows,
-    )
-    from nosql_to_sql_migration_tool_spark.queries import QUERIES
-
-    offenders = []
-    for name in (
-        "customer_spend_deciles",
-        "price_quantile_sketch",
-        "price_quantile_error_audit",
-        "sequence_packing_bins",
-        "customer_spend_percentile_by_nation",
-        "events_hourly_gapfill",
-        "events_trailing_hour_avg",
-    ):
-        n = global_windows(QUERIES[name](spark, SF_DIR_SMOKE))
-        if n:
-            offenders.append((name, n))
-    assert not offenders, offenders
