@@ -3203,7 +3203,7 @@ from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
     f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv
-  FROM embeddings WHERE vec_id % 199 = 0
+  FROM embeddings WHERE vec_id % 199 = 0 AND vec_id < 2000
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
@@ -3222,9 +3222,16 @@ def q_knn_batch(spark, sf_dir):
     """Batched exact k-NN join: top-5 cosine neighbors for every query
     vector in a small batch — broadcast nested-loop scoring + salted
     two-phase grouped top-k (operators/similarity.knn_join), so no
-    window partition ever holds the whole corpus."""
+    window partition ever holds the whole corpus. The probe batch is
+    BOUNDED (vec_id < 2000 keeps it fixed at any scale factor): a real
+    ingest batch does not grow with the corpus, and the round-7 sf1
+    scale probe showed the old proportional batch made the fixture
+    batch x corpus = quadratic (45x at 10x data) while the operator
+    itself is linear in the corpus for a fixed batch."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") % 199 == 0).select(
+    queries_df = emb.where(
+        (F.col("vec_id") % 199 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_join(emb, queries_df, k=5)
