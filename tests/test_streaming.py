@@ -572,3 +572,78 @@ def test_stream_constraint_metrics_per_batch(spark, tmp_path):
     assert not by_batch[(b1, "bounds(v,0.0<=x)")]["passed"]
     assert by_batch[(b2, "not_null(k)")]["metric"] == 1.0
     assert by_batch[(b2, "bounds(v,0.0<=x)")]["passed"]
+
+
+def test_stream_ingest_near_dup_gates_and_maintains_index(spark, tmp_path):
+    """Streaming twin of ingest_near_dup: batch 1's accepted docs enter
+    the index, so batch 2's near-copies of THEM quarantine — proof the
+    per-batch index append feeds the next batch's gate. Fresh docs
+    accept; near-copies of the original corpus quarantine."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        stream_ingest_near_dup,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    fresh = docs.filter(F.col("doc_id") >= 300)
+    idx = str(tmp_path / "index")
+    build_band_index(corpus, idx)
+    paths = dict(
+        accepted=str(tmp_path / "accepted"),
+        quarantine=str(tmp_path / "quarantine"),
+        ckpt=str(tmp_path / "ckpt"),
+        drops=str(tmp_path / "drops"),
+    )
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(paths["drops"])
+        q = stream_ingest_near_dup(
+            stream, corpus, idx, paths["accepted"],
+            paths["quarantine"], paths["ckpt"],
+        )
+        q.awaitTermination(120)
+
+    # batch 1: fresh docs + near-copies of CORPUS docs
+    b1 = fresh.filter(F.col("doc_id") < 400).unionByName(
+        corpus.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(paths["drops"])
+    run()
+    acc1 = spark.read.parquet(paths["accepted"])
+    qua1 = spark.read.parquet(paths["quarantine"])
+    assert qua1.filter(F.col("doc_id") >= 10_000).count() == corpus.filter(
+        F.col("doc_id") % 50 == 0
+    ).count()
+    assert acc1.filter(F.col("doc_id") >= 10_000).count() == 0
+    n_acc1 = acc1.count()
+    assert n_acc1 > 0
+
+    # batch 2: near-copies of batch-1 ACCEPTED docs (not in the
+    # original corpus) -> must quarantine via the UPDATED index,
+    # plus genuinely fresh docs -> must accept
+    b2 = fresh.filter(F.col("doc_id") >= 400).unionByName(
+        acc1.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+        .select(
+            (F.col("doc_id") + 20_000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    b2.coalesce(1).write.mode("append").parquet(paths["drops"])
+    run()
+    acc2 = spark.read.parquet(paths["accepted"])
+    qua2 = spark.read.parquet(paths["quarantine"])
+    n_copies = acc1.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 350)
+    ).count()
+    assert n_copies > 0
+    assert qua2.filter(F.col("doc_id") >= 20_000).count() == n_copies
+    assert acc2.filter(F.col("doc_id") >= 20_000).count() == 0
+    assert acc2.count() > n_acc1  # fresh batch-2 docs accepted
