@@ -543,3 +543,39 @@ SELECT doc_id, chunk_idx,
          AS chunk_fp
 FROM st
 """
+
+
+def split_leakage(
+    pairs: DataFrame, splits: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-split contamination audit (round 7): given verified
+    near-dup pairs and a split assignment, count pairs per unordered
+    split combination — a (train, test) row is LEAKAGE (the eval set
+    contains near-copies of training docs; Lee et al. 2022's
+    deduplication-for-eval argument), a (train, train) row is merely
+    internal redundancy. Two broadcast-sized joins against the pair set
+    (pairs ≪ corpus by construction) + one combinable groupBy over at
+    most 6 split combinations — cost is bounded by the PAIR set, never
+    the corpus, so the audit rides along any split refresh at 100 TB."""
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("__s_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("__s_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("__s_a", "__s_b").alias("split_a"),
+            F.greatest("__s_a", "__s_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaked"),
+        )
+    )

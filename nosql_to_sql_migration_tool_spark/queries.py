@@ -3714,6 +3714,59 @@ def q_train_test_split(spark, sf_dir):
 
 
 @query(
+    "split_leakage_audit",
+    f"""
+WITH docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL},
+sh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+pairs AS (
+  SELECT * FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {split_bucket_sql('doc_id')} < 90 THEN 'train'
+              WHEN {split_bucket_sql('doc_id')} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM docs
+)
+SELECT least(x.split, y.split) AS split_a,
+       greatest(x.split, y.split) AS split_b,
+       count(*) AS n_pairs,
+       least(x.split, y.split) <> greatest(x.split, y.split) AS leaked
+FROM pairs p
+JOIN splits x ON p.id_a = x.doc_id
+JOIN splits y ON p.id_b = y.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_split_leakage_audit(spark, sf_dir):
+    """Cross-split contamination audit: verified near-dup pairs joined
+    to the deterministic hash split — a (train, test) row means the
+    eval set contains near-copies of training docs (the
+    dedup-before-eval failure mode); counts per unordered split
+    combination, leakage flagged. Reuses the persisted pair memo and
+    the stable hash split, so the audit costs two pair-bounded joins +
+    one 6-row groupBy however large the corpus."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        split_leakage,
+        with_split,
+    )
+
+    docs = _dedup_docs(spark, sf_dir)
+    return split_leakage(
+        _dedup_pairs(spark, sf_dir).select("id_a", "id_b"),
+        with_split(docs, "doc_id").select("doc_id", "split"),
+    )
+
+
+@query(
     "corpus_shuffle_order",
     """
 SELECT CAST(row_number() OVER (

@@ -141,3 +141,28 @@ def test_chunk_documents_layout_and_edges(spark):
     assert rows[0]["chunk_fp"] == fp0 and rows[2]["chunk_fp"] == fp2
     with pytest.raises(ValueError):
         chunk_documents(df, 0, 5)
+
+
+def test_split_leakage_counts_cross_split_pairs(spark):
+    """Hand case: pairs (1,2) same split, (1,3) and (2,4) cross-split —
+    leakage rows flagged, combinations unordered (least/greatest)."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        split_leakage,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "id_a long, id_b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "val")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["leaked"])
+        for r in split_leakage(pairs, splits).collect()
+    }
+    assert got == {
+        ("train", "train"): (1, False),
+        ("test", "train"): (1, True),
+        ("train", "val"): (1, True),
+    }
