@@ -240,12 +240,6 @@ def apply_changes_to_path(
     store). The two collects are metadata-sized: touched-partition
     values, never data rows.
     """
-    if (
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        .lower()
-        != "dynamic"
-    ):
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     target = spark.read.parquet(target_path)
     rows, touched = apply_changes_partitioned(
         target, diff, key, partition_col, change_col
@@ -255,9 +249,14 @@ def apply_changes_to_path(
     written_vals = {
         r[0] for r in rows.select(partition_col).distinct().collect()
     }
-    rows.write.mode("overwrite").partitionBy(partition_col).parquet(
-        target_path
-    )
+    # dynamic mode pinned PER WRITE, not via session conf: the previous
+    # session-level set was never restored, silently flipping every
+    # later overwrite in the session to dynamic (exposed in round 7 by
+    # the rollup-compaction test, whose static overwrite then leaked
+    # stale batch_id dirs).
+    rows.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(target_path)
     emptied = touched_vals - written_vals
     if emptied:
         from nosql_to_sql_migration_tool_spark.hadoop_fs import delete_paths

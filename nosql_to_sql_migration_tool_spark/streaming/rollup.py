@@ -200,14 +200,22 @@ def compact_partials(
     touched = [r["hour_key"] for r in folded.select("hour_key").distinct().collect()]
     if not touched:
         return
-    # Static overwrite of the touched hour_key dirs replaces ALL their
+    # STATIC overwrite of the touched hour_key dirs replaces ALL their
     # batch_id subdirs with the folded row (+ any preserved unsafe
-    # partials). Done hour-by-hour so an interrupted compaction leaves
-    # every untouched hour intact.
+    # partials). The mode is pinned per-write: under a session-level
+    # partitionOverwriteMode=dynamic (any caller may have set it), a
+    # plain overwrite would replace only the batch_id dirs present in
+    # the OUTPUT and leave the folded batches' old dirs alive —
+    # double-counting every fold (caught by the round-7 crash-window
+    # test once another test left the session in dynamic mode). Done
+    # hour-by-hour so an interrupted compaction leaves every untouched
+    # hour intact.
     for hk in touched:
         folded.filter(F.col("hour_key") == hk).drop("hour_key").write.mode(
             "overwrite"
-        ).partitionBy("batch_id").parquet(f"{ppath}/hour_key={hk}")
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "batch_id"
+        ).parquet(f"{ppath}/hour_key={hk}")
 
 
 def stream_hourly_rollup(

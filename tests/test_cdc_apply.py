@@ -349,3 +349,23 @@ def test_maintain_aggregate_duplicate_key_guard(spark):
         old, old, "k", "g", "m", validate_unique_key=True
     ).collect()
     assert {(r["g"], r["n_rows"]) for r in ok} == {("a", 2)}
+
+
+def test_partition_scoped_apply_leaves_session_conf_untouched(spark, tmp_path):
+    """Round 7: apply_changes_to_path used to SET session-level
+    partitionOverwriteMode=dynamic and never restore it, silently
+    flipping every later overwrite in the session (the rollup
+    compaction's static per-hour rewrite then leaked stale batch dirs).
+    Dynamic mode must be a per-write option; the session conf must come
+    out exactly as it went in."""
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    target_path = str(tmp_path / "tgt")
+    customer.write.partitionBy("c_nationkey").parquet(target_path)
+    key_conf = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key_conf, "static")
+    source = changed_customer_source(customer)
+    diff, _state = sync(source, snapshot_state(customer, "c_custkey"), "c_custkey")
+    apply_changes_to_path(spark, target_path, diff, "c_custkey", "c_nationkey")
+    assert spark.conf.get(key_conf, "static") == before
+    got = spark.read.parquet(target_path).select(*source.columns)
+    assert _same_rows(got, source)
