@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Two-point scaling probe (SCALE.md "Measured scaling", round 7).
+
+Builds a 10x replica of the sf0.1 test data under ``--out`` and times
+the heavy query families at both scales in one session (min-of-2 per
+query, one-shot build rows), printing a family table of wall ratios.
+
+Replication is key-shifted so per-copy distributions are identical and
+keys stay unique; DOCUMENTS additionally pass a per-copy lowercase
+letter substitution — each copy must be an independent shard, NOT a
+near-dup of the others, or dedup workloads inherit a synthetic
+quadratic pair blow-up that measures the fixture instead of the plan
+(the same lesson as knn_batch's bounded probe batch).
+
+Usage::
+
+    python tools/scale_probe.py --out /tmp/sfprobe1 [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+REP = 10
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+FAMS = {
+    "dedup": [
+        "exact_dup_groups", "minhash_candidates", "near_dup_pairs",
+        "containment_dup_pairs", "cross_doc_chunk_dups",
+        "simhash_near_pairs", "jaccard_prefix_pairs", "ingest_near_dup",
+    ],
+    "similarity": [
+        "cosine_topk", "knn_batch", "ivf_topk", "semantic_near_dup",
+        "pq_topk",
+    ],
+    "quantile": [
+        "order_price_quantiles", "price_quantile_sketch",
+        "customer_spend_deciles", "price_quantile_error_audit",
+        "median_price_by_priority",
+    ],
+    "text": [
+        "bpe_token_stats", "charlm_doc_scores", "token_frequencies",
+        "nb_doc_scores",
+    ],
+    "events": [
+        "events_trailing_hour_avg", "weekly_active_users",
+        "events_user_skew_profile",
+    ],
+}
+
+
+def generate(out: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    Path(out).mkdir(parents=True, exist_ok=True)
+    shifted = {
+        "embeddings": "SELECT vec_id + {i}*100000 AS vec_id, embedding, label FROM t",
+        "orders": (
+            "SELECT o_orderkey + {i}*10000000 AS o_orderkey, o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM t"
+        ),
+        "lineitem": (
+            "SELECT l_orderkey + {i}*10000000 AS l_orderkey, l_partkey, "
+            "l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+            "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM t"
+        ),
+        "events": (
+            "SELECT event_id + {i}*10000000 AS event_id, ts, "
+            "user_id + {i}*1000000 AS user_id, event_type, value, props FROM t"
+        ),
+    }
+    for t, q in shifted.items():
+        con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{SRC}/{t}.parquet'")
+        union = " UNION ALL ".join(q.format(i=i) for i in range(REP))
+        con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    parts = []
+    for i in range(REP):
+        rot = ALPHA[i:] + ALPHA[:i]
+        parts.append(
+            f"SELECT doc_id + {i}*100000 AS doc_id, "
+            f"translate(text, '{ALPHA}', '{rot}') AS text, lang, source, "
+            f"n_chars FROM '{SRC}/documents.parquet'"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def run(out: str) -> dict:
+    from nosql_to_sql_migration_tool_spark.queries import PREWARMS, QUERIES
+    from nosql_to_sql_migration_tool_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    names = [n for f in FAMS.values() for n in f]
+    results: dict[str, dict[str, float]] = {}
+    for sf_dir, key in ((SRC, "sf0.1"), (out, "10x")):
+        res: dict[str, float] = {}
+        t0 = time.time()
+        for name, fn in PREWARMS.items():
+            s = time.perf_counter()
+            fn(spark, sf_dir)
+            res[name] = round(time.perf_counter() - s, 2)
+        res["__build_total"] = round(time.time() - t0, 2)
+        for name in names:
+            best = None
+            for _ in range(2):
+                s = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                e = time.perf_counter() - s
+                best = e if best is None else min(best, e)
+            res[name] = round(best, 2)
+        results[key] = res
+        print(f"{key} done ({res['__build_total']}s builds)", flush=True)
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sfprobe1")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_gen:
+        generate(args.out)
+        print("generated 10x data ->", args.out, flush=True)
+    results = run(args.out)
+    print(json.dumps(results, indent=1))
+    a, b = results["sf0.1"], results["10x"]
+    print(f"\n{'query':35} {'sf0.1':>7} {'10x':>8} {'ratio':>6}")
+    for fam, names in FAMS.items():
+        print(f"-- {fam}")
+        for n in names:
+            if a.get(n):
+                print(f"{n:35} {a[n]:7.2f} {b[n]:8.2f} {b[n]/a[n]:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
