@@ -1310,6 +1310,7 @@ def ingest_near_dup_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_buckets: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
     max_bucket_width: int = 64,
 ) -> DataFrame:
     """Per-batch-document near-dup-vs-corpus verdict:
@@ -1354,12 +1355,17 @@ def ingest_near_dup_flags(
     bsh = shingle_sets(batch, text_col, id_col).select(
         F.col(id_col).alias("__batch_id"), F.col("__sh").alias("__sh_b")
     )
-    corpus_cand = corpus.join(
-        cand.select(F.col("__corpus_id").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    )
-    csh = shingle_sets(corpus_cand, text_col, id_col).select(
+    # verify-side shingles: a precomputed (possibly persisted) corpus
+    # shingle projection avoids re-tokenizing the corpus per probe —
+    # semi-joined down to candidate ids either way
+    cand_ids = cand.select(F.col("__corpus_id").alias(id_col)).distinct()
+    if corpus_shingles is not None:
+        csh_src = corpus_shingles.join(cand_ids, id_col, "left_semi")
+    else:
+        csh_src = shingle_sets(
+            corpus.join(cand_ids, id_col, "left_semi"), text_col, id_col
+        )
+    csh = csh_src.select(
         F.col(id_col).alias("__corpus_id"), F.col("__sh").alias("__sh_c")
     )
     jac = F.round(

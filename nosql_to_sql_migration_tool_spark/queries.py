@@ -4068,6 +4068,31 @@ FROM batch b LEFT JOIN agg a ON a.batch_id = b.doc_id
 """
 
 
+_INGEST_BUCKETS_CACHE: dict[str, tuple] = {}
+
+
+def _ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+
+
+def _ingest_corpus_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's LSH band buckets, persisted — the in-session stand-in
+    for the PERSISTED index a production ingest probes (build_band_index
+    / update_band_index); timed as its own build row so the per-query
+    row measures the steady-state probe, exactly like production."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        band_bucket_rows,
+    )
+
+    return _cached(
+        _INGEST_BUCKETS_CACHE,
+        spark,
+        sf_dir,
+        lambda: band_bucket_rows(_ingest_corpus(spark, sf_dir)),
+    )
+
+
 @query("ingest_near_dup", _INGEST_NEAR_DUP_ORACLE)
 def q_ingest_near_dup(spark, sf_dir):
     """Incremental NEAR-dup ingestion (VERDICT r6 next #7) — the fuzzy
@@ -4088,7 +4113,7 @@ def q_ingest_near_dup(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     k = F.col("doc_id")
-    corpus = docs.filter(k % 5 != 0).select("doc_id", "text")
+    corpus = _ingest_corpus(spark, sf_dir)
     batch = (
         docs.filter(k % 5 == 0)
         .select("doc_id", "text")
@@ -4099,7 +4124,15 @@ def q_ingest_near_dup(spark, sf_dir):
             )
         )
     )
-    return ingest_near_dup_flags(corpus, batch, threshold=0.6)
+    return ingest_near_dup_flags(
+        corpus,
+        batch,
+        threshold=0.6,
+        corpus_buckets=_ingest_corpus_buckets(spark, sf_dir),
+        # corpus side of the Jaccard verify reuses the persisted raw
+        # shingle memo (corpus ⊂ raw documents), filtered to candidates
+        corpus_shingles=_raw_shingles(spark, sf_dir),
+    )
 
 
 
@@ -6510,6 +6543,11 @@ def _pw_block_assign_multiprobe(spark, sf_dir):
 @_prewarm("build:block_assign_two_level")
 def _pw_block_assign_two_level(spark, sf_dir):
     _force(_dup_emb_assigned(spark, sf_dir, "two_level"))
+
+
+@_prewarm("build:ingest_band_index")
+def _pw_ingest_band_index(spark, sf_dir):
+    _force(_ingest_corpus_buckets(spark, sf_dir))
 
 
 @_prewarm("build:pq_codebooks")
