@@ -41,14 +41,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # detected mechanically via oracle_fingerprints.json (see fingerprints.py —
 # a pytest fails until `python -m nosql_to_sql_migration_tool_spark.
 # fingerprints` re-pins an edited oracle with the upcoming round).
-_MANUAL_CHANGED_IN_ROUND = {
-    "ivf_topk": 4,  # round 4: sample-trained quantizer (train_limit=256)
-    # round 6 plan-only changes (oracle unchanged, so the fingerprint pin
-    # can't auto-requeue them): deciles moved off the global-ntile window
-    # onto bucketed_rank + ntile_from_rank; the sketch cumsum moved off
-    # the partition-less window onto a broadcast triangular join.
-    "customer_spend_deciles": 6,
-    "price_quantile_sketch": 6,
+_MANUAL_CHANGED_IN_ROUND: dict[str, int] = {
+    # Round 7 emptied this dict: plan-only changes are now detected
+    # mechanically (plan_fingerprints.json — builder-AST closure hashes,
+    # see fingerprints.plan_hash), so the historical entries (ivf_topk
+    # r4, customer_spend_deciles/price_quantile_sketch r6) were pruned
+    # once their re-verification rounds were recorded green. Manual
+    # entries remain the fallback for semantic changes NO fingerprint
+    # can see (e.g. a fixture-data change outside the package).
 }
 
 

@@ -189,51 +189,64 @@ def test_plan_hash_ignores_docstrings_but_sees_closure_edits():
 
 def test_repinned_oracle_reenters_window(tmp_path):
     """A fingerprint round newer than the last driver row re-queues the
-    query (the mechanical _CHANGED_IN_ROUND path)."""
+    query (the mechanical _CHANGED_IN_ROUND path); a MANUAL entry —
+    now the fallback for changes no fingerprint can see — survives the
+    merge alongside it."""
     name = next(iter(ORACLES))
-    merged = entry._changed_in_round()
-    assert merged.get("ivf_topk", 0) >= 4  # manual entry survives merge
-    (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({n: {"hash_match": True} for n in QUERIES})
-    )
-    # all green -> verified band; now simulate an oracle edit pinned r3
+    other = list(ORACLES)[1]
+    orig_manual = dict(entry._MANUAL_CHANGED_IN_ROUND)
     orig = dict(entry._CHANGED_IN_ROUND)
     try:
-        entry._CHANGED_IN_ROUND = {**orig, name: 3}
-        # band 0 = the repinned query plus any manual entry newer than
-        # round 2 (ivf_topk: 4); everything else is verified-green r2
+        entry._MANUAL_CHANGED_IN_ROUND[other] = 99
+        merged = entry._changed_in_round()
+        assert merged.get(other, 0) == 99  # manual entry survives merge
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({n: {"hash_match": True} for n in QUERIES})
+        )
+        # all green -> verified band; now simulate an oracle edit pinned
+        # r3 on top of the manual r99 entry
+        entry._CHANGED_IN_ROUND = {**orig, name: 3, other: 99}
         needs = {
             n for n, r in entry._CHANGED_IN_ROUND.items()
             if n in QUERIES and r > 2
         }
-        assert name in needs
+        assert {name, other} <= needs
         assert set(entry._ordered_names(tmp_path)[: len(needs)]) == needs
     finally:
         entry._CHANGED_IN_ROUND = orig
+        entry._MANUAL_CHANGED_IN_ROUND.clear()
+        entry._MANUAL_CHANGED_IN_ROUND.update(orig_manual)
 
 
 def test_changed_query_recheck_then_release(tmp_path):
-    """ivf_topk changed semantics in round 4: with only its round-2 row
-    recorded it must sit in the window; once a round >= 4 records it, it
-    must release its slot (and so must the whole satisfied head)."""
-    (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({"ivf_topk": {"hash_match": True}})
-    )
-    assert "ivf_topk" in entry._ordered_names(tmp_path)[:WINDOW]
-    (tmp_path / "CORRECTNESS_r04.json").write_text(
-        json.dumps(
-            {n: {"hash_match": True} for n in entry._PRIORITY_HEAD}
+    """A query whose semantics changed in round 4 (manual or pinned):
+    with only its round-2 row recorded it must sit in the window; once
+    a round >= 4 records it, it must release its slot (and so must the
+    whole satisfied head)."""
+    name = "ivf_topk"
+    orig = dict(entry._CHANGED_IN_ROUND)
+    try:
+        entry._CHANGED_IN_ROUND = {**orig, name: 4}
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({name: {"hash_match": True}})
         )
-    )
-    nxt = entry._ordered_names(tmp_path)
-    rows = entry._verified_round(tmp_path)
-    # every window slot now goes to a query still needing driver
-    # attention: never verified, or repinned/changed AFTER its last row
-    # (fingerprint repins keep a query in the window until re-recorded)
-    assert all(
-        n not in rows or rows[n] < entry._CHANGED_IN_ROUND.get(n, 0)
-        for n in nxt[:WINDOW]
-    )
+        assert name in entry._ordered_names(tmp_path)[:WINDOW]
+        (tmp_path / "CORRECTNESS_r04.json").write_text(
+            json.dumps(
+                {n: {"hash_match": True} for n in entry._PRIORITY_HEAD}
+            )
+        )
+        nxt = entry._ordered_names(tmp_path)
+        rows = entry._verified_round(tmp_path)
+        # every window slot now goes to a query still needing driver
+        # attention: never verified, or repinned/changed AFTER its last
+        # row (repins keep a query in the window until re-recorded)
+        assert all(
+            n not in rows or rows[n] < entry._CHANGED_IN_ROUND.get(n, 0)
+            for n in nxt[:WINDOW]
+        )
+    finally:
+        entry._CHANGED_IN_ROUND = orig
 
 
 def test_rotation_advances_when_a_round_records_results(tmp_path):
