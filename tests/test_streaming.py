@@ -647,3 +647,52 @@ def test_stream_ingest_near_dup_gates_and_maintains_index(spark, tmp_path):
     assert qua2.filter(F.col("doc_id") >= 20_000).count() == n_copies
     assert acc2.filter(F.col("doc_id") >= 20_000).count() == 0
     assert acc2.count() > n_acc1  # fresh batch-2 docs accepted
+
+
+def test_compaction_random_crash_points_never_change_results(spark, tmp_path):
+    """Randomized crash-window property: for random batch splits, a
+    compaction at ANY safe bound, followed by replay of every batch
+    above the bound, must leave the rebuilt rollup equal to the batch
+    ground truth — and a second full compaction must collapse the
+    partials to the single -1 row without changing results."""
+    import random
+
+    from nosql_to_sql_migration_tool_spark.streaming.rollup import (
+        compact_partials,
+        merge_rollup_batch,
+        read_rollup,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    events = load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(400).localCheckpoint(eager=True)
+    for trial in range(2):
+        n_batches = rng.randint(2, 3)
+        rollup = str(tmp_path / f"rollup{trial}")
+        batches = [
+            events.filter(F.col("event_id") % n_batches == i)
+            for i in range(n_batches)
+        ]
+        want = tumbling_window_agg(events)
+        for i, b in enumerate(batches):
+            merge_rollup_batch(spark, b, rollup, batch_id=i)
+        safe = rng.randint(-1, n_batches - 1)
+        compact_partials(spark, rollup, max_safe_batch_id=safe)
+        # replay everything above the safe bound (the crash window)
+        for i in range(safe + 1, n_batches):
+            merge_rollup_batch(spark, batches[i], rollup, batch_id=i)
+        got = read_rollup(spark, rollup).select(
+            "window_start", "event_type", "n", "total"
+        )
+        assert _same_rows(got, want), (trial, n_batches, safe)
+        compact_partials(spark, rollup, max_safe_batch_id=n_batches - 1)
+        partials = spark.read.parquet(rollup + "/.__partials")
+        ids = {r["batch_id"] for r in partials.select("batch_id").distinct().collect()}
+        assert ids == {-1}, (trial, ids)
+        assert _same_rows(
+            read_rollup(spark, rollup).select(
+                "window_start", "event_type", "n", "total"
+            ),
+            want,
+        )
