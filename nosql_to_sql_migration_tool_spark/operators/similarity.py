@@ -1406,3 +1406,136 @@ __struth AS (
   FROM docs d, __samp s
   WHERE d.vec_id <> s.sid AND {cos} >= {threshold}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding ingest (round 7): the hyperplane-LSH twin of
+# operators/dedup.py's band index — corpus bit-signature bands persist as
+# an append-only index, so steady-state embedding ingest probes with
+# O(batch) new work and never re-signs the corpus.
+# ---------------------------------------------------------------------------
+
+
+def embedding_band_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    band_chars: int = BAND_CHARS,
+) -> DataFrame:
+    """The persistable LSH index rows of an embedding corpus:
+    ``(band_idx, band_val, <id_col>)`` — one row per vector per band of
+    its hyperplane bit signature. Pure per-vector function, so index
+    maintenance is append-only (the ``dedup.band_bucket_rows``
+    contract)."""
+    sigs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).select(id_col, lsh_bits(F.col("__v")).alias("__bits"))
+    n_bands = N_PLANES // band_chars
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("__bits", b * band_chars + 1, band_chars)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ).select("band_idx", "band_val", id_col)
+
+
+def build_embedding_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the corpus embedding-band index, partitioned by
+    band_idx for probe-side pruning."""
+    embedding_band_rows(df, vec_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(path)
+
+
+def update_embedding_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold an ingested batch into the index: O(batch) bucket rows
+    appended; the corpus is never read."""
+    embedding_band_rows(batch, vec_col, id_col).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(path)
+
+
+def ingest_embedding_near_dup_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_bands: DataFrame | None = None,
+    max_bucket_width: int = 64,
+) -> DataFrame:
+    """Per-batch-vector near-dup-vs-corpus verdict:
+    ``(<id_col>, n_cand, best_cos, is_near_dup)`` — candidate corpus
+    vectors share at least one (band, bits) bucket (corpus buckets
+    df-capped at ``max_bucket_width`` so a low-entropy band value
+    cannot fan out), verified with exact cosine joined only for
+    candidate corpus ids (the point-fetch shape). ``corpus_bands``
+    takes the persisted index; probe work is O(batch + candidates),
+    never O(corpus)."""
+    from pyspark.sql import Window
+
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else embedding_band_rows(corpus, vec_col, id_col)
+    )
+    w = Window.partitionBy("band_idx", "band_val")
+    kept = (
+        cb.withColumn("__w", F.count(F.lit(1)).over(w))
+        .filter(F.col("__w") <= max_bucket_width)
+        .select("band_idx", "band_val", F.col(id_col).alias("__corpus_id"))
+    )
+    bb = embedding_band_rows(batch, vec_col, id_col).select(
+        "band_idx", "band_val", F.col(id_col).alias("__batch_id")
+    )
+    cand = (
+        bb.join(kept, ["band_idx", "band_val"])
+        .select("__batch_id", "__corpus_id")
+        .distinct()
+    )
+    bv = batch.select(
+        F.col(id_col).alias("__batch_id"),
+        as_double(F.col(vec_col)).alias("__v_b"),
+    )
+    cand_ids = cand.select(F.col("__corpus_id").alias(id_col)).distinct()
+    cv = corpus.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("__corpus_id"),
+        as_double(F.col(vec_col)).alias("__v_c"),
+    )
+    ver = (
+        cand.join(bv, "__batch_id")
+        .join(cv, "__corpus_id")
+        .select(
+            "__batch_id", cosine(F.col("__v_b"), F.col("__v_c")).alias("__c")
+        )
+    )
+    agg = ver.groupBy("__batch_id").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.max("__c").alias("__best")
+    )
+    return (
+        batch.select(F.col(id_col).alias("__batch_id"))
+        .join(agg, "__batch_id", "left")
+        .select(
+            F.col("__batch_id").alias(id_col),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("__best"), F.lit(0.0)).alias("best_cos"),
+            (F.coalesce(F.col("__best"), F.lit(0.0)) >= F.lit(threshold)).alias(
+                "is_near_dup"
+            ),
+        )
+    )

@@ -273,3 +273,53 @@ def test_sampled_truth_pairs_normalizes_and_dedups(spark):
     )
     rows = sampled_truth_pairs(df, threshold=0.9, sample_limit=3).collect()
     assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_embedding_band_index_incremental_update_equals_rebuild(spark, tmp_path):
+    """Round 7: the embedding hyperplane-LSH index is maintained
+    append-only (O(batch) per update, corpus never read), rebuild-
+    equivalent to a fresh build, and probing the persisted index gives
+    the same verdicts as the inline form; near-identical planted
+    vectors must be flagged."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        build_embedding_index,
+        embedding_band_rows,
+        ingest_embedding_near_dup_flags,
+        update_embedding_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "emb_index")
+
+    build_embedding_index(corpus, idx)
+    update_embedding_index(batch, idx)
+    stored = spark.read.parquet(idx).select("band_idx", "band_val", "vec_id")
+    rebuilt = embedding_band_rows(emb)
+    assert stored.count() == rebuilt.count()
+    assert stored.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(stored).isEmpty()
+
+    # incoming: exact copies of some corpus+batch vectors under new ids
+    incoming = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + F.lit(500_000)).alias("vec_id"), "embedding"
+    )
+    via_index = ingest_embedding_near_dup_flags(
+        emb,
+        incoming,
+        corpus_bands=spark.read.parquet(idx).select(
+            "band_idx", "band_val", "vec_id"
+        ),
+    )
+    inline = ingest_embedding_near_dup_flags(emb, incoming)
+    assert via_index.exceptAll(inline).isEmpty()
+    assert inline.exceptAll(via_index).isEmpty()
+    # every exact copy shares all bands with its source -> flagged at 0.9
+    n_in = incoming.count()
+    assert n_in > 0
+    assert via_index.filter(F.col("is_near_dup")).count() == n_in
