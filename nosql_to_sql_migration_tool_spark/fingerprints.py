@@ -201,9 +201,98 @@ def _referenced(fn):
     return out
 
 
+_CONST_TYPES = (
+    int, float, complex, str, bytes, bool, type(None),
+    tuple, list, dict, set, frozenset,
+)
+
+
+def _stable_repr(v) -> str:
+    """Deterministic repr across processes: set iteration order depends on
+    PYTHONHASHSEED for strings, so sets/dicts are canonicalized by sorted
+    element repr before hashing."""
+    if isinstance(v, (set, frozenset)):
+        return "{" + ", ".join(sorted(_stable_repr(x) for x in v)) + "}"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: repr(kv[0]))
+        return "{" + ", ".join(
+            f"{_stable_repr(k)}: {_stable_repr(x)}" for k, x in items
+        ) + "}"
+    if isinstance(v, (list, tuple)):
+        inner = ", ".join(_stable_repr(x) for x in v)
+        return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+    return repr(v)
+
+
+def _referenced_constants(fn) -> dict[str, str]:
+    """repr-digests of module-level CONSTANTS the function reads — via its
+    globals or via function-body ``from pkg.mod import CONST``. ADVICE r7:
+    a Spark-plan change made by editing a constant (N_BANDS, a pinned
+    threshold table) previously escaped plan_hash, which only walked
+    callables — a residual stale-green loophole. Keys are
+    ``const:<module>.<name>`` so they merge into the same ``seen`` dict."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+    import types
+
+    out: dict[str, str] = {}
+    code = getattr(fn, "__code__", None)
+    globs = getattr(fn, "__globals__", {})
+    if code is None:
+        return out
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        names.update(c.co_freevars)
+        stack.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+    own_mod = getattr(fn, "__module__", "?")
+    for name in sorted(names):
+        if name.startswith("__"):
+            continue
+        if name in globs:
+            obj = globs[name]
+            if isinstance(obj, _CONST_TYPES) and not callable(obj):
+                out[f"const:{own_mod}.{name}"] = hashlib.md5(
+                    _stable_repr(obj).encode("utf-8")
+                ).hexdigest()
+    # function-body `from <pkg-local module> import CONST`
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError, IndentationError):
+        return out
+    pkg_root = _PACKAGE_PREFIX[:-1]
+    own_pkg = (own_mod or "").rsplit(".", 1)[0]
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom):
+            continue
+        mod_name = node.module or ""
+        if node.level:
+            base = own_pkg.rsplit(".", node.level - 1)[0] if node.level > 1 else own_pkg
+            mod_name = f"{base}.{mod_name}" if mod_name else base
+        if not (mod_name == pkg_root or mod_name.startswith(_PACKAGE_PREFIX)):
+            continue
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        for alias in node.names:
+            obj = getattr(mod, alias.name, None)
+            if isinstance(obj, _CONST_TYPES) and not callable(obj):
+                out[f"const:{mod_name}.{alias.name}"] = hashlib.md5(
+                    _stable_repr(obj).encode("utf-8")
+                ).hexdigest()
+    return out
+
+
 def plan_hash(fn) -> str:
-    """Combined digest of fn and every package-local function/class in its
-    transitive reference closure, keyed by qualified name for stability."""
+    """Combined digest of fn, every package-local function/class in its
+    transitive reference closure, and every package-local module CONSTANT
+    those functions read (ADVICE r7 — constant edits change plans too),
+    keyed by qualified name for stability."""
     import types
 
     seen: dict[str, str] = {}
@@ -220,6 +309,7 @@ def plan_hash(fn) -> str:
             seen[".".join(key)] = digest
         if isinstance(obj, types.FunctionType):
             stack.extend(_referenced(obj))
+            seen.update(_referenced_constants(obj))
         elif isinstance(obj, type):
             for attr in vars(obj).values():
                 if isinstance(attr, types.FunctionType) and _is_package_local(attr):
@@ -237,11 +327,20 @@ def plan_changed_rounds(path: Path = PLAN_FINGERPRINT_PATH) -> dict[str, int]:
 
 
 def refresh_plans(
-    repo: Path | None = None, path: Path = PLAN_FINGERPRINT_PATH
+    repo: Path | None = None,
+    path: Path = PLAN_FINGERPRINT_PATH,
+    migrate: bool = False,
 ) -> dict:
     """Re-pin plan fingerprints with the same round bookkeeping as oracle
     pins: unchanged entries keep their round, changed/new entries get the
-    upcoming round, dropped queries are pruned."""
+    upcoming round, dropped queries are pruned.
+
+    ``migrate=True`` is for HASH-ALGORITHM upgrades only (e.g. the r8
+    addition of referenced constants to the digest): every hash is
+    recomputed but existing entries KEEP their ``changed_in_round`` —
+    the Spark plans themselves did not change, so mass-requeuing all 184
+    queries into the 50-slot driver window would leave most of them
+    'changed but unverified'. Never use it after editing plan code."""
     from nosql_to_sql_migration_tool_spark.queries import QUERIES
 
     repo = repo if repo is not None else _HERE.parent
@@ -253,6 +352,8 @@ def refresh_plans(
         old = prior.get(name)
         if old and old.get("hash") == h:
             pinned[name] = old
+        elif old and migrate:
+            pinned[name] = {**old, "hash": h}
         else:
             pinned[name] = {"hash": h, "changed_in_round": rnd}
     path.write_text(json.dumps(pinned, indent=1, sort_keys=True) + "\n")
@@ -260,7 +361,11 @@ def refresh_plans(
 
 
 if __name__ == "__main__":
+    import sys
+
+    migrate = "--migrate-plans" in sys.argv
     result = refresh()
     print(f"pinned {len(result)} oracle fingerprints -> {FINGERPRINT_PATH}")
-    plans = refresh_plans()
-    print(f"pinned {len(plans)} plan fingerprints -> {PLAN_FINGERPRINT_PATH}")
+    plans = refresh_plans(migrate=migrate)
+    mode = " (migrate: rounds preserved)" if migrate else ""
+    print(f"pinned {len(plans)} plan fingerprints -> {PLAN_FINGERPRINT_PATH}{mode}")
