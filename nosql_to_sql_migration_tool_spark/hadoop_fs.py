@@ -65,6 +65,22 @@ def list_files(
     return sorted(out)
 
 
+def list_dirs(spark: SparkSession, path_str: str) -> list[str]:
+    """Non-recursive child DIRECTORY names of a directory (metadata
+    only). Hidden/system entries (leading ``.`` or ``_``) are skipped —
+    hive partition dirs like ``band_idx=3`` are what this is for."""
+    fs, path = _filesystem_for(spark, path_str)
+    out = []
+    for status in fs.listStatus(path):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if name.startswith((".", "_")):
+            continue
+        out.append(name)
+    return sorted(out)
+
+
 def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     """FileSystem rename (atomic on HDFS/local; copy-free). Returns
     whether the filesystem accepted the rename."""

@@ -1338,6 +1338,13 @@ def ingest_near_dup_flags(
         if corpus_buckets is not None
         else band_bucket_rows(corpus, text_col, id_col)
     )
+    if corpus_buckets is not None:
+        # A persisted index replayed under at-least-once delivery can
+        # carry duplicate (band, hash, id) rows (ADVICE r7) — dedupe
+        # before the width count so replay duplicates can't inflate
+        # bucket width past the cap and silently drop real candidates.
+        # The inline path is per-doc-distinct by construction.
+        cb = cb.select("band_idx", "band_hash", id_col).distinct()
     w = Window.partitionBy("band_idx", "band_hash")
     kept = (
         cb.withColumn("__w", F.count(F.lit(1)).over(w))
@@ -1349,6 +1356,11 @@ def ingest_near_dup_flags(
     )
     cand = (
         bb.join(kept, ["band_idx", "band_hash"])
+        # a document is never a near-dup of ITSELF: when a crashed-and-
+        # replayed ingest batch probes an index already containing its
+        # own bucket rows, the self-pair would verify at Jaccard 1.0 and
+        # re-route an accepted doc to quarantine (ADVICE r7)
+        .filter(F.col("__batch_id") != F.col("__corpus_id"))
         .select("__batch_id", "__corpus_id")
         .distinct()
     )

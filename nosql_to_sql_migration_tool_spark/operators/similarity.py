@@ -1494,6 +1494,10 @@ def ingest_embedding_near_dup_flags(
         if corpus_bands is not None
         else embedding_band_rows(corpus, vec_col, id_col)
     )
+    if corpus_bands is not None:
+        # replay-duplicated index rows must not inflate bucket width
+        # past the cap (ADVICE r7 — mirrors dedup.ingest_near_dup_flags)
+        cb = cb.select("band_idx", "band_val", id_col).distinct()
     w = Window.partitionBy("band_idx", "band_val")
     kept = (
         cb.withColumn("__w", F.count(F.lit(1)).over(w))
@@ -1505,6 +1509,10 @@ def ingest_embedding_near_dup_flags(
     )
     cand = (
         bb.join(kept, ["band_idx", "band_val"])
+        # a vector is never a near-dup of itself: a replayed batch that
+        # probes an index already holding its own rows must not
+        # self-match at cos 1.0 (ADVICE r7)
+        .filter(F.col("__batch_id") != F.col("__corpus_id"))
         .select("__batch_id", "__corpus_id")
         .distinct()
     )

@@ -359,7 +359,29 @@ def q_show_columns(spark, sf_dir):
     return show_columns(spark, load_table(spark, sf_dir, "customer"))
 
 
-_VIEWS_REGISTERED: set[tuple[int, str]] = set()
+# Memo of sessions whose views are registered (session -> set of sf_dirs).
+# Weak-keyed on the session object, not id(spark): id() holds no reference,
+# so a stopped+collected session's address can be reused by a new session,
+# which would then skip registration and see an empty catalog (ADVICE r7).
+import weakref  # noqa: E402
+
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _ensure_views(spark, sf_dir: str) -> None:
+    """Register the sf_dir tables as temp views once per (session,
+    sf_dir). The ten parquet-footer reads are a session-lifetime
+    first-touch cost, so bench times them as their own ``build:`` row
+    (VERDICT r7 — the cold driver run kept billing them to
+    catalog_listing and tripping the regression detector)."""
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        register_views,
+    )
+
+    dirs = _VIEWS_REGISTERED.setdefault(spark, set())
+    if sf_dir not in dirs:
+        register_views(spark, sf_dir)
+        dirs.add(sf_dir)
 
 
 @query(
@@ -377,14 +399,13 @@ def q_catalog_listing(spark, sf_dir):
     from nosql_to_sql_migration_tool_spark.sources.registry import (
         TABLES,
         list_collections,
-        register_views,
     )
 
-    key = (id(spark), sf_dir)
-    if key not in _VIEWS_REGISTERED:
-        register_views(spark, sf_dir)
-        _VIEWS_REGISTERED.add(key)
+    _ensure_views(spark, sf_dir)
     names = sorted(set(list_collections(spark)) & set(TABLES))
+    if not names:
+        # empty `FROM VALUES ` is a parse error (ADVICE r7)
+        return spark.sql("SELECT CAST(NULL AS STRING) AS name WHERE false")
     # pure-JVM VALUES local relation (the show_columns round-7 fix): a
     # metadata row list must not take the pickled-slices python path
     vals = ", ".join("('{}')".format(n.replace("'", "''")) for n in names)
@@ -4043,8 +4064,11 @@ bbands AS (
   FROM (SELECT doc_id, {band_hashes_sql('sig')} AS b FROM bsig)
 ),
 cand AS (
+  -- batch_id <> corpus_id mirrors the operator's replay-safety rule:
+  -- a document is never a near-dup of itself (ADVICE r7)
   SELECT DISTINCT b.batch_id, c.corpus_id
   FROM bbands b JOIN ckept c USING (band_idx, band_hash)
+  WHERE b.batch_id <> c.corpus_id
 ),
 bsh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM batch),
 csh AS (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM corpus),
@@ -4134,6 +4158,119 @@ def q_ingest_near_dup(spark, sf_dir):
         corpus_shingles=_raw_shingles(spark, sf_dir),
     )
 
+
+_INGEST_EMB_NEAR_DUP_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+batch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 1000000, embedding
+  FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 7 = 1
+),
+csig AS (SELECT vec_id, {lsh_bits_sql('embedding')} AS bits FROM corpus),
+cbands AS (
+  SELECT vec_id, generate_subscripts(b, 1) AS band_idx, unnest(b) AS band_val
+  FROM (SELECT vec_id, [substr(bits, 1, 8), substr(bits, 9, 8)] AS b FROM csig)
+),
+ckept AS (
+  SELECT band_idx, band_val, vec_id AS corpus_id FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS w
+    FROM cbands
+  ) WHERE w <= 64
+),
+bsig AS (SELECT vec_id, {lsh_bits_sql('embedding')} AS bits FROM batch),
+bbands AS (
+  SELECT vec_id AS batch_id, generate_subscripts(b, 1) AS band_idx,
+         unnest(b) AS band_val
+  FROM (SELECT vec_id, [substr(bits, 1, 8), substr(bits, 9, 8)] AS b FROM bsig)
+),
+cand AS (
+  -- batch_id <> corpus_id mirrors the operator's replay-safety rule:
+  -- a vector is never a near-dup of itself (ADVICE r7)
+  SELECT DISTINCT b.batch_id, c.corpus_id
+  FROM bbands b JOIN ckept c USING (band_idx, band_val)
+  WHERE b.batch_id <> c.corpus_id
+),
+ver AS (
+  SELECT cand.batch_id,
+         {cosine_sql('bv.embedding', 'cv.embedding')} AS c
+  FROM cand
+  JOIN batch bv ON bv.vec_id = cand.batch_id
+  JOIN corpus cv ON cv.vec_id = cand.corpus_id
+),
+agg AS (
+  SELECT batch_id, count(*) AS n_cand, max(c) AS best
+  FROM ver GROUP BY batch_id
+)
+SELECT b.vec_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       coalesce(a.best, 0.0) AS best_cos,
+       coalesce(a.best, 0.0) >= 0.9 AS is_near_dup
+FROM batch b LEFT JOIN agg a ON a.batch_id = b.vec_id
+"""
+
+
+_INGEST_EMB_BANDS_CACHE: dict[str, tuple] = {}
+
+
+def _ingest_emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+
+
+def _ingest_emb_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding corpus's hyperplane-LSH band rows, persisted — the
+    in-session stand-in for the PERSISTED index a production embedding
+    ingest probes (build_embedding_index / update_embedding_index);
+    timed as its own build row so the per-query row measures the
+    steady-state probe."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        embedding_band_rows,
+    )
+
+    return _cached(
+        _INGEST_EMB_BANDS_CACHE,
+        spark,
+        sf_dir,
+        lambda: embedding_band_rows(_ingest_emb_corpus(spark, sf_dir)),
+    )
+
+
+@query("ingest_embedding_near_dup", _INGEST_EMB_NEAR_DUP_ORACLE)
+def q_ingest_embedding_near_dup(spark, sf_dir):
+    """Incremental EMBEDDING near-dup ingestion (VERDICT r7 next #1) —
+    the hyperplane-LSH twin of ingest_near_dup: an incoming vector
+    batch (fresh vectors plus planted exact copies of corpus vectors)
+    probes the corpus's persisted band rows, shared buckets df-capped
+    at width 64, candidates verified with exact cosine joined only for
+    candidate corpus ids (the point-fetch shape; O(batch + candidates),
+    never O(corpus)). Self-pairs are excluded — the replay-safety rule
+    shared with the text gate. In production the band rows come from
+    the PERSISTED index maintained by build_embedding_index /
+    update_embedding_index (append-only, O(batch) per ingest —
+    pytest-pinned equivalent to a fresh rebuild)."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        ingest_embedding_near_dup_flags,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = F.col("vec_id")
+    corpus = _ingest_emb_corpus(spark, sf_dir)
+    batch = (
+        emb.filter(k % 5 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.filter((k % 5 != 0) & (k % 7 == 1)).select(
+                (k + F.lit(1_000_000)).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return ingest_embedding_near_dup_flags(
+        corpus,
+        batch,
+        threshold=0.9,
+        corpus_bands=_ingest_emb_bands(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6548,6 +6685,37 @@ def _pw_block_assign_two_level(spark, sf_dir):
 @_prewarm("build:ingest_band_index")
 def _pw_ingest_band_index(spark, sf_dir):
     _force(_ingest_corpus_buckets(spark, sf_dir))
+
+
+@_prewarm("build:ingest_emb_index")
+def _pw_ingest_emb_index(spark, sf_dir):
+    _force(_ingest_emb_bands(spark, sf_dir))
+
+
+@_prewarm("build:catalog_views")
+def _pw_catalog_views(spark, sf_dir):
+    """Ten parquet-footer reads + first listTables round trip, once per
+    session (VERDICT r7 weak: the driver's cold run billed these to
+    catalog_listing — 4.4x vs a warm baseline that had them memoized).
+    Runs the listing once so the query row measures the steady-state
+    metadata relation, same discipline as every other build row."""
+    q_catalog_listing(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+@_prewarm("build:derby_boot")
+def _pw_derby_boot(spark, sf_dir):
+    """Embedded-Derby database boot + JDBC driver classload + first
+    table creation, once per process (VERDICT r7 weak — two rounds
+    running — jdbc_roundtrip_agg billed ~1.2s of one-time engine boot).
+    Runs the migrate-then-validate round trip once against the SAME
+    database directory and table the query uses, so the query row
+    measures the warm repeat (overwrite of an existing table — the
+    steady-state shape of a scheduled re-sync)."""
+    q_jdbc_roundtrip_agg(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 @_prewarm("build:pq_codebooks")

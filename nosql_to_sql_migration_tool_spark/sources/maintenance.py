@@ -127,3 +127,48 @@ def compact_parquet(
         rows=n_rows,
         compacted=True,
     )
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_gain: int = 2,
+) -> dict[str, CompactionStats]:
+    """Partition-preserving compaction for hive-partitioned parquet —
+    the maintenance path for the persisted LSH band indexes
+    (``operators/dedup.py:update_band_index`` and
+    ``operators/similarity.py:update_embedding_index`` append one
+    parquet delta per ingested batch, so at streaming cadence each
+    ``band_idx=`` partition fragments into per-batch small files and
+    the probe's pruned scan decays into a file-open storm; VERDICT r7
+    next #4).
+
+    A flat ``compact_parquet`` over the root would rewrite the data
+    WITHOUT the directory layout and destroy the ``band_idx`` pruning
+    the probe depends on. This variant compacts WITHIN each partition
+    directory independently — same size-planned ``repartition(n)``
+    rewrite, same row-count verification BEFORE any delete, same
+    rename-aside swap (old -> ``.__old``, tmp -> live) with the same
+    crash recovery story, applied per partition. The hive layout is
+    byte-identical afterwards, so partition pruning, probe results and
+    downstream `` spark.read.parquet(root)`` schemas are unchanged.
+
+    Per-partition atomicity: a crash mid-run leaves each partition
+    either fully old or fully new (never mixed), and a re-run resumes
+    harmlessly — already-compacted partitions no-op under ``min_gain``.
+    Readers racing the swap see old or new rows for a partition, never
+    a mix; concurrent WRITERS (a live ingest appending to the same
+    partition) are excluded by contract, exactly like the rollup
+    compactor — run maintenance between ingest batches.
+    """
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import list_dirs
+
+    root = path.rstrip("/")
+    stats: dict[str, CompactionStats] = {}
+    for part in list_dirs(spark, root):
+        stats[part] = compact_parquet(
+            spark, f"{root}/{part}", target_bytes=target_bytes,
+            min_gain=min_gain,
+        )
+    return stats

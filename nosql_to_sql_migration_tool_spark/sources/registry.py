@@ -136,6 +136,13 @@ def show_columns(spark: SparkSession, df: DataFrame) -> DataFrame:
     # defaultParallelism pickled slices (32 tasks for 5 rows, ~0.35s;
     # first call ~1.5s — VERDICT r6 next #3), while LocalTableScan runs
     # in ~0.09s with no Python serialization at all.
+    if not rows:
+        # `FROM VALUES ` with an empty row list is a parse error (ADVICE
+        # r7); a zero-field schema still needs a typed empty frame.
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS column_name, "
+            "CAST(NULL AS STRING) AS column_type WHERE false"
+        )
     vals = ", ".join(
         "('{}', '{}')".format(n.replace("'", "''"), t.replace("'", "''"))
         for n, t in rows

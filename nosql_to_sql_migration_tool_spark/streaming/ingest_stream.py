@@ -17,10 +17,14 @@ prunes on band_idx; corpus shingles join only candidate ids); the
 index append is the batch's own bucket rows. Replay safety: accepted/
 quarantine sinks carry ``batch_id`` so a replayed batch (foreachBatch
 at-least-once) re-writes identical rows — readers take the latest per
-(doc, batch) which is idempotent because the gate is deterministic in
-the batch contents and the index state; the index append tolerates
-replay because duplicate bucket rows cannot change any probe verdict
-(the candidate join is a DISTINCT semi-probe).
+(doc, batch). That idempotency holds even when the crash fell AFTER
+the index append / accepted write but BEFORE the checkpoint commit,
+because the gate anti-joins the batch's own ids out of the probed
+index and the verify side (see ``gate_batch``): the replayed probe
+sees the corpus exactly as the first delivery did, so verdicts are
+bit-identical and no doc can land in both sinks with conflicting
+flags (ADVICE r7). Replay-duplicated index rows are also deduped
+before the bucket-width cap inside ``ingest_near_dup_flags``.
 
 Within-batch near-dups: the gate is batch-vs-CORPUS; two near-dup docs
 arriving in the SAME batch both pass (neither is in the index yet) and
@@ -37,6 +41,10 @@ from pyspark.sql.utils import AnalysisException
 from nosql_to_sql_migration_tool_spark.operators.dedup import (
     ingest_near_dup_flags,
     update_band_index,
+)
+from nosql_to_sql_migration_tool_spark.operators.similarity import (
+    ingest_embedding_near_dup_flags,
+    update_embedding_index,
 )
 
 
@@ -61,50 +69,200 @@ def stream_ingest_near_dup(
     scheduled-ingest shape)."""
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        try:
-            buckets = spark.read.parquet(index_path).select(
-                "band_idx", "band_hash", id_col
-            )
-        except AnalysisException:
-            buckets = None
-        # corpus text for the verify step = original corpus + every
-        # previously ACCEPTED doc (their buckets are in the index, so
-        # their text must be joinable for candidates)
-        verify_side = corpus.select(id_col, text_col)
-        try:
-            accepted_prior = spark.read.parquet(accepted_path).select(
-                id_col, text_col
-            )
-            verify_side = verify_side.unionByName(accepted_prior)
-        except AnalysisException:
-            pass
-        flags = ingest_near_dup_flags(
-            verify_side,
+        gate_batch(
             batch_df,
+            batch_id,
+            corpus,
+            index_path,
+            accepted_path,
+            quarantine_path,
             threshold=threshold,
             text_col=text_col,
             id_col=id_col,
-            corpus_buckets=buckets,
-        ).localCheckpoint(eager=True)
-        batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
-        routed = batch_cols.join(
-            flags.select(id_col, "best_jaccard", "is_near_dup"), id_col
-        )
-        accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
-        quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
-        accepted.write.mode("append").parquet(accepted_path)
-        quarantined.write.mode("append").parquet(quarantine_path)
-        # index maintenance LAST: O(batch) bucket rows, append-only
-        update_band_index(
-            accepted.select(id_col, text_col), index_path,
-            text_col=text_col, id_col=id_col,
         )
 
     return (
         doc_stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    quarantine_path: str,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the near-dup gate, module-level so the
+    at-least-once REPLAY contract is directly testable (call twice with
+    the same batch_id — exactly what foreachBatch does after a crash
+    between the sink/index writes and the checkpoint commit).
+
+    Replay safety (ADVICE r7): a crash after ``update_band_index`` but
+    before the checkpoint commit leaves the batch's own bucket rows in
+    the index and its own text in ``accepted_path``; without exclusion
+    the replayed batch would self-match at Jaccard 1.0 and re-route
+    every previously-accepted doc to quarantine — the doc would land in
+    BOTH sinks with conflicting verdicts. So the batch's own ids are
+    anti-joined out of the probed index AND out of the verify side
+    before the probe: the index must represent the corpus as it stood
+    BEFORE this batch, which also keeps intra-batch pairs out of scope
+    on replay exactly as they are on first delivery (the documented
+    batch-vs-corpus contract). Width counts dedupe replay-duplicated
+    index rows inside ``ingest_near_dup_flags``."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_ids = batch_df.select(id_col).distinct()
+    try:
+        buckets = (
+            spark.read.parquet(index_path)
+            .select("band_idx", "band_hash", id_col)
+            .join(batch_ids, id_col, "left_anti")
+        )
+    except AnalysisException:
+        buckets = None
+    # corpus text for the verify step = original corpus + every
+    # previously ACCEPTED doc (their buckets are in the index, so
+    # their text must be joinable for candidates) — minus the batch's
+    # own ids (replay: its text is already in accepted_path)
+    verify_side = corpus.select(id_col, text_col)
+    try:
+        accepted_prior = spark.read.parquet(accepted_path).select(
+            id_col, text_col
+        )
+        verify_side = verify_side.unionByName(accepted_prior)
+    except AnalysisException:
+        pass
+    # dropDuplicates: replayed appends leave duplicate accepted rows,
+    # which would double-count n_cand through the verify join
+    verify_side = verify_side.join(batch_ids, id_col, "left_anti").dropDuplicates(
+        [id_col]
+    )
+    flags = ingest_near_dup_flags(
+        verify_side,
+        batch_df,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        corpus_buckets=buckets,
+    ).localCheckpoint(eager=True)
+    batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+    routed = batch_cols.join(
+        flags.select(id_col, "best_jaccard", "is_near_dup"), id_col
+    )
+    accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
+    quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
+    accepted.write.mode("append").parquet(accepted_path)
+    quarantined.write.mode("append").parquet(quarantine_path)
+    # index maintenance LAST: O(batch) bucket rows, append-only
+    update_band_index(
+        accepted.select(id_col, text_col), index_path,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def gate_embedding_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    quarantine_path: str,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The embedding twin of ``gate_batch`` (VERDICT r7 next #5): one
+    micro-batch of vectors probes the persisted hyperplane-LSH index
+    (``build_embedding_index`` / ``update_embedding_index``), near-dups
+    of the existing corpus quarantine, fresh vectors land in the
+    accepted sink and their band rows append to the index. Same replay
+    contract: batch ids anti-joined out of the probed index and verify
+    side, so a replayed batch reproduces its original verdicts."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_ids = batch_df.select(id_col).distinct()
+    try:
+        bands = (
+            spark.read.parquet(index_path)
+            .select("band_idx", "band_val", id_col)
+            .join(batch_ids, id_col, "left_anti")
+        )
+    except AnalysisException:
+        bands = None
+    verify_side = corpus.select(id_col, vec_col)
+    try:
+        accepted_prior = spark.read.parquet(accepted_path).select(
+            id_col, vec_col
+        )
+        verify_side = verify_side.unionByName(accepted_prior)
+    except AnalysisException:
+        pass
+    verify_side = verify_side.join(batch_ids, id_col, "left_anti").dropDuplicates(
+        [id_col]
+    )
+    flags = ingest_embedding_near_dup_flags(
+        verify_side,
+        batch_df,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        corpus_bands=bands,
+    ).localCheckpoint(eager=True)
+    batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+    routed = batch_cols.join(
+        flags.select(id_col, "best_cos", "is_near_dup"), id_col
+    )
+    accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
+    quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
+    accepted.write.mode("append").parquet(accepted_path)
+    quarantined.write.mode("append").parquet(quarantine_path)
+    update_embedding_index(
+        accepted.select(id_col, vec_col), index_path,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def stream_ingest_embedding_near_dup(
+    vec_stream: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> StreamingQuery:
+    """Gate an embedding stream against the corpus's persisted
+    hyperplane-LSH index — the multimodal/embedding ingest twin of
+    ``stream_ingest_near_dup``, same availableNow scheduled-ingest
+    shape and the same per-batch O(batch + candidates) cost."""
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        gate_embedding_batch(
+            batch_df,
+            batch_id,
+            corpus,
+            index_path,
+            accepted_path,
+            quarantine_path,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_gate)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -436,3 +436,81 @@ def test_band_index_incremental_update_equals_rebuild(spark, tmp_path):
     assert inline.exceptAll(via_index).isEmpty()
     # planted edits must be flagged
     assert via_index.filter(F.col("is_near_dup")).count() > 0
+
+
+def test_ingest_width_cap_counts_distinct_index_rows(spark, tmp_path):
+    """ADVICE r7: an at-least-once replay appends duplicate
+    (band, hash, id) rows to the persisted index; the bucket-width cap
+    must count DISTINCT rows, or a replay would double every width and
+    silently drop genuine candidates. At cap=1 every bucket in use
+    busts the cap the moment it's duplicated, so verdicts through a
+    2x-duplicated index diverge from the single-copy verdicts unless
+    the dedup happens."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+        ingest_near_dup_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = str(tmp_path / "band_index")
+    build_band_index(corpus, idx)
+    stored = spark.read.parquet(idx).select("band_idx", "band_hash", "doc_id")
+    replayed = stored.unionByName(stored)  # every index row twice
+
+    incoming = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + F.lit(500_000)).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    single = ingest_near_dup_flags(
+        corpus, incoming, corpus_buckets=stored, max_bucket_width=1
+    )
+    doubled = ingest_near_dup_flags(
+        corpus, incoming, corpus_buckets=replayed, max_bucket_width=1
+    )
+    assert single.exceptAll(doubled).isEmpty()
+    assert doubled.exceptAll(single).isEmpty()
+    assert single.filter(F.col("is_near_dup")).count() > 0
+
+
+def test_ingest_probe_never_self_matches(spark, tmp_path):
+    """ADVICE r7: when a replayed batch probes an index that already
+    contains its OWN bucket rows (crash fell after the index append)
+    and its own text is on the verify side (it's in accepted_path),
+    the self-pair must be excluded — otherwise every doc verifies
+    against itself at Jaccard 1.0 and flips to near-dup. Batch docs
+    here are mutually dissimilar so the ONLY possible delta between
+    the clean and crash-window probes is self-matching."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        band_bucket_rows,
+        ingest_near_dup_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+            (2, "juliet kilo lima mike november oscar papa quebec romeo"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "sierra tango uniform victor whiskey xray yankee zulu one"),
+            (11, "apple banana cherry date elderberry fig grape honeydew kiwi"),
+            (12, "red orange yellow green blue indigo violet magenta cyan"),
+        ],
+        "doc_id long, text string",
+    )
+    clean = band_bucket_rows(corpus).localCheckpoint(eager=True)
+    # crash-window index: corpus buckets + the batch's own rows
+    dirty = clean.unionByName(band_bucket_rows(batch))
+    verify_side = corpus.unionByName(batch)  # batch text in accepted_path
+
+    want = ingest_near_dup_flags(verify_side, batch, corpus_buckets=clean)
+    got = ingest_near_dup_flags(verify_side, batch, corpus_buckets=dirty)
+    assert want.exceptAll(got).isEmpty()
+    assert got.exceptAll(want).isEmpty()
+    # and in particular nothing self-matched its way to a 1.0 verdict
+    assert got.filter(F.col("is_near_dup")).count() == 0

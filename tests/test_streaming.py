@@ -696,3 +696,153 @@ def test_compaction_random_crash_points_never_change_results(spark, tmp_path):
             ),
             want,
         )
+
+
+def test_ingest_gate_replay_reproduces_verdicts(spark, tmp_path):
+    """ADVICE r7 replay crash window: a crash AFTER the sink writes and
+    the index append but BEFORE the checkpoint commit re-delivers the
+    same batch. The replayed gate probes an index already holding the
+    batch's own rows and reads its own text from accepted_path — the
+    verdicts must still be bit-identical (no accepted doc re-routed to
+    quarantine), and the next batch must gate correctly through the
+    replay-duplicated index."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_batch,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    batch0 = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 360))
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                F.concat("text", F.lit(" tail")).alias("text"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def sink_ids(path):
+        return {r["doc_id"] for r in spark.read.parquet(path).select("doc_id").distinct().collect()}
+
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    acc1, qua1 = sink_ids(acc), sink_ids(qua)
+    assert qua1 and acc1 and not (acc1 & qua1)
+    # every planted near-copy quarantined, none accepted (fresh docs may
+    # ALSO quarantine — the documents fixture carries natural near-dups)
+    n_planted = batch0.filter(F.col("doc_id") >= 10_000).count()
+    assert len({d for d in qua1 if d >= 10_000}) == n_planted
+    assert not {d for d in acc1 if d >= 10_000}
+
+    # the crash-window replay: same batch, same batch_id, dirty state
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    assert sink_ids(acc) == acc1
+    assert sink_ids(qua) == qua1
+    assert not (sink_ids(acc) & sink_ids(qua))
+    # a second replay (two crashes) must be just as stable
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    assert sink_ids(acc) == acc1 and sink_ids(qua) == qua1
+
+    # next batch through the replay-duplicated index: EXACT copies of
+    # batch-0 ACCEPTED docs quarantine (their buckets are in the index,
+    # three times over, and must still gate), fresh docs accept
+    accepted_sample = sorted(d for d in acc1 if d < 10_000)[:20]
+    batch1 = (
+        docs.filter((F.col("doc_id") >= 360) & (F.col("doc_id") < 400))
+        .unionByName(
+            docs.filter(F.col("doc_id").isin(accepted_sample)).select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+    qua2 = sink_ids(qua)
+    acc2 = sink_ids(acc)
+    assert len({d for d in qua2 if d >= 20_000}) == len(accepted_sample)
+    assert not {d for d in acc2 if d >= 20_000}
+    assert len(acc2) > len(acc1)  # some fresh batch-1 docs accepted
+
+
+def test_stream_ingest_embedding_gate_and_replay(spark, tmp_path):
+    """Embedding twin of the text gate (VERDICT r7 next #5): batch 1's
+    accepted vectors enter the hyperplane-LSH index, so batch 2's exact
+    copies of THEM quarantine — the per-batch index append feeds the
+    next batch's gate. Then the replay contract: re-delivering batch 2
+    against the dirty post-crash state reproduces its verdicts."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        build_embedding_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_embedding_batch,
+        stream_ingest_embedding_near_dup,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    fresh = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "emb_index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    drops = str(tmp_path / "drops")
+    build_embedding_index(corpus, idx)
+
+    def run():
+        stream = spark.readStream.schema(emb.schema).parquet(drops)
+        q = stream_ingest_embedding_near_dup(
+            stream, corpus, idx, acc, qua, ckpt
+        )
+        q.awaitTermination(120)
+
+    def sink_ids(path):
+        return {r["vec_id"] for r in spark.read.parquet(path).select("vec_id").distinct().collect()}
+
+    # batch 1: fresh vectors + exact copies of CORPUS vectors
+    b1 = fresh.filter(F.col("vec_id") % 2 == 0).unionByName(
+        corpus.filter(F.col("vec_id") % 40 == 1).select(
+            (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(drops)
+    run()
+    acc1, qua1 = sink_ids(acc), sink_ids(qua)
+    n_planted = corpus.filter(F.col("vec_id") % 40 == 1).count()
+    assert n_planted > 0
+    assert len({v for v in qua1 if v >= 500_000}) == n_planted
+    assert not {v for v in acc1 if v >= 500_000}
+    assert acc1
+
+    # batch 2: copies of batch-1 ACCEPTED vectors -> quarantine via the
+    # UPDATED index; remaining fresh vectors -> accept
+    some_accepted = sorted(v for v in acc1 if v < 500_000)[:20]
+    b2 = fresh.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id").isin(some_accepted)).select(
+            (F.col("vec_id") + 600_000).alias("vec_id"), "embedding"
+        )
+    ).localCheckpoint(eager=True)
+    b2.coalesce(1).write.mode("append").parquet(drops)
+    run()
+    acc2, qua2 = sink_ids(acc), sink_ids(qua)
+    assert len({v for v in qua2 if v >= 600_000}) == len(some_accepted)
+    assert not {v for v in acc2 if v >= 600_000}
+    assert len(acc2) > len(acc1)
+
+    # replay crash window: re-deliver batch 2 against the dirty state
+    gate_embedding_batch(b2, 1, corpus, idx, acc, qua)
+    assert sink_ids(acc) == acc2
+    assert sink_ids(qua) == qua2
+    assert not (sink_ids(acc) & sink_ids(qua))
