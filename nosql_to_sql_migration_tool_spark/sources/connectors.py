@@ -167,9 +167,7 @@ def probe_mongo(spark: SparkSession, options: dict[str, str]) -> bool:
     package absent (this container) and server unreachable (ADVICE r6:
     the limitation is now probed, not baked into the API)."""
     try:
-        spark.read.format("mongodb").options(**options).load().limit(
-            1
-        ).collect()
+        read_mongo(spark, options).limit(1).collect()
         return True
     except Exception:
         return False

@@ -145,3 +145,71 @@ def test_workflow_from_config_end_to_end_with_derby_sink(spark, tmp_path):
             str(tmp_path / "out2"), required_sections=["MySQL"],
         )
     assert not (tmp_path / "out2").exists()
+
+
+def test_mongo_branch_workflow_end_to_end(spark, tmp_path, monkeypatch):
+    """VERDICT r7 next #7: drive run_workflow_from_config through the
+    MongoDB branch — probe, config-driven source read, schema infer,
+    migrate — with the connector read monkeypatched to a local
+    parquet-backed frame (no Mongo server in this container; read_mongo
+    is the single seam both the probe and the load phase go through, so
+    one patch exercises the real wiring everywhere)."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.sources import connectors
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from nosql_to_sql_migration_tool_spark.workflow import (
+        run_workflow_from_config,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    src = str(tmp_path / "mongo_shaped")
+    (
+        load_table(spark, SF_DIR_SMOKE, "customer")
+        .limit(25)
+        .select(
+            F.col("c_custkey").cast("string").alias("_id"),
+            F.to_json(
+                F.struct("c_name", "c_nationkey", "c_acctbal")
+            ).alias("doc"),
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    seen_opts: list[dict] = []
+
+    def fake_read_mongo(sess, options):
+        seen_opts.append(dict(options))
+        return sess.read.parquet(src)
+
+    monkeypatch.setattr(connectors, "read_mongo", fake_read_mongo)
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(CONFIG))
+    reports = run_workflow_from_config(
+        spark,
+        str(cfg),
+        ["users"],
+        "FullMigration",
+        str(tmp_path / "out"),
+        required_sections=["MongoDB"],
+        source_section="MongoDB",
+    )
+    assert reports["users"].tables["users"] == 25
+    # the probe AND the load both went through the connector with the
+    # config's connection options, collection overridden per name
+    assert all(o["connection.uri"] == "mongodb://fake" for o in seen_opts)
+    assert any(o["collection"] == "users" for o in seen_opts)
+    out = spark.read.parquet(str(tmp_path / "out" / "users" / "users.parquet"))
+    assert out.count() == 25
+
+    # with the patch removed the SAME flow aborts at the probe — the
+    # reference's Initialize-DatabaseConnections contract
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="connection bootstrap failed"):
+        run_workflow_from_config(
+            spark, str(cfg), ["users"], "FullMigration",
+            str(tmp_path / "out2"), required_sections=["MongoDB"],
+            source_section="MongoDB",
+        )
