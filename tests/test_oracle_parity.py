@@ -18,10 +18,14 @@ def test_oracle_parity(name, spark, duck):
     assert not problems, f"{name}: {problems}"
 
 
-def test_all_queries_run(spark):
-    for name, fn in QUERIES.items():
-        df = fn(spark, SF_DIR_CORRECTNESS)
-        assert df.count() >= 0, name
+def test_every_query_has_an_oracle():
+    """test_oracle_parity executes every declared query value-for-value
+    at the same SF, so a separate run-them-all pass is pure duplication
+    (78s of suite time, VERDICT r7 next #8) — PROVIDED the parametrized
+    list covers the whole registry. This pin keeps that true: a query
+    registered without an oracle would silently drop out of the local
+    gate otherwise."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_stratified_sample_respects_bounds(spark):

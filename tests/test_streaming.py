@@ -25,6 +25,29 @@ def _same_rows(a, b) -> bool:
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def _rollup_events(spark, n_hours: int = 48):
+    """Events with ts compressed onto ``n_hours`` distinct hours. The
+    rollup tests exercise merge/replay/compaction SEMANTICS, not
+    calendar spread — sf0.001's natural 531 distinct hours made every
+    dynamic-partition overwrite write ~531 directories, and the three
+    replay tests alone cost ~10 min of suite wall time (VERDICT r7
+    next #8: suite under ~15 min cold). Row count, event types and
+    additive measures are unchanged; only the hour fan-out shrinks."""
+    return (
+        load_table(spark, SF_DIR_SMOKE, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(789_000_000)
+                + (F.col("event_id") % n_hours) * 3600
+                + (F.col("event_id") % 59) * 13
+            ),
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def test_stream_sync_two_snapshot_rounds(spark, tmp_path):
     customer = load_table(spark, SF_DIR_SMOKE, "customer")
     source_dir = str(tmp_path / "drops")
@@ -368,9 +391,7 @@ def test_stream_hourly_rollup_matches_batch_and_resumes(spark, tmp_path):
         stream_hourly_rollup,
     )
 
-    events = load_table(spark, SF_DIR_SMOKE, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    events = _rollup_events(spark).localCheckpoint(eager=True)
     stream_dir = str(tmp_path / "drops")
     rollup = str(tmp_path / "rollup")
     ckpt = str(tmp_path / "ckpt")
@@ -414,9 +435,7 @@ def test_rollup_merge_replayed_batch_is_idempotent(spark, tmp_path):
         read_rollup,
     )
 
-    events = load_table(spark, SF_DIR_SMOKE, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    events = _rollup_events(spark).localCheckpoint(eager=True)
     rollup = str(tmp_path / "rollup")
     b1 = events.filter(F.col("event_id") % 2 == 0)
     b2 = events.filter(F.col("event_id") % 2 == 1)  # same hours
@@ -460,9 +479,7 @@ def test_compaction_preserves_uncommitted_batch_for_replay(spark, tmp_path):
         read_rollup,
     )
 
-    events = load_table(spark, SF_DIR_SMOKE, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    events = _rollup_events(spark).localCheckpoint(eager=True)
     rollup = str(tmp_path / "rollup")
     b1 = events.filter(F.col("event_id") % 3 == 0)
     b2 = events.filter(F.col("event_id") % 3 == 1)
@@ -664,9 +681,7 @@ def test_compaction_random_crash_points_never_change_results(spark, tmp_path):
     )
 
     rng = random.Random(0xC0FFEE)
-    events = load_table(spark, SF_DIR_SMOKE, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    ).limit(400).localCheckpoint(eager=True)
+    events = _rollup_events(spark).localCheckpoint(eager=True)
     for trial in range(2):
         n_batches = rng.randint(2, 3)
         rollup = str(tmp_path / f"rollup{trial}")

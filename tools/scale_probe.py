@@ -55,6 +55,17 @@ FAMS = {
         "events_trailing_hour_avg", "weekly_active_users",
         "events_user_skew_profile",
     ],
+    # round 8 (VERDICT r7 next #6): families with no measured 10x row yet
+    "timeseries": [
+        "events_hourly_gapfill", "event_funnel_counts",
+        "user_cohort_retention", "event_mad_outlier_days",
+        "events_session_window",
+    ],
+    "graph": ["near_dup_pagerank", "near_dup_components_twostar"],
+    "asof": ["orders_asof_recent_event", "orders_asof_last_event"],
+    "newcomers_r7r8": [
+        "split_leakage_audit", "ingest_embedding_near_dup",
+    ],
 }
 
 
@@ -99,15 +110,16 @@ def generate(out: str) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
 
-def run(out: str) -> dict:
+def run(out: str, fams: "dict[str, list[str]] | None" = None) -> dict:
     from nosql_to_sql_migration_tool_spark.queries import PREWARMS, QUERIES
     from nosql_to_sql_migration_tool_spark.session import get_spark
 
+    fams = fams if fams is not None else FAMS
     spark = get_spark("scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    names = [n for f in FAMS.values() for n in f]
+    names = [n for f in fams.values() for n in f]
     results: dict[str, dict[str, float]] = {}
     for sf_dir, key in ((SRC, "sf0.1"), (out, "10x")):
         res: dict[str, float] = {}
@@ -136,15 +148,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sfprobe1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--families",
+        default=None,
+        help="comma-separated family subset (default: all)",
+    )
     args = ap.parse_args()
     if not args.skip_gen:
         generate(args.out)
         print("generated 10x data ->", args.out, flush=True)
-    results = run(args.out)
+    fams = FAMS
+    if args.families:
+        keep = {f.strip() for f in args.families.split(",")}
+        fams = {k: v for k, v in FAMS.items() if k in keep}
+    results = run(args.out, fams)
     print(json.dumps(results, indent=1))
     a, b = results["sf0.1"], results["10x"]
     print(f"\n{'query':35} {'sf0.1':>7} {'10x':>8} {'ratio':>6}")
-    for fam, names in FAMS.items():
+    for fam, names in fams.items():
         print(f"-- {fam}")
         for n in names:
             if a.get(n):
