@@ -274,3 +274,120 @@ FROM __q, __cum, __n
 WHERE cum >= q * n
 GROUP BY q
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 8): unlike the engine-specific HLL above, CMS
+# is a pure integer structure — with the repo's shared md5-hex hashing it
+# is bit-reproducible in DuckDB, so the heavy-hitter audit is a fully
+# hash-checked declared query (the first sketch family with one since the
+# HLL variant was de-registered in round 3).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_bucket(item, row_idx: int, width: int = CMS_WIDTH):
+    """Row ``row_idx``'s bucket for an item: md5('<row>|' || item) hex
+    prefix -> 32-bit int mod width — the same md5-hex integer convention
+    as the train/test split hash (traindata.py), reproducible in any
+    engine with md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row_idx}|"), item)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_bucket_sql(expr: str, row_idx: int, width: int = CMS_WIDTH) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{row_idx}|', {expr})), 1, 8)) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+def cms_counts(
+    items: DataFrame,
+    col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The count-min table ``(row_idx, bucket, cnt)`` of an item stream:
+    ``depth`` hash rows x ``width`` buckets, built in ONE combinable
+    groupBy over an explode of per-row buckets. The output is bounded by
+    depth*width regardless of input size — the entire point of the
+    sketch at 100 TB: partial maps combine on the map side and the final
+    table broadcasts anywhere."""
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row_idx"),
+                    cms_bucket(F.col(col), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        items.select(rb)
+        .select("rb.row_idx", "rb.bucket")
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_heavy_hitter_audit(
+    items: DataFrame,
+    col: str = "token",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy-hitter accuracy audit: exact top-``k`` items (distributed
+    top-k — TakeOrderedAndProject, never a global window) joined to
+    their CMS estimates. Per item: ``exact_n``, ``est_n`` (min over the
+    depth rows' bucket counts), ``never_under`` (CMS can only
+    overestimate — must be uniformly true) and ``within_bound`` (the
+    standard eps*N guarantee with eps = 3/width). Every value is integer
+    arithmetic over md5 buckets, so a DuckDB replay matches bit-for-bit
+    — the sketch itself is verified, not just sanity-checked."""
+    cms = cms_counts(items, col=col, depth=depth, width=width)
+    exact = items.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    topk = exact.orderBy(F.desc("exact_n"), F.asc(col)).limit(k)
+    total = items.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    probes = topk.select(
+        col,
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_idx"),
+                        cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, "exact_n", "rb.row_idx", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["row_idx", "bucket"])
+        .groupBy(col, "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    bound = F.ceil(F.lit(3.0) * F.col("__n") / F.lit(width)).cast("long")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            col,
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
+            (F.col("est_n") <= F.col("exact_n") + bound).alias("within_bound"),
+        )
+    )

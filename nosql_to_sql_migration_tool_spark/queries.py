@@ -1573,6 +1573,82 @@ def q_token_frequencies(spark, sf_dir):
     return token_frequencies(docs)
 
 
+from nosql_to_sql_migration_tool_spark.operators.sketches import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_bucket_sql,
+)
+
+
+def _cms_oracle() -> str:
+    rows = range(CMS_DEPTH)
+    buckets_raw = "\n  UNION ALL ".join(
+        f"SELECT {r} AS row_idx, {cms_bucket_sql('token', r)} AS bucket FROM toks"
+        for r in rows
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT token, exact_n, {r} AS row_idx, "
+        f"{cms_bucket_sql('token', r)} AS bucket FROM topk"
+        for r in rows
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+total AS (SELECT count(*) AS n FROM toks),
+buckets_raw AS (
+  {buckets_raw}
+),
+cms AS (
+  SELECT row_idx, bucket, count(*) AS cnt FROM buckets_raw
+  GROUP BY row_idx, bucket
+),
+exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+topk AS (
+  SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 20
+),
+probes AS (
+  {probes}
+),
+est AS (
+  SELECT p.token, p.exact_n, min(c.cnt) AS est_n
+  FROM probes p JOIN cms c USING (row_idx, bucket)
+  GROUP BY p.token, p.exact_n
+)
+SELECT token, exact_n, est_n,
+       est_n >= exact_n AS never_under,
+       est_n <= exact_n
+         + CAST(ceil(3.0 * (SELECT n FROM total) / {CMS_WIDTH}) AS BIGINT)
+         AS within_bound
+FROM est
+"""
+
+
+@query("cms_heavy_hitters_audit", _cms_oracle())
+def q_cms_heavy_hitters_audit(spark, sf_dir):
+    """Count-min-sketch heavy-hitter audit: the corpus token stream
+    folds into a depth x width integer table (ONE combinable groupBy,
+    output bounded at {depth*width} rows regardless of corpus size —
+    the sketch shape that replaces exact token histograms at 100 TB);
+    the exact top-20 tokens (distributed top-k, no global window) join
+    their estimates back. CMS buckets use the repo's shared md5-hex
+    integer hashing, so unlike the HLL family the WHOLE sketch replays
+    bit-identically in DuckDB — estimates, never-under, and the
+    eps*N overestimate bound are all hash-checked, not just
+    sanity-checked."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        cms_heavy_hitter_audit,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return cms_heavy_hitter_audit(toks, col="token", k=20)
+
+
 from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
     bigram_frequencies,
     bigram_frequencies_sql,

@@ -179,3 +179,55 @@ def test_exact_quantiles_property_random_multisets(spark):
             assert exact == expected, (vals, q, exact, expected)
 
     check()
+
+
+def test_cms_bounded_never_under_and_mergeable(spark):
+    """Count-min contracts: (a) the sketch table is bounded by
+    depth*width regardless of input size; (b) estimates NEVER
+    underestimate — for every distinct token, not just heavy hitters;
+    (c) additivity — the sketch of a union equals the bucket-wise sum
+    of the parts' sketches (the map-side-combine property that makes it
+    a sketch at all)."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counts,
+        cms_heavy_hitter_audit,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=True)
+
+    cms = cms_counts(toks).localCheckpoint(eager=True)
+    assert cms.count() <= CMS_DEPTH * CMS_WIDTH
+    # total mass per row = stream length
+    n = toks.count()
+    per_row = {r["row_idx"]: r["s"] for r in cms.groupBy("row_idx").agg(
+        F.sum("cnt").alias("s")).collect()}
+    assert all(v == n for v in per_row.values()) and len(per_row) == CMS_DEPTH
+
+    # never-under for EVERY distinct token: audit with k = all tokens
+    n_distinct = toks.distinct().count()
+    audit = cms_heavy_hitter_audit(toks, k=n_distinct)
+    assert audit.count() == n_distinct
+    assert audit.filter(~F.col("never_under")).count() == 0
+
+    # additivity: cms(a ∪ b) == bucketwise cms(a) + cms(b)
+    a = toks.limit(500).localCheckpoint(eager=True)
+    left = cms_counts(a)
+    whole = cms_counts(toks)
+    rest = cms_counts(toks.exceptAll(a))
+    summed = (
+        left.unionByName(rest)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert summed.exceptAll(whole).isEmpty()
+    assert whole.exceptAll(summed).isEmpty()
