@@ -282,3 +282,32 @@ def test_rotation_advances_when_a_round_records_results(tmp_path):
         assert min(pos[n] for n in oldest_round) < max(
             pos[n] for n in window
         )
+
+
+def test_plan_hash_sees_module_constant_edits():
+    """ADVICE r7: a Spark-plan change made by editing a module-level
+    constant a builder (or its helpers) reads must change the plan
+    hash — the callable-only closure missed it. Exercised against the
+    REAL dedup module constants plus a stable-repr check for
+    hash-seed-sensitive containers."""
+    import nosql_to_sql_migration_tool_spark.fingerprints as fp
+    from nosql_to_sql_migration_tool_spark.operators import dedup
+    from nosql_to_sql_migration_tool_spark.queries import QUERIES
+
+    fn = QUERIES["ingest_near_dup"]
+    h1 = fp.plan_hash(fn)
+    orig = dedup.N_BANDS
+    try:
+        dedup.N_BANDS = orig + 1
+        h2 = fp.plan_hash(fn)
+    finally:
+        dedup.N_BANDS = orig
+    assert h1 != h2, "N_BANDS edit must requeue every band-LSH query"
+    assert fp.plan_hash(fn) == h1  # restored -> hash restored
+
+    # containers with hash-seed-dependent iteration order must digest
+    # deterministically
+    assert fp._stable_repr({"b", "a"}) == fp._stable_repr({"a", "b"})
+    assert fp._stable_repr({1: {"y", "x"}, 0: [1.5, (2, 3)]}) == fp._stable_repr(
+        {0: [1.5, (2, 3)], 1: {"x", "y"}}
+    )
