@@ -157,6 +157,43 @@ def main() -> None:
         else:
             errors.append(name)
 
+    # Adaptive re-measure (round 8): a regression verdict must never rest
+    # on a single iteration. The first execution of a plan pays ~1.5-2x
+    # codegen/shuffle warmup and this VM shows ±2x inter-run variance on
+    # mid-weight queries, so any query whose timing WOULD flag against
+    # the committed baseline gets up to two extra runs, keeping the min —
+    # phantom flags melt (their re-runs hit steady state), real
+    # regressions survive (still slow on every iteration). Build rows are
+    # exempt: their artifacts are memoized, so a re-run would measure the
+    # warm cache and undercount.
+    prior = _prior_timings(repo, _sf_from_dir(sf_dir))
+    if prior is not None:
+        _, old = prior
+        overlap = [q for q in timings if q in old and old[q] > 0.2]
+        t_old = sum(old[q] for q in overlap)
+        t_new = sum(timings[q] for q in overlap)
+        drift = (t_new / t_old) if t_old > 0 else 1.0
+        suspects = [
+            q
+            for q in overlap
+            if q in QUERIES
+            and timings[q] > 1.5 * drift * old[q]
+            and timings[q] > 1.2 * old[q]
+            and timings[q] - old[q] > 0.75
+        ]
+        for q in suspects:
+            for _ in range(2):
+                start = time.perf_counter()
+                try:
+                    QUERIES[q](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    break
+                timings[q] = round(
+                    min(timings[q], time.perf_counter() - start), 3
+                )
+
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
@@ -245,12 +282,23 @@ def _regression_report(
     drift = (total_new / total_old) if total_old > 0 else 1.0
     flagged = []
     for q in overlap:
-        # Two conditions: slowed >1.5x MORE than the run as a whole
-        # (environment normalization), AND slowed in absolute terms.
-        # Without the second, a drift<1 baseline (prior run in a slower
-        # environment) demands every query speed up by 1/(1.5*drift) and
-        # floods stderr with flat-timing "regressions".
-        if timings[q] > 1.5 * drift * old[q] and timings[q] > 1.2 * old[q]:
+        # Three conditions: slowed >1.5x MORE than the run as a whole
+        # (environment normalization), slowed in absolute RATIO terms
+        # (without this, a drift<1 baseline — prior run in a slower
+        # environment — demands every query speed up by 1/(1.5*drift)
+        # and floods stderr with flat-timing "regressions"), AND slowed
+        # by a MATERIAL absolute delta. The delta floor (round 8) kills
+        # the repeat-1-vs-min-of-2 asymmetry class: the FIRST execution
+        # of any plan pays ~1.5-2x in codegen/shuffle-file warmup
+        # (measured: cdc_classify 1.4s then 0.6s steady), so a driver
+        # repeat-1 run flags dozens of sub-second queries against the
+        # committed repeat-2 min while nothing regressed. A real
+        # at-scale regression at sf0.1 clears 0.75s easily.
+        if (
+            timings[q] > 1.5 * drift * old[q]
+            and timings[q] > 1.2 * old[q]
+            and timings[q] - old[q] > 0.75
+        ):
             flagged.append(
                 f"{q}: {old[q]:.2f}s -> {timings[q]:.2f}s "
                 f"({timings[q] / old[q]:.1f}x vs run drift {drift:.2f}x)"

@@ -6780,6 +6780,18 @@ def _pw_catalog_views(spark, sf_dir):
     ).save()
 
 
+@_prewarm("build:quantile_truth")
+def _pw_quantile_truth(spark, sf_dir):
+    """First execution of the quantile-audit plan pays a 2-9s
+    codegen/shuffle warm-up over its exact-truth bucketed cumsum
+    (measured 12.7s cold -> 3.0-3.4s steady); run it once so the query
+    row measures the steady state — the same warm-run discipline as
+    build:catalog_views / build:derby_boot."""
+    q_price_quantile_error_audit(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 @_prewarm("build:derby_boot")
 def _pw_derby_boot(spark, sf_dir):
     """Embedded-Derby database boot + JDBC driver classload + first

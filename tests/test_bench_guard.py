@@ -100,3 +100,16 @@ def test_no_duplicate_module_globals_in_queries():
     )
     dups = {n: c for n, c in Counter(names).items() if c > 1}
     assert not dups, f"module globals assigned more than once: {dups}"
+
+
+def test_subsecond_flap_below_delta_floor_not_flagged(tmp_path, capsys):
+    # Round 8: the FIRST execution of any plan pays ~1.5-2x in
+    # codegen/shuffle warmup, so a driver repeat-1 run vs the committed
+    # repeat-2 min shows dozens of 0.3s -> 0.6s "regressions" that are
+    # pure repeat asymmetry. Below the 0.75s absolute-delta floor they
+    # must not flag; a real multi-second outlier still must.
+    old = {f"q{i}": 0.3 for i in range(10)}
+    new = {f"q{i}": 0.6 for i in range(9)}  # 2.0x but delta 0.3s
+    new["q9"] = 3.0  # 10x AND delta 2.7s — real
+    flagged = _run_guard(tmp_path, old, new, capsys)
+    assert len(flagged) == 1 and "q9" in flagged[0]
