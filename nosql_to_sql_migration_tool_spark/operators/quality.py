@@ -240,3 +240,155 @@ SELECT col_name,
 FROM __u
 GROUP BY col_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (round 8): train/serve skew detection between two
+# snapshots/shards of the same column — the audit a training-data pipeline
+# runs before mixing a new crawl into an existing corpus, and the classic
+# monitoring check between a model's training distribution and live
+# traffic. Everything below is EXACT integer arithmetic over per-bin (or
+# per-category) counts — cross-multiplied instead of divided, so the only
+# floating-point ops are the two final round(…, 6) ratios and the shared
+# IEEE bin expression — which makes the whole audit replay bit-identically
+# in DuckDB.
+# ---------------------------------------------------------------------------
+
+DRIFT_BINS = 64
+
+
+def _binned_counts(df: DataFrame, col: str, bounds: DataFrame, n_bins: int,
+                   out: str) -> DataFrame:
+    """Per-bin counts of ``col`` under the shared fixed-width binning.
+    The bin expression ((x - mn) * n_bins / (mx - mn), floored, capped)
+    is written identically in the SQL oracle — same IEEE association,
+    same result."""
+    binned = df.select(F.col(col).alias("__x")).join(F.broadcast(bounds))
+    bin_col = F.when(
+        F.col("__mx") > F.col("__mn"),
+        F.least(
+            F.floor(
+                (F.col("__x") - F.col("__mn"))
+                * F.lit(n_bins)
+                / (F.col("__mx") - F.col("__mn"))
+            ).cast("long"),
+            F.lit(n_bins - 1).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        binned.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
+
+
+def numeric_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str, n_bins: int = DRIFT_BINS
+) -> DataFrame:
+    """One-row numeric drift audit between snapshots A and B:
+    ``(n_a, n_b, l1_distance, ks_stat)``. Shared fixed-width bins over
+    the combined min/max; L1 = sum_i |p_i - q_i| and KS = max_i
+    |P_i - Q_i| computed as integer cross-products |ca_i*Nb - cb_i*Na|
+    scaled once at the end — no per-bin float accumulation, so the
+    result is independent of aggregation order (the DECIMAL-sum
+    discipline, taken to integers). The bin-count frames are bounded by
+    ``n_bins`` regardless of input size: after two scans everything is
+    metadata. The cumulative for KS runs through ``bucketed_cumsum``
+    (ranking.py) — never a single-partition global window."""
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+
+    xa = df_a.select(F.col(col).alias("__x"))
+    xb = df_b.select(F.col(col).alias("__x"))
+    bounds = (
+        xa.unionByName(xb)
+        .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx"))
+    )
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("__na"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    ca = _binned_counts(xa, "__x", bounds, n_bins, "ca")
+    cb = _binned_counts(xb, "__x", bounds, n_bins, "cb")
+    bins = (
+        ca.join(cb, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "da", F.col("ca") * F.col("__nb") - F.col("cb") * F.col("__na")
+        )
+    )
+    cum = bucketed_cumsum(
+        bins,
+        (F.col("bin") / F.lit(8)).cast("int"),
+        [F.col("bin")],
+        "da",
+        out_col="__cum",
+    )
+    scale = (F.col("__na") * F.col("__nb")).cast("double")
+    return (
+        cum.groupBy("__na", "__nb")
+        .agg(
+            F.sum(F.abs(F.col("da"))).alias("__l1_raw"),
+            F.max(F.abs(F.col("__cum"))).alias("__ks_raw"),
+        )
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.round(F.col("__l1_raw") / scale, 6).alias("l1_distance"),
+            F.round(F.col("__ks_raw") / scale, 6).alias("ks_stat"),
+        )
+    )
+
+
+def categorical_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """One-row categorical drift audit:
+    ``(n_a, n_b, n_categories, l1_distance, max_rate_gap)`` over the
+    union of categories, with the same integer cross-product scheme as
+    ``numeric_drift``. Output is bounded by the category cardinality;
+    the shuffles are two combinable counts plus one category-sized
+    join."""
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("__na"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    ca = df_a.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    cb = df_b.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    cats = (
+        ca.join(cb, "cat", "full_outer")
+        .select(
+            "cat",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "da",
+            F.abs(F.col("ca") * F.col("__nb") - F.col("cb") * F.col("__na")),
+        )
+    )
+    scale = (F.col("__na") * F.col("__nb")).cast("double")
+    return (
+        cats.groupBy("__na", "__nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.sum("da").alias("__l1_raw"),
+            F.max("da").alias("__gap_raw"),
+        )
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            "n_categories",
+            F.round(F.col("__l1_raw") / scale, 6).alias("l1_distance"),
+            F.round(F.col("__gap_raw") / scale, 6).alias("max_rate_gap"),
+        )
+    )

@@ -7238,6 +7238,124 @@ def q_lineitem_numeric_profile(spark, sf_dir):
     return numeric_profile(li, _NUMERIC_PROFILE_COLS)
 
 
+_DRIFT_SPLIT = "TIMESTAMP '1998-01-01'"
+_EVENTS_DRIFT_SPLIT = "TIMESTAMP '2024-01-16'"
+
+
+_NUMERIC_DRIFT_ORACLE = f"""
+WITH a AS (SELECT o_totalprice AS x FROM orders
+           WHERE o_orderdate < {_DRIFT_SPLIT}),
+b AS (SELECT o_totalprice AS x FROM orders
+      WHERE o_orderdate >= {_DRIFT_SPLIT}),
+bounds AS (
+  SELECT min(x) AS mn, max(x) AS mx
+  FROM (SELECT x FROM a UNION ALL SELECT x FROM b)
+),
+na AS (SELECT count(*) AS n FROM a),
+nb AS (SELECT count(*) AS n FROM b),
+abins AS (
+  SELECT CASE WHEN mx > mn
+              THEN least(CAST(floor((x - mn) * 64 / (mx - mn)) AS BIGINT), 63)
+              ELSE 0 END AS bin
+  FROM a, bounds
+),
+bbins AS (
+  SELECT CASE WHEN mx > mn
+              THEN least(CAST(floor((x - mn) * 64 / (mx - mn)) AS BIGINT), 63)
+              ELSE 0 END AS bin
+  FROM b, bounds
+),
+acnt AS (SELECT bin, count(*) AS ca FROM abins GROUP BY bin),
+bcnt AS (SELECT bin, count(*) AS cb FROM bbins GROUP BY bin),
+bins AS (
+  SELECT bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM acnt FULL JOIN bcnt USING (bin)
+),
+d AS (
+  SELECT bin,
+         ca * (SELECT n FROM nb) - cb * (SELECT n FROM na) AS da
+  FROM bins
+),
+cum AS (SELECT bin, sum(da) OVER (ORDER BY bin) AS c FROM d)
+SELECT (SELECT n FROM na) AS n_a,
+       (SELECT n FROM nb) AS n_b,
+       round((SELECT sum(abs(da)) FROM d) * 1.0
+             / ((SELECT n FROM na) * (SELECT n FROM nb)), 6) AS l1_distance,
+       round((SELECT max(abs(c)) FROM cum) * 1.0
+             / ((SELECT n FROM na) * (SELECT n FROM nb)), 6) AS ks_stat
+"""
+
+
+@query("orders_price_drift_audit", _NUMERIC_DRIFT_ORACLE)
+def q_orders_price_drift_audit(spark, sf_dir):
+    """Numeric distribution-drift audit (train/serve skew detection):
+    pre-1998 vs 1998+ order totals through shared fixed-width bins;
+    L1 and Kolmogorov-Smirnov distances computed as exact integer
+    cross-products over the 64 bin counts (no per-bin float
+    accumulation — order-independent by construction) and scaled once.
+    After two scans everything is bin-bounded metadata; the CDF for KS
+    runs through bucketed_cumsum, never a single-partition window."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        numeric_drift,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.to_timestamp(F.lit("1998-01-01"))
+    return numeric_drift(
+        orders.filter(F.col("o_orderdate") < split),
+        orders.filter(F.col("o_orderdate") >= split),
+        "o_totalprice",
+    )
+
+
+_CATEGORICAL_DRIFT_ORACLE = f"""
+WITH a AS (SELECT event_type AS cat FROM events
+           WHERE ts < {_EVENTS_DRIFT_SPLIT}),
+b AS (SELECT event_type AS cat FROM events
+      WHERE ts >= {_EVENTS_DRIFT_SPLIT}),
+na AS (SELECT count(*) AS n FROM a),
+nb AS (SELECT count(*) AS n FROM b),
+acnt AS (SELECT cat, count(*) AS ca FROM a GROUP BY cat),
+bcnt AS (SELECT cat, count(*) AS cb FROM b GROUP BY cat),
+cats AS (
+  SELECT cat, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM acnt FULL JOIN bcnt USING (cat)
+),
+d AS (
+  SELECT cat,
+         abs(ca * (SELECT n FROM nb) - cb * (SELECT n FROM na)) AS da
+  FROM cats
+)
+SELECT (SELECT n FROM na) AS n_a,
+       (SELECT n FROM nb) AS n_b,
+       (SELECT count(*) FROM d) AS n_categories,
+       round((SELECT sum(da) FROM d) * 1.0
+             / ((SELECT n FROM na) * (SELECT n FROM nb)), 6) AS l1_distance,
+       round((SELECT max(da) FROM d) * 1.0
+             / ((SELECT n FROM na) * (SELECT n FROM nb)), 6) AS max_rate_gap
+"""
+
+
+@query("events_type_drift_audit", _CATEGORICAL_DRIFT_ORACLE)
+def q_events_type_drift_audit(spark, sf_dir):
+    """Categorical drift audit: event-type mix in the first half of the
+    month vs the second — the monitoring check between a training
+    snapshot's label/source mix and live traffic. Union of categories
+    via one full-outer join of two combinable counts; L1 and max
+    per-category rate gap as integer cross-products scaled once."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        categorical_drift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    return categorical_drift(
+        events.filter(F.col("ts") < split),
+        events.filter(F.col("ts") >= split),
+        "event_type",
+    )
+
+
 from nosql_to_sql_migration_tool_spark.operators.cdc import (  # noqa: E402
     maintain_aggregate,
 )

@@ -110,3 +110,57 @@ def test_numeric_profile_golden(spark):
 def test_empty_constraint_set_raises(spark):
     with pytest.raises(ValueError, match="no constraints declared"):
         constraint_report(_facts(spark), [])
+
+
+def test_numeric_drift_identity_and_disjoint(spark):
+    """drift(A, A) is exactly zero; fully disjoint supports give the
+    maxima (L1 = 2, KS = 1); and a hand-built shift reproduces the
+    hand-computed distances."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        numeric_drift,
+    )
+
+    a = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    same = numeric_drift(a, a, "x").first()
+    assert same["l1_distance"] == 0.0 and same["ks_stat"] == 0.0
+    assert same["n_a"] == same["n_b"] == 100
+
+    lo = spark.range(50).select((F.col("id") % 5).cast("double").alias("x"))
+    hi = spark.range(80).select(
+        (F.col("id") % 5 + 1000).cast("double").alias("x")
+    )
+    far = numeric_drift(lo, hi, "x").first()
+    assert far["l1_distance"] == 2.0 and far["ks_stat"] == 1.0
+
+    # hand check: A = {0 x2, 1 x2}, B = {0 x1, 1 x3} over 2 bins
+    # p = (.5, .5), q = (.25, .75): L1 = .5, KS = .25
+    xa = spark.createDataFrame([(0.0,), (0.0,), (1.0,), (1.0,)], "x double")
+    xb = spark.createDataFrame(
+        [(0.0,), (1.0,), (1.0,), (1.0,)], "x double"
+    )
+    got = numeric_drift(xa, xb, "x", n_bins=2).first()
+    assert got["l1_distance"] == 0.5 and got["ks_stat"] == 0.25
+
+
+def test_categorical_drift_identity_and_hand_case(spark):
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        categorical_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("y",), ("y",)], "cat string"
+    )
+    same = categorical_drift(a, a, "cat").first()
+    assert same["l1_distance"] == 0.0 and same["max_rate_gap"] == 0.0
+    assert same["n_categories"] == 2
+
+    # A: x .5 / y .5; B: x .25 / y .25 / z .5
+    b = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("z",)], "cat string"
+    )
+    got = categorical_drift(a, b, "cat").first()
+    assert got["n_categories"] == 3
+    # |.5-.25| + |.5-.25| + |0-.5| = 1.0 ; max gap = .5
+    assert got["l1_distance"] == 1.0 and got["max_rate_gap"] == 0.5
