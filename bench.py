@@ -294,11 +294,25 @@ def _regression_report(
         # repeat-1 run flags dozens of sub-second queries against the
         # committed repeat-2 min while nothing regressed. A real
         # at-scale regression at sf0.1 clears 0.75s easily.
-        if (
-            timings[q] > 1.5 * drift * old[q]
-            and timings[q] > 1.2 * old[q]
-            and timings[q] - old[q] > 0.75
-        ):
+        if q.startswith("build:"):
+            # Build rows are ONE-SHOT artifact constructions: they can't
+            # be adaptively re-measured (their memos would replay warm
+            # and undercount) and their wall time swings 2-3x with VM
+            # noise on cold machinery. They exist so QUERY rows stay
+            # clean accounting, and the plans they build are regression-
+            # covered by the queries that consume the memos — so only a
+            # catastrophic blowup (a build going super-linear) flags.
+            is_reg = (
+                timings[q] > 2.5 * drift * old[q]
+                and timings[q] - old[q] > 5.0
+            )
+        else:
+            is_reg = (
+                timings[q] > 1.5 * drift * old[q]
+                and timings[q] > 1.2 * old[q]
+                and timings[q] - old[q] > 0.75
+            )
+        if is_reg:
             flagged.append(
                 f"{q}: {old[q]:.2f}s -> {timings[q]:.2f}s "
                 f"({timings[q] / old[q]:.1f}x vs run drift {drift:.2f}x)"

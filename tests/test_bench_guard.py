@@ -113,3 +113,12 @@ def test_subsecond_flap_below_delta_floor_not_flagged(tmp_path, capsys):
     new["q9"] = 3.0  # 10x AND delta 2.7s — real
     flagged = _run_guard(tmp_path, old, new, capsys)
     assert len(flagged) == 1 and "q9" in flagged[0]
+
+
+def test_build_rows_flag_only_on_catastrophic_blowup(tmp_path, capsys):
+    # Build rows can't be re-measured (memoized artifacts) and swing
+    # 2-3x with VM noise — only a super-linear blowup should flag.
+    old = {"build:x": 3.0, "build:y": 3.0, "q0": 10.0}
+    new = {"build:x": 7.0, "build:y": 30.0, "q0": 10.0}  # 2.3x vs 10x
+    flagged = _run_guard(tmp_path, old, new, capsys)
+    assert len(flagged) == 1 and "build:y" in flagged[0]
