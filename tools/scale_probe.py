@@ -65,6 +65,8 @@ FAMS = {
     "asof": ["orders_asof_recent_event", "orders_asof_last_event"],
     "newcomers_r7r8": [
         "split_leakage_audit", "ingest_embedding_near_dup",
+        "cms_heavy_hitters_audit", "orders_price_drift_audit",
+        "events_type_drift_audit",
     ],
 }
 
