@@ -58,6 +58,17 @@ def main() -> None:
         default=1,
         help="runs per query; the minimum is reported (variance guard)",
     )
+    parser.add_argument(
+        "--commit-detail",
+        action="store_true",
+        help=(
+            "also refresh bench_detail.json (the COMMITTED repeat-2 "
+            "baseline contract). Without this flag the full per-query "
+            "map goes only to bench_last_run.json, so driver repeat-1 "
+            "runs can no longer clobber the committed baseline "
+            "(VERDICT r8 next #5)."
+        ),
+    )
     args = parser.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,33 +177,47 @@ def main() -> None:
     # regressions survive (still slow on every iteration). Build rows are
     # exempt: their artifacts are memoized, so a re-run would measure the
     # warm cache and undercount.
+    #
+    # ADVICE r8: suspect selection and the final report must see the SAME
+    # drift. Re-measuring suspects lowers the overlap total, which lowers
+    # drift, which can pull a borderline never-re-measured query over the
+    # 1.5*drift threshold in the final report — flagged without the
+    # protective extra runs. The loop therefore iterates to a FIXPOINT:
+    # after each re-measure pass drift is recomputed and any NEWLY
+    # flagging query joins the suspect set, until no un-re-measured query
+    # would flag. The iteration count is bounded by len(overlap) (each
+    # pass re-measures at least one new query or stops).
     prior = _prior_timings(repo, _sf_from_dir(sf_dir))
     if prior is not None:
         _, old = prior
         overlap = [q for q in timings if q in old and old[q] > 0.2]
-        t_old = sum(old[q] for q in overlap)
-        t_new = sum(timings[q] for q in overlap)
-        drift = (t_new / t_old) if t_old > 0 else 1.0
-        suspects = [
-            q
-            for q in overlap
-            if q in QUERIES
-            and timings[q] > 1.5 * drift * old[q]
-            and timings[q] > 1.2 * old[q]
-            and timings[q] - old[q] > 0.75
-        ]
-        for q in suspects:
-            for _ in range(2):
-                start = time.perf_counter()
-                try:
-                    QUERIES[q](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                except Exception:
-                    break
-                timings[q] = round(
-                    min(timings[q], time.perf_counter() - start), 3
-                )
+        remeasured: set[str] = set()
+        while True:
+            t_old = sum(old[q] for q in overlap)
+            t_new = sum(timings[q] for q in overlap)
+            drift = (t_new / t_old) if t_old > 0 else 1.0
+            suspects = [
+                q
+                for q in overlap
+                if q in QUERIES
+                and q not in remeasured
+                and _would_flag(q, timings[q], old[q], drift)
+            ]
+            if not suspects:
+                break
+            for q in suspects:
+                remeasured.add(q)
+                for _ in range(2):
+                    start = time.perf_counter()
+                    try:
+                        QUERIES[q](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                    except Exception:
+                        break
+                    timings[q] = round(
+                        min(timings[q], time.perf_counter() - start), 3
+                    )
 
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -223,8 +248,45 @@ def main() -> None:
         "errors": errors,
     }
     _regression_report(timings, result["sf"], repo)
-    (repo / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+    # bench_last_run.json is the per-run artifact (gitignored);
+    # bench_detail.json is the COMMITTED repeat-2 baseline contract and
+    # is only refreshed on explicit --commit-detail, so driver runs no
+    # longer leave the working tree dirty (VERDICT r8 next #5).
+    (repo / "bench_last_run.json").write_text(json.dumps(detail, indent=1))
+    if args.commit_detail:
+        (repo / "bench_detail.json").write_text(json.dumps(detail, indent=1))
     print(json.dumps(result), flush=True)
+
+
+def _would_flag(q: str, new_t: float, old_t: float, drift: float) -> bool:
+    """The ONE regression predicate, shared by adaptive re-measure and the
+    final report so both always see identical thresholds (ADVICE r8).
+
+    Three conditions for query rows: slowed >1.5x MORE than the run as a
+    whole (environment normalization), slowed in absolute RATIO terms
+    (without this, a drift<1 baseline — prior run in a slower environment
+    — demands every query speed up by 1/(1.5*drift) and floods stderr
+    with flat-timing "regressions"), AND slowed by a MATERIAL absolute
+    delta. The delta floor (round 8) kills the repeat-1-vs-min-of-2
+    asymmetry class: the FIRST execution of any plan pays ~1.5-2x in
+    codegen/shuffle-file warmup (measured: cdc_classify 1.4s then 0.6s
+    steady), so a driver repeat-1 run would flag dozens of sub-second
+    queries against the committed repeat-2 min while nothing regressed.
+    A real at-scale regression at sf0.1 clears 0.75s easily.
+
+    Build rows are ONE-SHOT artifact constructions: they can't be
+    adaptively re-measured (their memos would replay warm and undercount)
+    and their wall time swings 2-3x with VM noise on cold machinery. They
+    exist so QUERY rows stay clean accounting, and the plans they build
+    are regression-covered by the queries that consume the memos — so
+    only a catastrophic blowup (a build going super-linear) flags."""
+    if q.startswith("build:"):
+        return new_t > 2.5 * drift * old_t and new_t - old_t > 5.0
+    return (
+        new_t > 1.5 * drift * old_t
+        and new_t > 1.2 * old_t
+        and new_t - old_t > 0.75
+    )
 
 
 def _prior_timings(repo: Path, sf: float) -> tuple[str, dict[str, float]] | None:
@@ -282,37 +344,9 @@ def _regression_report(
     drift = (total_new / total_old) if total_old > 0 else 1.0
     flagged = []
     for q in overlap:
-        # Three conditions: slowed >1.5x MORE than the run as a whole
-        # (environment normalization), slowed in absolute RATIO terms
-        # (without this, a drift<1 baseline — prior run in a slower
-        # environment — demands every query speed up by 1/(1.5*drift)
-        # and floods stderr with flat-timing "regressions"), AND slowed
-        # by a MATERIAL absolute delta. The delta floor (round 8) kills
-        # the repeat-1-vs-min-of-2 asymmetry class: the FIRST execution
-        # of any plan pays ~1.5-2x in codegen/shuffle-file warmup
-        # (measured: cdc_classify 1.4s then 0.6s steady), so a driver
-        # repeat-1 run flags dozens of sub-second queries against the
-        # committed repeat-2 min while nothing regressed. A real
-        # at-scale regression at sf0.1 clears 0.75s easily.
-        if q.startswith("build:"):
-            # Build rows are ONE-SHOT artifact constructions: they can't
-            # be adaptively re-measured (their memos would replay warm
-            # and undercount) and their wall time swings 2-3x with VM
-            # noise on cold machinery. They exist so QUERY rows stay
-            # clean accounting, and the plans they build are regression-
-            # covered by the queries that consume the memos — so only a
-            # catastrophic blowup (a build going super-linear) flags.
-            is_reg = (
-                timings[q] > 2.5 * drift * old[q]
-                and timings[q] - old[q] > 5.0
-            )
-        else:
-            is_reg = (
-                timings[q] > 1.5 * drift * old[q]
-                and timings[q] > 1.2 * old[q]
-                and timings[q] - old[q] > 0.75
-            )
-        if is_reg:
+        # Predicate shared with the adaptive re-measure loop — see
+        # _would_flag for the full threshold rationale.
+        if _would_flag(q, timings[q], old[q], drift):
             flagged.append(
                 f"{q}: {old[q]:.2f}s -> {timings[q]:.2f}s "
                 f"({timings[q] / old[q]:.1f}x vs run drift {drift:.2f}x)"

@@ -206,6 +206,60 @@ _CONST_TYPES = (
     tuple, list, dict, set, frozenset,
 )
 
+# ---------------------------------------------------------------------------
+# Runtime-state exclusion (ADVICE r8, medium): module-level memo caches
+# (queries._DEDUP_DOCS_CACHE etc.) are dicts, so the r8 constant digest
+# treated them as constants — populating a cache in a warm process changed
+# plan_hash (populated entries repr SparkSession/DataFrame memory addresses),
+# so pytest ordering that ran a memoized builder before the fingerprint pin
+# test spuriously failed, and refresh_plans() in a warm process would pin
+# irreproducible hashes. Three independent guards now keep runtime state out
+# of the digest:
+#   1. explicit registration — mutable module state is declared with
+#      ``runtime_cache({})`` at its definition site and excluded by identity;
+#   2. recursive purity — a value is digestable only if it is composed
+#      entirely of _CONST_TYPES leaves, so a populated-but-unregistered cache
+#      (holding DataFrames/sessions) still drops out;
+#   3. empty mutable containers are never digested — an EMPTY unregistered
+#      cache is pure, and digesting it cold vs. excluding it warm was exactly
+#      the instability; an empty container is plan-inert anyway, and editing
+#      it to non-empty makes it digestable, which correctly re-queues.
+# ---------------------------------------------------------------------------
+
+_RUNTIME_CACHE_IDS: set[int] = set()
+
+
+def runtime_cache(container):
+    """Mark a module-level mutable container as runtime state so it never
+    enters plan digests. Returns the container for inline use:
+
+        _MY_CACHE: dict[str, tuple] = runtime_cache({})
+    """
+    _RUNTIME_CACHE_IDS.add(id(container))
+    return container
+
+
+def _is_pure_const(v, depth: int = 0) -> bool:
+    """True when v is recursively composed of _CONST_TYPES leaves only."""
+    if depth > 10:
+        return False
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return all(_is_pure_const(x, depth + 1) for x in v)
+    if isinstance(v, dict):
+        return all(
+            _is_pure_const(k, depth + 1) and _is_pure_const(x, depth + 1)
+            for k, x in v.items()
+        )
+    return isinstance(v, (int, float, complex, str, bytes, bool, type(None)))
+
+
+def _digestable_const(v) -> bool:
+    if id(v) in _RUNTIME_CACHE_IDS:
+        return False
+    if isinstance(v, (dict, set, list)) and not v:
+        return False
+    return _is_pure_const(v)
+
 
 def _stable_repr(v) -> str:
     """Deterministic repr across processes: set iteration order depends on
@@ -255,7 +309,11 @@ def _referenced_constants(fn) -> dict[str, str]:
             continue
         if name in globs:
             obj = globs[name]
-            if isinstance(obj, _CONST_TYPES) and not callable(obj):
+            if (
+                isinstance(obj, _CONST_TYPES)
+                and not callable(obj)
+                and _digestable_const(obj)
+            ):
                 out[f"const:{own_mod}.{name}"] = hashlib.md5(
                     _stable_repr(obj).encode("utf-8")
                 ).hexdigest()
@@ -281,18 +339,28 @@ def _referenced_constants(fn) -> dict[str, str]:
             continue
         for alias in node.names:
             obj = getattr(mod, alias.name, None)
-            if isinstance(obj, _CONST_TYPES) and not callable(obj):
+            if (
+                isinstance(obj, _CONST_TYPES)
+                and not callable(obj)
+                and _digestable_const(obj)
+            ):
                 out[f"const:{mod_name}.{alias.name}"] = hashlib.md5(
                     _stable_repr(obj).encode("utf-8")
                 ).hexdigest()
     return out
 
 
-def plan_hash(fn) -> str:
+def plan_hash(fn, include_constants: bool = True) -> str:
     """Combined digest of fn, every package-local function/class in its
     transitive reference closure, and every package-local module CONSTANT
     those functions read (ADVICE r7 — constant edits change plans too),
-    keyed by qualified name for stability."""
+    keyed by qualified name for stability.
+
+    ``include_constants=False`` yields the callables-only ``code_hash``
+    pinned alongside ``hash``: migrate mode (hash-algorithm upgrades)
+    preserves a query's round only when its code_hash is unchanged, so a
+    genuine plan-code edit can never ride a migration past the rotation
+    (ADVICE r8)."""
     import types
 
     seen: dict[str, str] = {}
@@ -309,7 +377,8 @@ def plan_hash(fn) -> str:
             seen[".".join(key)] = digest
         if isinstance(obj, types.FunctionType):
             stack.extend(_referenced(obj))
-            seen.update(_referenced_constants(obj))
+            if include_constants:
+                seen.update(_referenced_constants(obj))
         elif isinstance(obj, type):
             for attr in vars(obj).values():
                 if isinstance(attr, types.FunctionType) and _is_package_local(attr):
@@ -336,11 +405,16 @@ def refresh_plans(
     upcoming round, dropped queries are pruned.
 
     ``migrate=True`` is for HASH-ALGORITHM upgrades only (e.g. the r8
-    addition of referenced constants to the digest): every hash is
-    recomputed but existing entries KEEP their ``changed_in_round`` —
-    the Spark plans themselves did not change, so mass-requeuing all 184
-    queries into the 50-slot driver window would leave most of them
-    'changed but unverified'. Never use it after editing plan code."""
+    addition of referenced constants to the digest): hashes are recomputed
+    but existing entries KEEP their ``changed_in_round`` — the Spark plans
+    themselves did not change, so mass-requeuing all queries into the
+    50-slot driver window would leave most of them 'changed but
+    unverified'. ADVICE r8 hardening: migrate preserves the round ONLY
+    when the entry's callables-only ``code_hash`` is unchanged — an entry
+    whose plan code actually changed is requeued even in migrate mode.
+    Legacy entries pinned before code_hash existed are grandfathered once
+    (their code_hash is stamped now), so the unguarded path is dead after
+    the first post-upgrade migration."""
     from nosql_to_sql_migration_tool_spark.queries import QUERIES
 
     repo = repo if repo is not None else _HERE.parent
@@ -349,13 +423,18 @@ def refresh_plans(
     pinned: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         h = plan_hash(fn)
+        ch = plan_hash(fn, include_constants=False)
         old = prior.get(name)
         if old and old.get("hash") == h:
-            pinned[name] = old
-        elif old and migrate:
-            pinned[name] = {**old, "hash": h}
+            pinned[name] = {**old, "code_hash": ch}
+        elif (
+            old
+            and migrate
+            and ("code_hash" not in old or old["code_hash"] == ch)
+        ):
+            pinned[name] = {**old, "hash": h, "code_hash": ch}
         else:
-            pinned[name] = {"hash": h, "changed_in_round": rnd}
+            pinned[name] = {"hash": h, "code_hash": ch, "changed_in_round": rnd}
     path.write_text(json.dumps(pinned, indent=1, sort_keys=True) + "\n")
     return pinned
 

@@ -20,6 +20,7 @@ from nosql_to_sql_migration_tool_spark.fixtures import (
     CHANGED_CUSTOMER_SOURCE_SQL,
     changed_customer_source,
 )
+from nosql_to_sql_migration_tool_spark.fingerprints import runtime_cache
 from nosql_to_sql_migration_tool_spark.functions.hashing import row_hash_sql
 from nosql_to_sql_migration_tool_spark.operators.cdc import (
     diff_counts,
@@ -30,10 +31,13 @@ from nosql_to_sql_migration_tool_spark.sources.registry import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# Mutable module state is declared through runtime_cache() so the plan
+# fingerprints never digest it (ADVICE r8 — warm-process memo population
+# must not change plan_hash).
+QUERIES: dict[str, QueryFn] = runtime_cache({})
+ORACLES: dict[str, str] = runtime_cache({})
 
-_SCRATCH_DIRS: dict[str, str] = {}
+_SCRATCH_DIRS: dict[str, str] = runtime_cache({})
 
 
 def _scratch_dir(label: str) -> str:
@@ -1801,11 +1805,11 @@ def _cached(cache: dict, spark: SparkSession, key: str, build) -> DataFrame:
     return entry[1]
 
 
-_SHINGLE_CACHE: dict[str, tuple] = {}
-_PAIRS_CACHE: dict[str, tuple] = {}
-_RAW_SHINGLE_CACHE: dict[str, tuple] = {}
-_DEDUP_DOCS_CACHE: dict[str, tuple] = {}
-_COMPONENTS_CACHE: dict[str, tuple] = {}
+_SHINGLE_CACHE: dict[str, tuple] = runtime_cache({})
+_PAIRS_CACHE: dict[str, tuple] = runtime_cache({})
+_RAW_SHINGLE_CACHE: dict[str, tuple] = runtime_cache({})
+_DEDUP_DOCS_CACHE: dict[str, tuple] = runtime_cache({})
+_COMPONENTS_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,7 +1871,7 @@ def _dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CAND_CACHE: dict[str, tuple] = {}
+_CAND_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _dedup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,7 +1980,7 @@ def q_near_dup_pairs(spark, sf_dir):
     return _dedup_pairs(spark, sf_dir)
 
 
-_SIMHASH_CACHE: dict[str, tuple] = {}
+_SIMHASH_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,7 +2400,7 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
 """
 
 
-_EMB_PAIRS_CACHE: dict[tuple, tuple] = {}
+_EMB_PAIRS_CACHE: dict[tuple, tuple] = runtime_cache({})
 
 
 def _memo_emb_pairs(spark, sf_dir):
@@ -4168,7 +4172,7 @@ FROM batch b LEFT JOIN agg a ON a.batch_id = b.doc_id
 """
 
 
-_INGEST_BUCKETS_CACHE: dict[str, tuple] = {}
+_INGEST_BUCKETS_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4286,7 +4290,7 @@ FROM batch b LEFT JOIN agg a ON a.batch_id = b.vec_id
 """
 
 
-_INGEST_EMB_BANDS_CACHE: dict[str, tuple] = {}
+_INGEST_EMB_BANDS_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _ingest_emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5034,7 +5038,7 @@ def _blocking_params(n_rows: int) -> tuple[int, int]:
     return k, max(256, 8 * k)
 
 
-_DUP_EMB_COUNT_CACHE: dict[str, tuple] = {}
+_DUP_EMB_COUNT_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _dup_emb_count(spark: SparkSession, sf_dir: str) -> int:
@@ -5088,7 +5092,7 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
 # holds plain Python centroid lists (metadata-sized), no DataFrame
 # state; ``corpus`` disambiguates the raw table from the planted-dup
 # fixture so their quantizers never collide.
-_CENTROID_CACHE: dict[tuple, tuple] = {}
+_CENTROID_CACHE: dict[tuple, tuple] = runtime_cache({})
 
 
 def _memo_centroids(
@@ -5135,7 +5139,7 @@ from nosql_to_sql_migration_tool_spark.operators.similarity import (  # noqa: E4
 # — narrow: (id, vector, norm, block) — is built once per (session,
 # sf_dir) and persisted; the three pair queries then self-join cached
 # rows instead of re-running the fold on both join sides every run.
-_ASSIGN_CACHE: dict[tuple, tuple] = {}
+_ASSIGN_CACHE: dict[tuple, tuple] = runtime_cache({})
 
 
 def _dup_emb_assigned(
@@ -5378,8 +5382,8 @@ from nosql_to_sql_migration_tool_spark.operators.pq import (  # noqa: E402
     pq_topk_sql,
 )
 
-_PQ_BOOK_CACHE: dict[tuple, tuple] = {}
-_PQ_ENC_CACHE: dict[tuple, tuple] = {}
+_PQ_BOOK_CACHE: dict[tuple, tuple] = runtime_cache({})
+_PQ_ENC_CACHE: dict[tuple, tuple] = runtime_cache({})
 
 
 def _memo_pq_books(spark: SparkSession, sf_dir: str):
@@ -5567,7 +5571,7 @@ from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
     jaccard_prefix_pairs_sql,
 )
 
-_TRUTH_PAIRS_CACHE: dict[str, tuple] = {}
+_TRUTH_PAIRS_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _prefix_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5777,7 +5781,7 @@ def q_embedding_lsh_recall_audit(spark, sf_dir):
     return _recall_audit_frame(emb, ver, truth=_memo_truth_pairs(spark, sf_dir))
 
 
-_TRUTH_CACHE: dict[str, tuple] = {}
+_TRUTH_CACHE: dict[str, tuple] = runtime_cache({})
 
 
 def _memo_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6646,7 +6650,7 @@ def q_bpe_vocab_tokenize(spark, sf_dir):
 # pipeline would persist stage by stage.
 # ---------------------------------------------------------------------------
 
-PREWARMS: "dict[str, object]" = {}
+PREWARMS: "dict[str, object]" = runtime_cache({})
 
 
 def _prewarm(name: str):

@@ -21,6 +21,8 @@ column types onto the sink.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 FILE_FORMATS = ("parquet", "json", "csv", "orc")
@@ -104,7 +106,29 @@ def jdbc_partitioned_read_options(
     }
 
 
+def _quiet_derby(spark: SparkSession, options: dict[str, str]) -> None:
+    """Route embedded Derby's boot log out of the process working
+    directory (VERDICT r8 next #7: a stray repo-root ``derby.log`` after
+    every bench/suite run). ``derby.stream.error.file`` is read once when
+    Derby boots inside the Spark JVM, so it is set lazily just before the
+    first Derby-URL operation; later calls are no-ops."""
+    if not options.get("url", "").startswith("jdbc:derby"):
+        return
+    try:
+        jvm_sys = spark._jvm.java.lang.System
+        if jvm_sys.getProperty("derby.stream.error.file") is None:
+            import tempfile
+
+            jvm_sys.setProperty(
+                "derby.stream.error.file",
+                os.path.join(tempfile.gettempdir(), "spark_graft_derby.log"),
+            )
+    except Exception:
+        pass  # cosmetic only — never fail a JDBC op over log routing
+
+
 def read_jdbc(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    _quiet_derby(spark, options)
     try:
         return spark.read.format("jdbc").options(**options).load()
     except Exception as exc:
@@ -123,6 +147,7 @@ def write_jdbc(
     """Batched JDBC write; ``column_types`` (from plans/ddl.py) flows
     into ``createTableColumnTypes`` so the sink table gets the mapped
     SQL types instead of Spark defaults."""
+    _quiet_derby(df.sparkSession, options)
     writer = df.write.format("jdbc").options(**options).mode(mode)
     if column_types:
         spec = ", ".join(f"{c} {t}" for c, t in column_types.items())
@@ -237,6 +262,7 @@ def test_connection(spark: SparkSession, options: dict[str, str]) -> bool:
         if probe.get("url", "").startswith("jdbc:derby")
         else "SELECT 1 AS probe"
     )
+    _quiet_derby(spark, probe)
     try:
         spark.read.format("jdbc").options(**probe).load().collect()
         return True

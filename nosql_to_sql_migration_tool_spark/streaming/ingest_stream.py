@@ -19,12 +19,16 @@ quarantine sinks carry ``batch_id`` so a replayed batch (foreachBatch
 at-least-once) re-writes identical rows — readers take the latest per
 (doc, batch). That idempotency holds even when the crash fell AFTER
 the index append / accepted write but BEFORE the checkpoint commit,
-because the gate anti-joins the batch's own ids out of the probed
-index and the verify side (see ``gate_batch``): the replayed probe
-sees the corpus exactly as the first delivery did, so verdicts are
-bit-identical and no doc can land in both sinks with conflicting
-flags (ADVICE r7). Replay-duplicated index rows are also deduped
-before the bucket-width cap inside ``ingest_near_dup_flags``.
+because the gate anti-joins the ids this SAME batch_id already sunk
+out of the probed index and the verify side (see ``gate_batch``): the
+replayed probe sees the corpus exactly as the first delivery did, so
+verdicts are bit-identical and no doc can land in both sinks with
+conflicting flags (ADVICE r7). The exclusion is keyed by batch_id
+(ADVICE r8): an id redelivered under a DIFFERENT batch_id is a
+cross-batch redelivery, not a replay — it is dropped from the batch
+(already ingested, verdict stands) instead of silently bypassing the
+gate. Replay-duplicated index rows are also deduped before the
+bucket-width cap inside ``ingest_near_dup_flags``.
 
 Within-batch near-dups: the gate is batch-vs-CORPUS; two near-dup docs
 arriving in the SAME batch both pass (neither is in the index yet) and
@@ -89,6 +93,50 @@ def stream_ingest_near_dup(
     )
 
 
+def _replay_partition(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_paths: tuple[str, str],
+    id_col: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split prior sink state by THIS batch_id (ADVICE r8): the previous
+    gate excluded the batch's ids from the probed index/verify side on
+    EVERY delivery, so a doc redelivered under a NEW batch_id (or an id
+    colliding with a prior batch's) silently skipped duplicate detection,
+    double-accepted, and appended duplicate index rows.
+
+    Returns ``(batch_df, replayed_ids)`` where
+
+    * ids already sunk under a DIFFERENT batch_id are dropped from the
+      batch entirely — a cross-batch redelivery is already ingested and
+      its verdict stands (idempotent skip, no duplicate sink/index rows);
+    * ``replayed_ids`` are ids already sunk under the SAME batch_id —
+      a true at-least-once replay of a crashed commit; only THESE are
+      excluded from the probed index and verify side so the replayed
+      probe sees the corpus exactly as the first delivery did."""
+    spark = batch_df.sparkSession
+    prior = None
+    for path in sink_paths:
+        try:
+            part = spark.read.parquet(path).select(id_col, "batch_id")
+        except AnalysisException:
+            continue
+        prior = part if prior is None else prior.unionByName(part)
+    if prior is None:
+        return batch_df, None
+    foreign = (
+        prior.filter(F.col("batch_id") != int(batch_id))
+        .select(id_col)
+        .distinct()
+    )
+    replayed = (
+        prior.filter(F.col("batch_id") == int(batch_id))
+        .select(id_col)
+        .distinct()
+    )
+    return batch_df.join(foreign, id_col, "left_anti"), replayed
+
+
 def gate_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -110,29 +158,39 @@ def gate_batch(
     the index and its own text in ``accepted_path``; without exclusion
     the replayed batch would self-match at Jaccard 1.0 and re-route
     every previously-accepted doc to quarantine — the doc would land in
-    BOTH sinks with conflicting verdicts. So the batch's own ids are
-    anti-joined out of the probed index AND out of the verify side
-    before the probe: the index must represent the corpus as it stood
-    BEFORE this batch, which also keeps intra-batch pairs out of scope
-    on replay exactly as they are on first delivery (the documented
-    batch-vs-corpus contract). Width counts dedupe replay-duplicated
-    index rows inside ``ingest_near_dup_flags``."""
+    BOTH sinks with conflicting verdicts. ADVICE r8 narrowed the
+    exclusion to TRUE replays: only ids this same batch_id already sunk
+    are anti-joined out of the probed index and verify side (the index
+    must represent the corpus as it stood before this batch); ids sunk
+    by a DIFFERENT batch_id are cross-batch redeliveries and are dropped
+    from the batch entirely (their verdict stands — no double-accept, no
+    duplicate index rows). Width counts dedupe replay-duplicated index
+    rows inside ``ingest_near_dup_flags``.
+
+    Id-namespace contract: stream ids must be disjoint from corpus ids —
+    a batch doc reusing a corpus id would have its one legitimate
+    comparison dropped by the flags' same-id self-pair guard."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    batch_ids = batch_df.select(id_col).distinct()
+    batch_df, replayed_ids = _replay_partition(
+        batch_df, batch_id, (accepted_path, quarantine_path), id_col
+    )
+    if batch_df.isEmpty():
+        return
     try:
-        buckets = (
-            spark.read.parquet(index_path)
-            .select("band_idx", "band_hash", id_col)
-            .join(batch_ids, id_col, "left_anti")
+        buckets = spark.read.parquet(index_path).select(
+            "band_idx", "band_hash", id_col
         )
+        if replayed_ids is not None:
+            buckets = buckets.join(replayed_ids, id_col, "left_anti")
     except AnalysisException:
         buckets = None
     # corpus text for the verify step = original corpus + every
     # previously ACCEPTED doc (their buckets are in the index, so
-    # their text must be joinable for candidates) — minus the batch's
-    # own ids (replay: its text is already in accepted_path)
+    # their text must be joinable for candidates) — minus TRUE-replay
+    # ids only (their text is already in accepted_path from the
+    # crashed first delivery)
     verify_side = corpus.select(id_col, text_col)
     try:
         accepted_prior = spark.read.parquet(accepted_path).select(
@@ -143,9 +201,9 @@ def gate_batch(
         pass
     # dropDuplicates: replayed appends leave duplicate accepted rows,
     # which would double-count n_cand through the verify join
-    verify_side = verify_side.join(batch_ids, id_col, "left_anti").dropDuplicates(
-        [id_col]
-    )
+    if replayed_ids is not None:
+        verify_side = verify_side.join(replayed_ids, id_col, "left_anti")
+    verify_side = verify_side.dropDuplicates([id_col])
     flags = ingest_near_dup_flags(
         verify_side,
         batch_df,
@@ -185,18 +243,25 @@ def gate_embedding_batch(
     (``build_embedding_index`` / ``update_embedding_index``), near-dups
     of the existing corpus quarantine, fresh vectors land in the
     accepted sink and their band rows append to the index. Same replay
-    contract: batch ids anti-joined out of the probed index and verify
-    side, so a replayed batch reproduces its original verdicts."""
+    contract (ADVICE r8 form): TRUE-replay ids (same batch_id already
+    sunk) are anti-joined out of the probed index and verify side so a
+    replayed batch reproduces its original verdicts; cross-batch
+    redeliveries are dropped from the batch (already ingested). Stream
+    ids must be disjoint from corpus ids — see ``gate_batch``."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    batch_ids = batch_df.select(id_col).distinct()
+    batch_df, replayed_ids = _replay_partition(
+        batch_df, batch_id, (accepted_path, quarantine_path), id_col
+    )
+    if batch_df.isEmpty():
+        return
     try:
-        bands = (
-            spark.read.parquet(index_path)
-            .select("band_idx", "band_val", id_col)
-            .join(batch_ids, id_col, "left_anti")
+        bands = spark.read.parquet(index_path).select(
+            "band_idx", "band_val", id_col
         )
+        if replayed_ids is not None:
+            bands = bands.join(replayed_ids, id_col, "left_anti")
     except AnalysisException:
         bands = None
     verify_side = corpus.select(id_col, vec_col)
@@ -207,9 +272,9 @@ def gate_embedding_batch(
         verify_side = verify_side.unionByName(accepted_prior)
     except AnalysisException:
         pass
-    verify_side = verify_side.join(batch_ids, id_col, "left_anti").dropDuplicates(
-        [id_col]
-    )
+    if replayed_ids is not None:
+        verify_side = verify_side.join(replayed_ids, id_col, "left_anti")
+    verify_side = verify_side.dropDuplicates([id_col])
     flags = ingest_embedding_near_dup_flags(
         verify_side,
         batch_df,

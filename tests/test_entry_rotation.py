@@ -311,3 +311,72 @@ def test_plan_hash_sees_module_constant_edits():
     assert fp._stable_repr({1: {"y", "x"}, 0: [1.5, (2, 3)]}) == fp._stable_repr(
         {0: [1.5, (2, 3)], 1: {"x", "y"}}
     )
+
+
+def test_plan_hash_ignores_runtime_cache_state():
+    """ADVICE r8 (medium): module-level memo caches are RUNTIME state, not
+    plan constants. Populating one in a warm process (xdist ordering, -k
+    subsets) must not change plan_hash — previously the digest of e.g.
+    _DEDUP_DOCS_CACHE flipped from md5(\'{}\') cold to excluded-warm, so
+    the pin test spuriously failed and a warm refresh_plans() pinned
+    irreproducible hashes. Caches are now excluded by identity
+    (runtime_cache registration), with recursive purity + empty-container
+    rules as backstops for anything unregistered."""
+    import nosql_to_sql_migration_tool_spark.fingerprints as fp
+    import nosql_to_sql_migration_tool_spark.queries as q
+
+    class Opaque:
+        pass
+
+    touched = []
+    try:
+        for cache in (q._DEDUP_DOCS_CACHE, q._EMB_PAIRS_CACHE, q._SCRATCH_DIRS):
+            before = {n: fp.plan_hash(fn) for n, fn in list(q.QUERIES.items())[:3]}
+            cache["__test_key__"] = (Opaque(), Opaque())
+            touched.append(cache)
+            after = {n: fp.plan_hash(q.QUERIES[n]) for n in before}
+            assert before == after, "cache population changed plan_hash"
+        # every registered query's hash is immune to EVERY cache at once
+        pins = fp.load_fingerprints(fp.PLAN_FINGERPRINT_PATH)
+        stale = [
+            n for n, fn in q.QUERIES.items() if pins[n]["hash"] != fp.plan_hash(fn)
+        ]
+        assert not stale, f"warm-state-sensitive plan hashes: {stale[:5]}"
+    finally:
+        for cache in touched:
+            cache.pop("__test_key__", None)
+
+    # backstop rules for UNREGISTERED globals:
+    assert not fp._digestable_const({})            # empty mutable container
+    assert not fp._digestable_const({"k": Opaque()})  # impure leaves
+    assert fp._digestable_const({"k": (1, "x")})   # pure non-empty: digested
+    assert fp._digestable_const(())                # immutable empty is fine
+
+
+def test_migrate_mode_requeues_genuine_code_edits(tmp_path):
+    """ADVICE r8 (low): --migrate-plans must only ride hash-ALGORITHM
+    upgrades past the rotation. An entry whose callables-only code_hash
+    differs from the pin had a genuine plan-code edit and must be
+    requeued (fresh changed_in_round), even in migrate mode."""
+    import json
+
+    import nosql_to_sql_migration_tool_spark.fingerprints as fp
+    from nosql_to_sql_migration_tool_spark.queries import QUERIES
+
+    names = list(QUERIES)[:2]
+    real_code = {n: fp.plan_hash(QUERIES[n], include_constants=False) for n in names}
+    prior = {
+        # algorithm-upgrade shape: combined hash differs, code_hash matches
+        names[0]: {"hash": "stale", "code_hash": real_code[names[0]],
+                   "changed_in_round": 3},
+        # genuine-edit shape: code_hash differs too
+        names[1]: {"hash": "stale", "code_hash": "not-the-real-code-hash",
+                   "changed_in_round": 3},
+    }
+    path = tmp_path / "pins.json"
+    path.write_text(json.dumps(prior))
+    pinned = fp.refresh_plans(path=path, migrate=True)
+    assert pinned[names[0]]["changed_in_round"] == 3, "algorithm upgrade requeued"
+    assert pinned[names[1]]["changed_in_round"] > 3, "code edit rode the migration"
+    # and every current entry carries a code_hash for the NEXT migration
+    assert all("code_hash" in v for v in pinned.values())

@@ -790,6 +790,87 @@ def test_ingest_gate_replay_reproduces_verdicts(spark, tmp_path):
     assert len(acc2) > len(acc1)  # some fresh batch-1 docs accepted
 
 
+def test_ingest_gate_cross_batch_redelivery_is_idempotent(spark, tmp_path):
+    """ADVICE r8: the replay exclusion is keyed by batch_id. A doc
+    redelivered in a LATER batch under a DIFFERENT batch_id must not
+    bypass the gate (the old all-ids anti-join double-accepted it and
+    appended duplicate index rows) — it is already ingested, so the
+    redelivery is dropped and every sink/index keeps exactly one row
+    set for it, while genuinely fresh docs in the same batch still
+    gate normally."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_batch,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    batch0 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    acc_df = spark.read.parquet(acc)
+    qua_rows0 = spark.read.parquet(qua).count()
+    acc_rows0 = acc_df.count()
+    index_rows0 = spark.read.parquet(idx).count()
+    assert acc_rows0 > 0
+
+    # redeliver the SAME docs under a NEW batch_id, mixed with fresh ones
+    fresh = docs.filter((F.col("doc_id") >= 340) & (F.col("doc_id") < 360))
+    batch1 = batch0.unionByName(fresh).localCheckpoint(eager=True)
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+
+    acc_after = spark.read.parquet(acc)
+    # no doc_id appears under two batch_ids in either sink
+    dup_acc = (
+        acc_after.groupBy("doc_id")
+        .agg(F.countDistinct("batch_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup_acc == 0, "redelivered doc double-accepted"
+    qua_after = spark.read.parquet(qua)
+    dup_qua = (
+        qua_after.groupBy("doc_id")
+        .agg(F.countDistinct("batch_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup_qua == 0
+    # index holds ONE row set per accepted doc (no duplicate band rows)
+    index_after = spark.read.parquet(idx)
+    assert (
+        index_after.groupBy("doc_id", "band_idx").count().filter(
+            F.col("count") > 1
+        ).count()
+        == 0
+    )
+    # fresh docs were still gated: every batch-1 fresh id landed in
+    # exactly one sink
+    sunk1 = {
+        r["doc_id"]
+        for r in acc_after.unionByName(qua_after)
+        .filter(F.col("batch_id") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+    assert sunk1 == fresh_ids
+    # and batch-0 verdicts are untouched
+    assert acc_after.filter(F.col("batch_id") == 0).count() == acc_rows0
+    assert qua_after.filter(F.col("batch_id") == 0).count() == qua_rows0
+    assert index_rows0 <= spark.read.parquet(idx).count()
+
+
 def test_stream_ingest_embedding_gate_and_replay(spark, tmp_path):
     """Embedding twin of the text gate (VERDICT r7 next #5): batch 1's
     accepted vectors enter the hyperplane-LSH index, so batch 2's exact
