@@ -83,7 +83,6 @@ _PRIORITY_HEAD = [
     "variant_doc_extract",
     "ivf_topk",
     "semantic_near_dup",
-    "semantic_near_dup_multiprobe",
     "knn_batch",
     "simhash_near_pairs",
     "near_dup_component_labels",

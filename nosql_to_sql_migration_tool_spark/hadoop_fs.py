@@ -96,3 +96,18 @@ def executed_plan_string(df) -> str:
     private ``_jdf`` handle; contained here like the FileSystem
     access so the exposure stays auditable in one place."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def set_java_system_property_if_unset(
+    spark: SparkSession, key: str, value: str
+) -> bool:
+    """Set a JVM System property if it has no value yet (e.g. routing
+    ``derby.stream.error.file`` out of the working directory before the
+    embedded driver boots). Returns whether this call set it. The
+    private ``_jvm`` gateway handle is contained here with the other
+    crossings so the exposure stays auditable in one place."""
+    jvm_sys = spark._jvm.java.lang.System
+    if jvm_sys.getProperty(key) is not None:
+        return False
+    jvm_sys.setProperty(key, value)
+    return True

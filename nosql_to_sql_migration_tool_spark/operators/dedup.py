@@ -1406,3 +1406,184 @@ def ingest_near_dup_flags(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (VERDICT r8 next #4): maximal repeated token
+# spans ACROSS documents, Lee-et-al-style ("Deduplicating Training Data
+# Makes Language Models Better") re-expressed for Spark. The suffix-array
+# formulation is replaced by an equivalent distributed shape: positional
+# k-gram anchors + gaps-and-islands run detection. For two documents, the
+# matching k-gram positions with the same alignment offset d = pos_a -
+# pos_b form runs of consecutive pa; a maximal run [p0..p1] IS a maximal
+# common token span of length (p1 - p0 + k) — so span lengths are EXACT
+# once a pair is a candidate, no extension loop needed.
+# ---------------------------------------------------------------------------
+
+DEFAULT_SUBSTRING_K = 5
+DEFAULT_SUBSTRING_MIN_LEN = 20
+DEFAULT_SUBSTRING_DF_CAP = 20
+
+
+def _gram_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, g): every k-token gram with its 0-based token position.
+    Docs shorter than k tokens contribute nothing (they cannot hold a
+    span of length >= k)."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") >= k)
+    return toked.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k - 1}), "
+                f"i -> array_join(slice(__t, i, {k}), ' '))"
+            )
+        ).alias("pos", "g"),
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+) -> DataFrame:
+    """Per document pair, the maximal exactly-repeated token spans of
+    length >= ``min_len``: ``(id_a, id_b, n_spans, max_span_words,
+    total_span_words)``.
+
+    Stage 1 (blocking): candidate pairs must share a RARE k-gram
+    (global df <= df_cap) — the same df-capped inverted-index
+    discipline as ``containment_pairs``, so per-gram join fan-out is
+    bounded by df_cap² and candidate volume stays linear in corpus
+    size. Recall caveat (documented, same as the containment family):
+    a repeated span composed ENTIRELY of grams commoner than df_cap
+    produces no candidate; raise df_cap for boilerplate-heavy corpora.
+    A span of length L contains L-k+1 anchor grams, so longer spans
+    have proportionally more chances to hit a rare anchor.
+
+    Stage 2 (exact span measurement): for candidate pairs only, ALL
+    matching gram positions are aligned; runs of consecutive ``pa``
+    within one alignment offset ``d`` are detected with the
+    gaps-and-islands trick (``pa - row_number()``), giving exact
+    maximal-span lengths. The window partitions by (pair, offset) —
+    bounded partitions, never a global sort. Overlapping spans at
+    DIFFERENT offsets (internal periodicity) each count once;
+    ``total_span_words`` is therefore an upper bound on distinct
+    duplicated tokens, exactly like suffix-array multiplicity.
+
+    100 TB shape: gram-position rows are O(total tokens) and shuffle
+    on gram for the df computation and on (id_b, g) for the pair
+    alignment; everything downstream is bounded by candidate-pair
+    alignment volume (the inherent output size of substring dedup)."""
+    from pyspark.sql import Window
+
+    # grams feeds THREE consumers (rare-df groupBy + both alignment
+    # sides); without a cut Spark re-derives the tokenize+explode for
+    # each (the containment_pairs lesson — no ReusedExchange across
+    # differently-aliased projections). One eager localCheckpoint of the
+    # narrow (id, pos, g) frame — O(total tokens), linear in corpus size
+    # — computes it once.
+    grams = _gram_positions(df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("g")
+    )
+    rare_rows = grams.join(rare, "g").select("id", "g")
+    cand = (
+        rare_rows.select(F.col("id").alias("id_a"), "g")
+        .join(rare_rows.select(F.col("id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"), "g"
+    )
+    gb = grams.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"), "g"
+    )
+    matches = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .withColumn("d", F.col("pa") - F.col("pb"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    spans = (
+        matches.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "d", "__isl")
+        .agg((F.max("pa") - F.min("pa") + F.lit(k)).alias("span_words"))
+        .filter(F.col("span_words") >= min_len)
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_words").alias("max_span_words"),
+        F.sum("span_words").cast("long").alias("total_span_words"),
+    )
+
+
+def substring_span_pairs_sql(
+    docs_sql: str,
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``substring_span_pairs`` (same anchors, same
+    islands, same aggregates — integer-only outputs, no float drift)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+toked AS (
+  SELECT doc_id AS id, {toks} AS t FROM docs
+),
+grams AS (
+  SELECT id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS g
+  FROM (
+    SELECT id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+    FROM toked WHERE len(t) >= {k}
+  )
+),
+rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= {df_cap}),
+rr AS (SELECT id, grams.g FROM grams JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rr a JOIN rr b USING (g) WHERE a.id < b.id
+),
+m AS (
+  SELECT c.id_a, c.id_b, ga.pos AS pa, gb.pos AS pb,
+         ga.pos - gb.pos AS d
+  FROM cand c
+  JOIN grams ga ON ga.id = c.id_a
+  JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
+),
+runs AS (
+  SELECT id_a, id_b, d, pa,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, d ORDER BY pa
+         ) AS isl
+  FROM m
+),
+spans AS (
+  SELECT id_a, id_b, d, isl,
+         max(pa) - min(pa) + {k} AS span_words
+  FROM runs GROUP BY id_a, id_b, d, isl
+)
+SELECT id_a, id_b,
+       count(*) AS n_spans,
+       max(span_words) AS max_span_words,
+       CAST(sum(span_words) AS BIGINT) AS total_span_words
+FROM spans
+WHERE span_words >= {min_len}
+GROUP BY id_a, id_b
+"""

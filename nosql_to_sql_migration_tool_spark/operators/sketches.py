@@ -347,6 +347,7 @@ def cms_heavy_hitter_audit(
     k: int = 20,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    cms: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy-hitter accuracy audit: exact top-``k`` items (distributed
     top-k — TakeOrderedAndProject, never a global window) joined to
@@ -355,8 +356,15 @@ def cms_heavy_hitter_audit(
     overestimate — must be uniformly true) and ``within_bound`` (the
     standard eps*N guarantee with eps = 3/width). Every value is integer
     arithmetic over md5 buckets, so a DuckDB replay matches bit-for-bit
-    — the sketch itself is verified, not just sanity-checked."""
-    cms = cms_counts(items, col=col, depth=depth, width=width)
+    — the sketch itself is verified, not just sanity-checked.
+
+    ``cms`` overrides the sketch table — pass ``read_cms(...)`` of a
+    persisted partials store (streaming/cms_stream.py) to audit an
+    incrementally-maintained sketch against the exact stream; by
+    additivity the merged table equals the one-shot build, so the same
+    oracle verifies both."""
+    if cms is None:
+        cms = cms_counts(items, col=col, depth=depth, width=width)
     exact = items.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
     topk = exact.orderBy(F.desc("exact_n"), F.asc(col)).limit(k)
     total = items.agg(F.count(F.lit(1)).cast("long").alias("__n"))

@@ -115,14 +115,16 @@ def _quiet_derby(spark: SparkSession, options: dict[str, str]) -> None:
     if not options.get("url", "").startswith("jdbc:derby"):
         return
     try:
-        jvm_sys = spark._jvm.java.lang.System
-        if jvm_sys.getProperty("derby.stream.error.file") is None:
-            import tempfile
+        from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+            set_java_system_property_if_unset,
+        )
+        import tempfile
 
-            jvm_sys.setProperty(
-                "derby.stream.error.file",
-                os.path.join(tempfile.gettempdir(), "spark_graft_derby.log"),
-            )
+        set_java_system_property_if_unset(
+            spark,
+            "derby.stream.error.file",
+            os.path.join(tempfile.gettempdir(), "spark_graft_derby.log"),
+        )
     except Exception:
         pass  # cosmetic only — never fail a JDBC op over log routing
 

@@ -122,3 +122,24 @@ def test_build_rows_flag_only_on_catastrophic_blowup(tmp_path, capsys):
     new = {"build:x": 7.0, "build:y": 30.0, "q0": 10.0}  # 2.3x vs 10x
     flagged = _run_guard(tmp_path, old, new, capsys)
     assert len(flagged) == 1 and "build:y" in flagged[0]
+
+
+def test_bench_capacity_tripwire():
+    """Round 9 (VERDICT r8 next #2): the bench grew to within sight of
+    the driver's historical ceiling (~196s survived in r8; the actual
+    timeout is unknown). Pin the committed baseline's size so growth is
+    a deliberate act: a round that pushes past these bounds must trim
+    redundant rows (the round-9 discipline) or produce fresh margin
+    evidence, not discover the ceiling in a driver run."""
+    import json
+    from pathlib import Path
+
+    detail = json.loads(
+        (Path(__file__).resolve().parent.parent / "bench_detail.json").read_text()
+    )
+    assert len(detail["queries"]) <= 215, (
+        f"bench has {len(detail['queries'])} rows — trim before growing"
+    )
+    assert detail["total_sec"] <= 215, (
+        f"committed bench total {detail['total_sec']}s — trim before growing"
+    )

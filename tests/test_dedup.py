@@ -514,3 +514,48 @@ def test_ingest_probe_never_self_matches(spark, tmp_path):
     assert got.exceptAll(want).isEmpty()
     # and in particular nothing self-matched its way to a 1.0 verdict
     assert got.filter(F.col("is_near_dup")).count() == 0
+
+
+def test_substring_spans_exact_lengths_and_islands(spark):
+    """Substring-level dedup semantic pins: maximal span lengths are
+    EXACT (gaps-and-islands over aligned k-gram positions), multiple
+    disjoint spans per pair each count, spans shorter than min_len drop,
+    and sub-k docs contribute nothing."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        substring_span_pairs,
+    )
+
+    # Distinct vocabularies so every anchor gram is rare (df <= cap).
+    w = [f"w{i}" for i in range(40)]
+    j = [f"j{i}" for i in range(20)]
+    a_text = " ".join(w[:30])
+    # B holds two disjoint copies from A: w5..w16 (12 tokens) and
+    # w20..w29 (10 tokens), separated by junk so the runs break.
+    b_text = " ".join(w[5:17] + j[:6] + w[20:30])
+    # C shares only a 7-token span with A -> below min_len=8, dropped.
+    c_text = " ".join(j[6:12] + w[0:7] + j[12:18])
+    docs = spark.createDataFrame(
+        [
+            (1, a_text),
+            (2, b_text),
+            (3, c_text),
+            (4, a_text),       # exact duplicate of A: one 30-token span
+            (5, "w0 w1 w2"),   # shorter than k: ignored entirely
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_spans"], r["max_span_words"], r["total_span_words"]
+        )
+        for r in substring_span_pairs(
+            docs, k=5, min_len=8, df_cap=20
+        ).collect()
+    }
+    assert got[(1, 2)] == (2, 12, 22)      # two exact spans: 12 + 10
+    assert got[(1, 4)] == (1, 30, 30)      # full-doc duplicate
+    assert got[(2, 4)] == (2, 12, 22)      # transitivity via copy of A
+    assert (1, 3) not in got               # 7 < min_len
+    assert not any(5 in pair for pair in got)
+    # self-pairs never emitted
+    assert all(a < b for a, b in got)

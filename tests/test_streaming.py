@@ -942,3 +942,77 @@ def test_stream_ingest_embedding_gate_and_replay(spark, tmp_path):
     assert sink_ids(acc) == acc2
     assert sink_ids(qua) == qua2
     assert not (sink_ids(acc) & sink_ids(qua))
+
+
+def test_cms_partials_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """Mergeable-CMS maintenance contract (VERDICT r8 next #3), mirroring
+    gate_batch's: (1) a streamed, batch-split sketch merges to EXACTLY
+    the one-shot whole-corpus sketch (cellwise additivity); (2) an
+    at-least-once replay of a batch is a no-op (partition overwrite);
+    (3) compaction under the crash-window gate folds only safe batches,
+    preserves unsafe ones, and never changes the merged sketch."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        cms_counts,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+    from nosql_to_sql_migration_tool_spark.streaming.cms_stream import (
+        compact_cms_partials,
+        merge_cms_batch,
+        read_cms,
+        stream_cms_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=True)
+    want = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in cms_counts(toks.select("token")).collect()
+    }
+
+    def merged(path):
+        return {
+            (r["row_idx"], r["bucket"]): r["cnt"]
+            for r in read_cms(spark, path).collect()
+        }
+
+    # (1) true streaming path: 3 parquet drops -> availableNow stream
+    drops = str(tmp_path / "drops")
+    store = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        toks.filter(F.col("doc_id") % 3 == i).select("token").coalesce(
+            1
+        ).write.mode("append").parquet(drops)
+        stream = spark.readStream.schema("token string").parquet(drops)
+        q = stream_cms_maintenance(stream, store, ckpt)
+        q.awaitTermination(120)
+    assert merged(store) == want
+
+    # (2) replay: re-fold an arbitrary batch under its original batch_id
+    b1 = toks.filter(F.col("doc_id") % 3 == 1).select("token")
+    merge_cms_batch(b1, store, batch_id=1)
+    merge_cms_batch(b1, store, batch_id=1)
+    assert merged(store) == want
+
+    # (3) gated compaction: batch 2 above the safe bound is preserved
+    compact_cms_partials(spark, store, max_safe_batch_id=1)
+    parts = spark.read.parquet(store)
+    ids = {r["batch_id"] for r in parts.select("batch_id").distinct().collect()}
+    assert ids == {-1, 2}, ids
+    assert merged(store) == want
+    # replay of the unsafe batch AFTER compaction is still a no-op
+    b2 = toks.filter(F.col("doc_id") % 3 == 2).select("token")
+    merge_cms_batch(b2, store, batch_id=2)
+    assert merged(store) == want
+    # final full fold collapses to the single -1 set, sketch unchanged
+    compact_cms_partials(spark, store, max_safe_batch_id=2)
+    parts = spark.read.parquet(store)
+    ids = {r["batch_id"] for r in parts.select("batch_id").distinct().collect()}
+    assert ids == {-1}, ids
+    assert merged(store) == want
+    # store is bounded at depth*width rows after the fold
+    assert parts.count() <= 4 * 512

@@ -43,8 +43,7 @@ FAMS = {
         "pq_topk",
     ],
     "quantile": [
-        "order_price_quantiles", "price_quantile_sketch",
-        "customer_spend_deciles", "price_quantile_error_audit",
+                "customer_spend_deciles", "price_quantile_error_audit",
         "median_price_by_priority",
     ],
     "text": [
@@ -67,6 +66,11 @@ FAMS = {
         "split_leakage_audit", "ingest_embedding_near_dup",
         "cms_heavy_hitters_audit", "orders_price_drift_audit",
         "events_type_drift_audit",
+    ],
+    # round 9 additions
+    "newcomers_r9": [
+        "substring_dup_spans", "ingest_cms_heavy_hitters",
+        "orders_price_drift_vs_baseline",
     ],
 }
 
