@@ -6816,6 +6816,24 @@ def _pw_catalog_views(spark, sf_dir):
     ).save()
 
 
+@_prewarm("build:ingest_cms")
+def _pw_ingest_cms(spark, sf_dir):
+    """One-time construction of the persisted CMS partials store (3
+    batch folds + gated compaction, ~4.5s at sf0.1) — memoized, so
+    without this row the cost would bill to ingest_cms_heavy_hitters'
+    first driver run while the committed min-of-2 measured the warm
+    memo (the r8 accounting lesson)."""
+    _force(q_ingest_cms_heavy_hitters(spark, sf_dir))
+
+
+@_prewarm("build:drift_baseline")
+def _pw_drift_baseline(spark, sf_dir):
+    """One-time persist of the frozen pre-1998 price distribution (one
+    orders scan + a 64-row write) so the vs-baseline audit row measures
+    the steady-state one-scan-of-new-data path."""
+    _orders_price_baseline(spark, sf_dir)
+
+
 @_prewarm("build:quantile_truth")
 def _pw_quantile_truth(spark, sf_dir):
     """First execution of the quantile-audit plan pays a 2-9s
