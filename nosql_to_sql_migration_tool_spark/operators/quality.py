@@ -500,3 +500,66 @@ def numeric_drift_vs_baseline(
             F.round(F.col("__ks_raw") / scale, 6).alias("ks_stat"),
         )
     )
+
+
+def save_categorical_baseline(df: DataFrame, col: str, path: str) -> None:
+    """Categorical twin of ``save_numeric_baseline``: freeze the
+    reference category counts + total as one tiny parquet (rows bounded
+    by category cardinality)."""
+    cat = df.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    meta = df.agg(F.count(F.lit(1)).cast("long").alias("__na"))
+    cat.crossJoin(F.broadcast(meta)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def categorical_drift_vs_baseline(
+    df_b: DataFrame, col: str, baseline_path: str
+) -> DataFrame:
+    """One-row categorical drift of live data against a STORED baseline:
+    ``(n_a, n_b, n_categories, l1_distance, max_rate_gap)`` — the same
+    integer cross-product scheme as ``categorical_drift``, reference
+    side entirely from the persisted counts. Categories absent from the
+    baseline (new live categories) and categories absent live both
+    participate through the full-outer join, exactly like the
+    two-snapshot audit."""
+    spark = df_b.sparkSession
+    base = spark.read.parquet(baseline_path)
+    meta = base.select("__na").limit(1)
+    cb = df_b.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    cats = (
+        base.select("cat", "ca")
+        .join(cb, "cat", "full_outer")
+        .select(
+            "cat",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "da",
+            F.abs(F.col("ca") * F.col("__nb") - F.col("cb") * F.col("__na")),
+        )
+    )
+    scale = (F.col("__na") * F.col("__nb")).cast("double")
+    return (
+        cats.groupBy("__na", "__nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.sum("da").alias("__l1_raw"),
+            F.max("da").alias("__gap_raw"),
+        )
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            "n_categories",
+            F.round(F.col("__l1_raw") / scale, 6).alias("l1_distance"),
+            F.round(F.col("__gap_raw") / scale, 6).alias("max_rate_gap"),
+        )
+    )

@@ -69,3 +69,62 @@ def stream_constraint_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_drift_metrics(
+    batch_stream: DataFrame,
+    col: str,
+    baseline_path: str,
+    metrics_path: str,
+    checkpoint_path: str,
+    kind: str = "numeric",
+) -> StreamingQuery:
+    """Continuous distribution-drift monitoring (round 9): every
+    micro-batch audits against the STORED reference distribution
+    (``save_numeric_baseline`` / ``save_categorical_baseline``) and
+    appends one metrics row — ``(batch_id, n_a, n_b, l1_distance,
+    metric2)`` where ``metric2`` is ``ks_stat`` (numeric) or
+    ``max_rate_gap`` (categorical) — turning the one-shot drift audit
+    into a drift TIME SERIES over the ingest stream. Per-batch cost is
+    one scan of the batch plus bin/category-bounded metadata work; the
+    reference data is never rescanned (the incremental-baseline
+    contract). Replay-safe the same way as the constraint metrics:
+    drift is deterministic in (batch contents, frozen baseline), so a
+    replayed batch appends identical rows and readers take the latest
+    per batch_id."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        categorical_drift_vs_baseline,
+        numeric_drift_vs_baseline,
+    )
+
+    if kind not in ("numeric", "categorical"):
+        raise ValueError(f"unknown drift kind {kind!r}")
+
+    def _audit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if kind == "numeric":
+            row = numeric_drift_vs_baseline(batch_df, col, baseline_path)
+            row = row.select(
+                "n_a", "n_b", "l1_distance",
+                F.col("ks_stat").alias("metric2"),
+            )
+        else:
+            row = categorical_drift_vs_baseline(batch_df, col, baseline_path)
+            row = row.select(
+                "n_a", "n_b", "l1_distance",
+                F.col("max_rate_gap").alias("metric2"),
+            )
+        (
+            row.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .select("batch_id", "n_a", "n_b", "l1_distance", "metric2")
+            .write.mode("append")
+            .parquet(metrics_path)
+        )
+
+    return (
+        batch_stream.writeStream.foreachBatch(_audit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -212,3 +212,28 @@ def test_numeric_baseline_store_equals_recompute_and_clamps(spark, tmp_path):
     # ca=1,cb=0 -> 4 each. L1 = (124+124+62*4)/256 = 496/256
     assert abs(r["l1_distance"] - 496 / 256) < 1e-6
     assert r["n_b"] == 4
+
+
+def test_categorical_baseline_matches_two_snapshot_audit(spark, tmp_path):
+    """The stored-baseline categorical audit must equal the two-snapshot
+    audit bit-for-bit when fed the same reference data (categories are
+    discrete — unlike the numeric twin there is no binning difference),
+    including categories that exist on only one side."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        categorical_drift,
+        categorical_drift_vs_baseline,
+        save_categorical_baseline,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [("gone",)] * 1, "cat string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 2 + [("y",)] * 5 + [("new",)] * 3, "cat string"
+    )
+    p = str(tmp_path / "catbase")
+    save_categorical_baseline(a, "cat", p)
+    want = categorical_drift(a, b, "cat").collect()[0].asDict()
+    got = categorical_drift_vs_baseline(b, "cat", p).collect()[0].asDict()
+    assert got == want
+    assert got["n_categories"] == 4  # union: x, y, gone, new

@@ -1016,3 +1016,75 @@ def test_cms_partials_stream_equals_batch_and_survives_replay(spark, tmp_path):
     assert merged(store) == want
     # store is bounded at depth*width rows after the fold
     assert parts.count() <= 4 * 512
+
+
+def test_stream_drift_metrics_per_batch(spark, tmp_path):
+    """Streaming drift monitor: per micro-batch one metrics row equal to
+    the batch audit against the frozen baseline — numeric and
+    categorical kinds, metrics table keyed by batch_id."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        categorical_drift_vs_baseline,
+        numeric_drift_vs_baseline,
+        save_categorical_baseline,
+        save_numeric_baseline,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.quality_stream import (
+        stream_drift_metrics,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    split = F.to_timestamp(F.lit("1998-01-01"))
+    ref = orders.filter(F.col("o_orderdate") < split)
+    live = orders.filter(F.col("o_orderdate") >= split).localCheckpoint(
+        eager=True
+    )
+
+    nbase = str(tmp_path / "nbase")
+    save_numeric_baseline(ref, "o_totalprice", nbase)
+    drops = str(tmp_path / "drops")
+    live.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(drops)
+    live.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(drops)
+    q = stream_drift_metrics(
+        spark.readStream.schema(live.schema).parquet(drops),
+        "o_totalprice", nbase,
+        str(tmp_path / "metrics"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    rows = {r["batch_id"]: r for r in metrics.collect()}
+    assert len(rows) >= 1
+    # every metrics row equals the batch-local audit recomputed directly
+    total_nb = sum(r["n_b"] for r in rows.values())
+    assert total_nb == live.count()
+    whole = numeric_drift_vs_baseline(live, "o_totalprice", nbase).collect()[0]
+    if len(rows) == 1:
+        only = next(iter(rows.values()))
+        assert only["l1_distance"] == whole["l1_distance"]
+        assert only["metric2"] == whole["ks_stat"]
+
+    # categorical kind over events
+    events = load_table(spark, SF_DIR_SMOKE, "events")
+    esplit = F.to_timestamp(F.lit("2024-01-16"))
+    cbase = str(tmp_path / "cbase")
+    save_categorical_baseline(
+        events.filter(F.col("ts") < esplit), "event_type", cbase
+    )
+    elive = events.filter(F.col("ts") >= esplit).localCheckpoint(eager=True)
+    edrops = str(tmp_path / "edrops")
+    elive.coalesce(1).write.mode("append").parquet(edrops)
+    q2 = stream_drift_metrics(
+        spark.readStream.schema(elive.schema).parquet(edrops),
+        "event_type", cbase,
+        str(tmp_path / "emetrics"), str(tmp_path / "eckpt"),
+        kind="categorical",
+    )
+    q2.awaitTermination(120)
+    em = spark.read.parquet(str(tmp_path / "emetrics")).collect()
+    want = categorical_drift_vs_baseline(elive, "event_type", cbase).collect()[0]
+    assert len(em) == 1
+    assert em[0]["l1_distance"] == want["l1_distance"]
+    assert em[0]["metric2"] == want["max_rate_gap"]
