@@ -1506,10 +1506,26 @@ def substring_span_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ga = grams.select(
+    return _aligned_span_stats(cand, grams, grams, k, min_len)
+
+
+def _aligned_span_stats(
+    cand: DataFrame,
+    grams_a: DataFrame,
+    grams_b: DataFrame,
+    k: int,
+    min_len: int,
+) -> DataFrame:
+    """Shared tail of the substring family: align ALL matching gram
+    positions of each candidate pair, detect runs of consecutive ``pa``
+    per alignment offset (gaps-and-islands — the window partitions by
+    (pair, offset), never globally), and aggregate exact span stats."""
+    from pyspark.sql import Window
+
+    ga = grams_a.select(
         F.col("id").alias("id_a"), F.col("pos").alias("pa"), "g"
     )
-    gb = grams.select(
+    gb = grams_b.select(
         F.col("id").alias("id_b"), F.col("pos").alias("pb"), "g"
     )
     matches = (
@@ -1529,6 +1545,56 @@ def substring_span_pairs(
         F.max("span_words").alias("max_span_words"),
         F.sum("span_words").cast("long").alias("total_span_words"),
     )
+
+
+def substring_cross_leakage(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+) -> DataFrame:
+    """Substring-level eval decontamination (the Lee-et-al/PaLM-style
+    check): maximal exactly-repeated token spans where ``id_a`` is a
+    TRAIN document and ``id_b`` is an EVAL document — a train shard
+    memorizably containing eval text is leakage even when whole-doc
+    near-dup audits (split_leakage) miss it because the documents as a
+    whole differ. Same anchors/blocking/islands machinery as
+    ``substring_span_pairs``; candidates pair strictly across the
+    split (no within-split work), and rare-anchor document frequency is
+    computed over the UNION so a gram common in train but rare overall
+    still blocks. Output: one row per contaminated (train, eval) pair
+    with exact span stats; drop or rewrite the train side per policy.
+
+    Ids must be unique across both inputs (the usual split of one
+    corpus). 100 TB shape: identical to substring_span_pairs except the
+    candidate join is train-rare x eval-rare instead of a self-join —
+    strictly cheaper at equal corpus size."""
+    grams_a = _gram_positions(train_df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
+    grams_b = _gram_positions(eval_df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
+    union_rows = grams_a.select("g").unionByName(grams_b.select("g"))
+    rare = (
+        union_rows.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("g")
+    )
+    cand = (
+        grams_a.join(rare, "g").select(F.col("id").alias("id_a"), "g")
+        .join(
+            grams_b.join(rare, "g").select(F.col("id").alias("id_b"), "g"),
+            "g",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _aligned_span_stats(cand, grams_a, grams_b, k, min_len)
 
 
 def substring_span_pairs_sql(

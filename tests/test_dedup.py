@@ -559,3 +559,51 @@ def test_substring_spans_exact_lengths_and_islands(spark):
     assert not any(5 in pair for pair in got)
     # self-pairs never emitted
     assert all(a < b for a, b in got)
+
+
+def test_substring_cross_leakage_detects_eval_contamination(spark):
+    """Cross-split substring leakage: a train doc embedding an exact
+    span of an eval doc is flagged with the exact span length; pairs
+    WITHIN a split are never emitted (the whole point vs the self-join
+    form), and clean eval docs produce no rows."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        substring_cross_leakage,
+        substring_span_pairs,
+    )
+
+    w = [f"w{i}" for i in range(40)]
+    j = [f"j{i}" for i in range(30)]
+    eval_text = " ".join(w[:20])
+    train = spark.createDataFrame(
+        [
+            # train doc 1 embeds eval doc 10's tokens 0..11 (12 tokens)
+            (1, " ".join(j[:5] + w[0:12] + j[5:10])),
+            # train docs 2 and 3 duplicate EACH OTHER (within-split)
+            (2, " ".join(j[10:28])),
+            (3, " ".join(j[10:28])),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, eval_text), (11, " ".join(f"q{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_spans"], r["max_span_words"])
+        for r in substring_cross_leakage(
+            train, evals, k=5, min_len=8, df_cap=20
+        ).collect()
+    }
+    assert got == {(1, 10): (1, 12)}  # only the cross-split pair
+
+    # parity: the same pair surfaces in the self-join form over the
+    # union, with identical span stats
+    both = train.unionByName(evals)
+    self_form = {
+        (r["id_a"], r["id_b"]): (r["n_spans"], r["max_span_words"])
+        for r in substring_span_pairs(
+            both, k=5, min_len=8, df_cap=20
+        ).collect()
+    }
+    assert self_form[(1, 10)] == got[(1, 10)]
+    assert (2, 3) in self_form  # the self-join DOES see within-split
