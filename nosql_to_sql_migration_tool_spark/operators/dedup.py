@@ -1506,7 +1506,7 @@ def substring_span_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _aligned_span_stats(cand, grams, grams, k, min_len)
+    return _span_stats(_aligned_span_stats(cand, grams, grams, k, min_len))
 
 
 def _aligned_span_stats(
@@ -1516,10 +1516,13 @@ def _aligned_span_stats(
     k: int,
     min_len: int,
 ) -> DataFrame:
-    """Shared tail of the substring family: align ALL matching gram
-    positions of each candidate pair, detect runs of consecutive ``pa``
-    per alignment offset (gaps-and-islands — the window partitions by
-    (pair, offset), never globally), and aggregate exact span stats."""
+    """Shared core of the substring family: align ALL matching gram
+    positions of each candidate pair and detect runs of consecutive
+    ``pa`` per alignment offset (gaps-and-islands — the window
+    partitions by (pair, offset), never globally). Returns one row per
+    maximal span: ``(id_a, id_b, d, __isl, start_a, span_words)`` —
+    ``start_a`` is the span's 0-based token offset in doc a, which the
+    scrubber consumes; ``_span_stats`` folds these to pair stats."""
     from pyspark.sql import Window
 
     ga = grams_a.select(
@@ -1537,9 +1540,16 @@ def _aligned_span_stats(
     spans = (
         matches.withColumn("__isl", F.col("pa") - F.row_number().over(w))
         .groupBy("id_a", "id_b", "d", "__isl")
-        .agg((F.max("pa") - F.min("pa") + F.lit(k)).alias("span_words"))
+        .agg(
+            F.min("pa").alias("start_a"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("span_words"),
+        )
         .filter(F.col("span_words") >= min_len)
     )
+    return spans
+
+
+def _span_stats(spans: DataFrame) -> DataFrame:
     return spans.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.max("span_words").alias("max_span_words"),
@@ -1594,7 +1604,7 @@ def substring_cross_leakage(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _aligned_span_stats(cand, grams_a, grams_b, k, min_len)
+    return _span_stats(_aligned_span_stats(cand, grams_a, grams_b, k, min_len))
 
 
 def substring_span_pairs_sql(
@@ -1653,3 +1663,117 @@ FROM spans
 WHERE span_words >= {min_len}
 GROUP BY id_a, id_b
 """
+
+
+def leaked_span_positions(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+) -> DataFrame:
+    """Positional form of ``substring_cross_leakage``: one row per
+    leaked maximal span with its location in the TRAIN doc —
+    ``(doc_id, start_pos, span_words)`` — the input the scrubber
+    consumes. Same blocking and islands machinery."""
+    grams_a = _gram_positions(train_df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
+    grams_b = _gram_positions(eval_df, text_col, id_col, k).localCheckpoint(
+        eager=True
+    )
+    union_rows = grams_a.select("g").unionByName(grams_b.select("g"))
+    rare = (
+        union_rows.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("g")
+    )
+    cand = (
+        grams_a.join(rare, "g").select(F.col("id").alias("id_a"), "g")
+        .join(
+            grams_b.join(rare, "g").select(F.col("id").alias("id_b"), "g"),
+            "g",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    spans = _aligned_span_stats(cand, grams_a, grams_b, k, min_len)
+    # the same train span may leak into several eval docs — scrub once
+    return (
+        spans.groupBy(
+            F.col("id_a").alias(id_col),
+            F.col("start_a").alias("start_pos"),
+            "span_words",
+        )
+        .agg(F.count(F.lit(1)).alias("__dup"))
+        .drop("__dup")
+    )
+
+
+def scrub_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove token ranges from documents — the REMEDIATION half of
+    eval decontamination: given ``(doc_id, start_pos, span_words)``
+    rows (``leaked_span_positions``), rebuild each affected document's
+    text without the leaked tokens; untouched documents pass through
+    unchanged (and unshuffled — they never enter the rebuild path).
+
+    Shape: affected docs explode to (pos, token), leaked positions are
+    flagged with one range semi-join bounded by spans-per-doc, and the
+    survivors reassemble via array_sort(collect_list(struct(pos,
+    token))) — a per-doc combinable aggregate, no global window, no
+    Python. Overlapping spans compose correctly (a token inside ANY
+    leaked range is dropped)."""
+    affected_ids = spans.select(id_col).distinct()
+    affected = df.join(affected_ids, id_col, "semi")
+    untouched = df.join(affected_ids, id_col, "anti")
+    toks = affected.select(
+        id_col,
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    leaked = toks.alias("t").join(
+        spans.alias("s"),
+        (F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
+        & (F.col("t.__pos") >= F.col("s.start_pos"))
+        & (F.col("t.__pos") < F.col("s.start_pos") + F.col("s.span_words")),
+        "semi",
+    )
+    kept = toks.exceptAll(leaked)
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__tok"))
+                    ),
+                    lambda st: st["__tok"],
+                ),
+                " ",
+            ).alias(text_col)
+        )
+    )
+    # docs whose EVERY token leaked drop out of `kept`; reinstate empty
+    rebuilt = (
+        affected.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+    extra_cols = [c for c in df.columns if c not in (id_col, text_col)]
+    if extra_cols:
+        rebuilt = rebuilt.join(
+            affected.select(id_col, *extra_cols), id_col
+        )
+    return untouched.select(df.columns).unionByName(
+        rebuilt.select(df.columns)
+    )

@@ -607,3 +607,62 @@ def test_substring_cross_leakage_detects_eval_contamination(spark):
     }
     assert self_form[(1, 10)] == got[(1, 10)]
     assert (2, 3) in self_form  # the self-join DOES see within-split
+
+
+def test_scrub_token_spans_removes_exactly_the_leaked_ranges(spark):
+    """Decontamination remediation: leaked spans are cut from train
+    docs token-exactly — surrounding tokens and order intact, untouched
+    docs byte-identical, overlapping spans composed, fully-leaked docs
+    become empty rather than disappearing."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        leaked_span_positions,
+        scrub_token_spans,
+        substring_cross_leakage,
+    )
+
+    w = [f"w{i}" for i in range(40)]
+    j = [f"j{i}" for i in range(30)]
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(j[:5] + w[0:12] + j[5:10])),  # leaks w0..w11
+            (2, " ".join(j[10:28])),                   # clean
+            (3, " ".join(w[0:20])),                    # fully leaked
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, " ".join(w[:20]))], "doc_id long, text string"
+    )
+    spans = leaked_span_positions(train, evals, k=5, min_len=8, df_cap=20)
+    got = {
+        (r["doc_id"], r["start_pos"], r["span_words"])
+        for r in spans.collect()
+    }
+    assert got == {(1, 5, 12), (3, 0, 20)}
+
+    clean = {
+        r["doc_id"]: r["text"]
+        for r in scrub_token_spans(train, spans).collect()
+    }
+    assert clean[1] == " ".join(j[:5] + j[5:10])  # leak cut, rest intact
+    assert clean[2] == " ".join(j[10:28])         # untouched
+    assert clean[3] == ""                          # fully leaked -> empty
+    # and the scrubbed corpus no longer leaks
+    assert substring_cross_leakage(
+        scrub_token_spans(train, spans), evals, k=5, min_len=8, df_cap=20
+    ).count() == 0
+
+    # overlapping ranges compose: drop tokens 2..6 and 4..9 of doc 2
+    import pyspark.sql.functions as F  # noqa: F401 (local clarity)
+    manual = spark.createDataFrame(
+        [(2, 2, 5), (2, 4, 6)], "doc_id long, start_pos long, span_words long"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in scrub_token_spans(train, manual).collect()
+    }
+    expect = j[10:28][:2] + j[10:28][10:]  # positions 0,1 then 10..17
+    assert out[2] == " ".join(expect)
+    originals = {r["doc_id"]: r["text"] for r in train.collect()}
+    assert out[1] == originals[1]  # no spans for doc 1 in `manual`
+    assert out[3] == originals[3]
