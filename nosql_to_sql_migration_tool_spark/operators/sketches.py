@@ -399,3 +399,170 @@ def cms_heavy_hitter_audit(
             (F.col("est_n") <= F.col("exact_n") + bound).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear probabilistic counting (round 9): the oracle-checkable distinct
+# sketch. The round-3 HLL had to be de-registered because its estimate is
+# engine-specific; linear counting (Whang et al. 1990) is a pure function
+# of (m, n_occupied md5 buckets) — bit-reproducible in DuckDB, so the
+# ESTIMATE itself can be hash-verified, not just sanity-checked. ANSI
+# pitfall pinned by probe: `e / 4096.0` under ANSI is DECIMAL division
+# (truncates to 6dp BEFORE ln, ~0.007% error that breaks hash parity);
+# both engines must divide doubles — with the explicit cast the two
+# engines agree on round(-m*ln(empty/m), 4) for EVERY one of the 4095
+# possible ratios at m=4096 (measured exhaustively).
+# ---------------------------------------------------------------------------
+
+LC_M = 4096
+
+
+def lc_bucket(item, m: int = LC_M):
+    """md5-hex bucket of an item — same integer convention as
+    ``cms_bucket``."""
+    return (
+        F.conv(F.substring(F.md5(item), 1, 8), 16, 10).cast("long") % m
+    )
+
+
+def lc_bucket_sql(expr: str, m: int = LC_M) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {m}"
+    )
+
+
+def _lc_estimate(occupied, m: int):
+    empty = F.lit(m) - occupied
+    return F.when(occupied == 0, F.lit(0.0)).when(
+        empty > 0,
+        F.round(
+            F.lit(-float(m))
+            * F.log(empty.cast("double") / F.lit(float(m))),
+            4,
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def _lc_estimate_sql(occupied: str, m: int) -> str:
+    return (
+        f"CASE WHEN {occupied} = 0 THEN 0.0 "
+        f"WHEN {m} - {occupied} > 0 THEN "
+        f"round(-{m} * ln(CAST({m} - {occupied} AS DOUBLE) / {m}.0), 4) "
+        f"ELSE NULL END"
+    )
+
+
+def linear_count(
+    items: DataFrame, col: str, m: int = LC_M
+) -> DataFrame:
+    """One-row distinct-count sketch: ``(n_occupied, m_buckets,
+    estimate)``. One distinct over m-bounded buckets (map-side
+    combinable), never over the raw values — the point at 100 TB: the
+    shuffle carries at most m rows per partition. ``estimate`` is the
+    classic -m*ln(empty/m); NULL when every bucket is occupied (the
+    documented saturation bound — use a larger m). Standard error
+    ~sqrt(m)(e^t - t - 1)^.5/(m t) with t = n/m; at t <= 2 it is a few
+    percent, pinned by pytest against exact distinct."""
+    occ = (
+        items.select(lc_bucket(F.col(col), m).alias("bucket"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occupied"))
+    )
+    return occ.select(
+        "n_occupied",
+        F.lit(m).cast("long").alias("m_buckets"),
+        _lc_estimate(F.col("n_occupied"), m).alias("estimate"),
+    )
+
+
+def linear_count_sql(items_sql: str, expr: str, m: int = LC_M) -> str:
+    """DuckDB twin of ``linear_count`` (bit-identical buckets AND
+    estimate — see the module-top parity note)."""
+    return f"""
+WITH items AS ({items_sql}),
+occ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_occupied
+  FROM (SELECT DISTINCT {lc_bucket_sql(expr, m)} AS bucket FROM items)
+)
+SELECT n_occupied,
+       CAST({m} AS BIGINT) AS m_buckets,
+       {_lc_estimate_sql('n_occupied', m)} AS estimate
+FROM occ
+"""
+
+
+def update_lc_index(
+    items: DataFrame,
+    index_path: str,
+    batch_id: int = 0,
+    col: str = "token",
+    m: int = LC_M,
+) -> None:
+    """Fold one batch into a persisted occupied-bucket store — the
+    mergeable form (a bucket set merges by UNION, even simpler than the
+    CMS's additive cells). batch_id-keyed dynamic-partition overwrite:
+    a replayed batch rewrites its own partition with identical rows,
+    and duplicate bucket rows are harmless anyway (reads are DISTINCT)."""
+    (
+        items.select(lc_bucket(F.col(col), m).alias("bucket"))
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def read_lc(spark: SparkSession, index_path: str, m: int = LC_M) -> DataFrame:
+    """Current sketch of everything ever folded: distinct buckets
+    across all batch partitions -> same one-row shape as
+    ``linear_count`` (set union is exact, so this EQUALS the one-shot
+    whole-stream sketch bit-for-bit)."""
+    occ = (
+        spark.read.parquet(index_path)
+        .select("bucket")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occupied"))
+    )
+    return occ.select(
+        "n_occupied",
+        F.lit(m).cast("long").alias("m_buckets"),
+        _lc_estimate(F.col("n_occupied"), m).alias("estimate"),
+    )
+
+
+def compact_lc_index(
+    spark: SparkSession,
+    index_path: str,
+    max_safe_batch_id: int | None = None,
+) -> None:
+    """Fold committed batches' buckets into the reserved ``batch_id=-1``
+    partition, bounding the store at <= m rows (+ preserved unsafe
+    batches) — same crash-window gate as the rollup/CMS compactions."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        parts = spark.read.parquet(index_path)
+    except AnalysisException:
+        return
+    if max_safe_batch_id is not None:
+        safe_pred = (F.col("batch_id") == -1) | (
+            F.col("batch_id") <= int(max_safe_batch_id)
+        )
+    else:
+        safe_pred = F.lit(True)
+    folded = (
+        parts.filter(safe_pred)
+        .select("bucket")
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+        .unionByName(parts.filter(~safe_pred))
+        .localCheckpoint(eager=True)
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )

@@ -231,3 +231,96 @@ def test_cms_bounded_never_under_and_mergeable(spark):
     )
     assert summed.exceptAll(whole).isEmpty()
     assert whole.exceptAll(summed).isEmpty()
+
+
+def test_linear_count_accuracy_merge_and_compaction(spark, tmp_path):
+    """Linear-counting distinct sketch (round 9 — the oracle-checkable
+    HLL replacement): estimate within the standard-error envelope of
+    exact distinct; the persisted per-batch bucket store merges to the
+    EXACT one-shot sketch (set union, bit-identical row); replay is a
+    no-op; gated compaction preserves unsafe batches and the estimate;
+    saturation returns NULL; empty input estimates 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        LC_M,
+        compact_lc_index,
+        linear_count,
+        read_lc,
+        update_lc_index,
+    )
+
+    # ~3000 distinct user_id-ish strings, duplicated unevenly
+    items = spark.range(9000).select(
+        F.concat(F.lit("u"), (F.col("id") % 3000).cast("string")).alias("u")
+    ).localCheckpoint(eager=True)
+    exact = 3000
+    row = linear_count(items, "u").collect()[0]
+    assert row["m_buckets"] == LC_M
+    t = exact / LC_M
+    se = math.sqrt(LC_M) * math.sqrt(math.exp(t) - t - 1) / (LC_M * t)
+    assert abs(row["estimate"] - exact) <= 4 * se * exact + 2
+
+    # mergeable store: 3 batches -> read_lc == one-shot, bit-identical
+    idx = str(tmp_path / "lc")
+    for i in range(3):
+        update_lc_index(
+            items.filter((F.length("u") % 3) == i), idx, batch_id=i, col="u",
+        )
+    merged = read_lc(spark, idx).collect()[0]
+    assert merged.asDict() == row.asDict()
+    # replay of batch 1 under its batch_id: no change
+    update_lc_index(items.filter((F.length("u") % 3) == 1), idx,
+                    batch_id=1, col="u")
+    assert read_lc(spark, idx).collect()[0].asDict() == row.asDict()
+    # gated compaction: batch 2 preserved, estimate unchanged, store bounded
+    compact_lc_index(spark, idx, max_safe_batch_id=1)
+    parts = spark.read.parquet(idx)
+    ids = {r["batch_id"] for r in parts.select("batch_id").distinct().collect()}
+    assert ids == {-1, 2}
+    assert read_lc(spark, idx).collect()[0].asDict() == row.asDict()
+    compact_lc_index(spark, idx)
+    assert spark.read.parquet(idx).count() <= LC_M
+    assert read_lc(spark, idx).collect()[0].asDict() == row.asDict()
+
+    # saturation -> NULL estimate (m tiny), empty -> 0.0
+    sat = linear_count(items, "u", m=4).collect()[0]
+    assert sat["estimate"] is None and sat["n_occupied"] == 4
+    empty = linear_count(items.filter(F.lit(False)), "u").collect()[0]
+    assert empty["n_occupied"] == 0 and empty["estimate"] == 0.0
+
+
+def test_linear_count_cross_engine_parity(spark):
+    """The full sketch — buckets AND the ln-based estimate — replays
+    bit-identically in DuckDB (the property the HLL family lacks), on
+    real documents tokens. Guards the ANSI decimal-division pitfall:
+    both sides must divide DOUBLES before ln."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        linear_count,
+        linear_count_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    got = linear_count(toks, "token").collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR_SMOKE}/documents.parquet'"
+    )
+    sql = linear_count_sql(
+        "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
+        "FROM documents WHERE length(trim(text)) > 0",
+        "token",
+    )
+    want = con.sql(sql).df().iloc[0].to_dict()
+    assert got["n_occupied"] == want["n_occupied"]
+    assert got["estimate"] == want["estimate"]
