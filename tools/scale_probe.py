@@ -32,6 +32,12 @@ SRC = "/root/testdata/sf0.1"
 REP = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+# Above 26 copies the alphabet-rotation trick runs out of distinct
+# substitutions (copies would become exact dups of earlier copies and
+# dedup workloads would inherit a synthetic quadratic pair blow-up), so
+# large replications tag every token with the copy index instead —
+# vocabularies stay pairwise disjoint, each copy an independent shard.
+
 FAMS = {
     "dedup": [
         "exact_dup_groups", "minhash_candidates", "near_dup_pairs",
@@ -75,7 +81,7 @@ FAMS = {
 }
 
 
-def generate(out: str) -> None:
+def generate(out: str, rep: int = REP) -> None:
     import duckdb
 
     con = duckdb.connect()
@@ -98,14 +104,20 @@ def generate(out: str) -> None:
     }
     for t, q in shifted.items():
         con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{SRC}/{t}.parquet'")
-        union = " UNION ALL ".join(q.format(i=i) for i in range(REP))
+        union = " UNION ALL ".join(q.format(i=i) for i in range(rep))
         con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
     parts = []
-    for i in range(REP):
-        rot = ALPHA[i:] + ALPHA[:i]
+    for i in range(rep):
+        if rep <= 26:
+            rot = ALPHA[i:] + ALPHA[:i]
+            text_expr = f"translate(text, '{ALPHA}', '{rot}')"
+        else:
+            text_expr = (
+                "regexp_replace(text, '(\\S+)', " f"'\\1x{i}'" ", 'g')"
+            )
         parts.append(
             f"SELECT doc_id + {i}*100000 AS doc_id, "
-            f"translate(text, '{ALPHA}', '{rot}') AS text, lang, source, "
+            f"{text_expr} AS text, lang, source, "
             f"n_chars FROM '{SRC}/documents.parquet'"
         )
     con.execute(
@@ -116,7 +128,12 @@ def generate(out: str) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
 
-def run(out: str, fams: "dict[str, list[str]] | None" = None) -> dict:
+def run(
+    out: str,
+    fams: "dict[str, list[str]] | None" = None,
+    rep: int = REP,
+    builds: "list[str] | None" = None,
+) -> dict:
     from nosql_to_sql_migration_tool_spark.queries import PREWARMS, QUERIES
     from nosql_to_sql_migration_tool_spark.session import get_spark
 
@@ -127,10 +144,12 @@ def run(out: str, fams: "dict[str, list[str]] | None" = None) -> dict:
     ).save()
     names = [n for f in fams.values() for n in f]
     results: dict[str, dict[str, float]] = {}
-    for sf_dir, key in ((SRC, "sf0.1"), (out, "10x")):
+    for sf_dir, key in ((SRC, "sf0.1"), (out, f"{rep}x")):
         res: dict[str, float] = {}
         t0 = time.time()
         for name, fn in PREWARMS.items():
+            if builds is not None and name not in builds:
+                continue
             s = time.perf_counter()
             fn(spark, sf_dir)
             res[name] = round(time.perf_counter() - s, 2)
@@ -154,23 +173,45 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sfprobe1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--rep", type=int, default=REP,
+                    help="replication factor (default 10)")
     ap.add_argument(
         "--families",
         default=None,
         help="comma-separated family subset (default: all)",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated explicit query list (overrides --families)",
+    )
+    ap.add_argument(
+        "--builds",
+        default=None,
+        help=("comma-separated prewarm subset to run ('none' skips all; "
+              "default: all — at large --rep restrict to the builds the "
+              "chosen queries need, heavy truth builds take minutes)"),
+    )
     args = ap.parse_args()
     if not args.skip_gen:
-        generate(args.out)
-        print("generated 10x data ->", args.out, flush=True)
+        generate(args.out, rep=args.rep)
+        print(f"generated {args.rep}x data ->", args.out, flush=True)
     fams = FAMS
     if args.families:
         keep = {f.strip() for f in args.families.split(",")}
         fams = {k: v for k, v in FAMS.items() if k in keep}
-    results = run(args.out, fams)
+    if args.queries:
+        fams = {"custom": [q.strip() for q in args.queries.split(",")]}
+    builds = None
+    if args.builds is not None:
+        builds = (
+            [] if args.builds == "none"
+            else [b.strip() for b in args.builds.split(",")]
+        )
+    results = run(args.out, fams, rep=args.rep, builds=builds)
     print(json.dumps(results, indent=1))
-    a, b = results["sf0.1"], results["10x"]
-    print(f"\n{'query':35} {'sf0.1':>7} {'10x':>8} {'ratio':>6}")
+    a, b = results["sf0.1"], results[f"{args.rep}x"]
+    print(f"\n{'query':35} {'sf0.1':>7} {f'{args.rep}x':>8} {'ratio':>6}")
     for fam, names in fams.items():
         print(f"-- {fam}")
         for n in names:
