@@ -666,3 +666,71 @@ def test_scrub_token_spans_removes_exactly_the_leaked_ranges(spark):
     originals = {r["doc_id"]: r["text"] for r in train.collect()}
     assert out[1] == originals[1]  # no spans for doc 1 in `manual`
     assert out[3] == originals[3]
+
+
+def _token_level_span_reference(docs, k, min_len):
+    """Independent reference for substring spans: token-level maximal
+    matching runs per (pair, alignment offset) — no grams, no islands
+    arithmetic. A maximal run of L >= k consecutive equal tokens at one
+    offset is exactly one maximal span of span_words == L."""
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ta, tb = docs[a], docs[b]
+            spans = []
+            for d in range(-(len(tb) - 1), len(ta)):
+                run = 0
+                for pa in range(max(0, d), min(len(ta), len(tb) + d)):
+                    if ta[pa] == tb[pa - d]:
+                        run += 1
+                    else:
+                        if run >= max(k, min_len):
+                            spans.append(run)
+                        run = 0
+                if run >= max(k, min_len):
+                    spans.append(run)
+            spans = [s for s in spans if s >= min_len]
+            if spans:
+                out[(a, b)] = (len(spans), max(spans), sum(spans))
+    return out
+
+
+def test_substring_spans_match_token_level_reference_random(spark):
+    """Property: over random small corpora (tiny vocab to force shared
+    grams, unbounded df_cap so blocking never prunes), the gram-islands
+    implementation reproduces an independent token-level computation of
+    every maximal span exactly — counts, max, and total."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        substring_span_pairs,
+    )
+
+    k, min_len = 3, 5
+    vocab = st.sampled_from([f"t{i}" for i in range(6)])
+    doc = st.lists(vocab, min_size=1, max_size=24)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=2, max_size=5))
+    def check(token_docs):
+        docs = {i: toks for i, toks in enumerate(token_docs)}
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (
+                r["n_spans"], r["max_span_words"], r["total_span_words"]
+            )
+            for r in substring_span_pairs(
+                df, k=k, min_len=min_len, df_cap=10**6
+            ).collect()
+        }
+        assert got == _token_level_span_reference(docs, k, min_len)
+
+    check()
