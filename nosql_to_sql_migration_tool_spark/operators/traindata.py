@@ -579,3 +579,40 @@ def split_leakage(
             (F.col("split_a") != F.col("split_b")).alias("leaked"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Split assignment that CANNOT leak across near-duplicates: the
+    hash key is the document's near-dup COMPONENT label (from
+    ``dedup.near_dup_components`` / the twostar variant), so every
+    member of a transitive near-dup group lands on the same side by
+    construction — the root cause of split leakage (a near-copy of an
+    eval doc in train) is removed at assignment time instead of audited
+    after the fact. Docs without a component row (singletons, when the
+    labels frame only covers paired docs) key on their own id, which is
+    exactly the component label they would have received.
+
+    Same stability contract as ``with_split``: assignment depends only
+    on (component) key, so growing the corpus never moves an existing
+    group between splits — unless new data JOINS two groups, which is a
+    real identity change and re-keys the merged group once. One
+    broadcast-or-shuffle join + a pure projection; composes with
+    ``split_leakage`` (the audit should report zero (train,test) pairs)
+    and ``substring_cross_leakage`` for the substring-level residual."""
+    comp = components.select(
+        F.col(id_col),
+        F.col("component_id").cast("string").alias("__comp"),
+    )
+    keyed = docs.join(comp, id_col, "left").withColumn(
+        "__split_key",
+        F.coalesce(F.col("__comp"), F.col(id_col).cast("string")),
+    )
+    return with_split(keyed, "__split_key", train_pct, val_pct).drop(
+        "__comp", "__split_key"
+    )

@@ -166,3 +166,73 @@ def test_split_leakage_counts_cross_split_pairs(spark):
         ("test", "train"): (1, True),
         ("train", "val"): (1, True),
     }
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    """Component-keyed splitting: every near-dup group lands wholly on
+    one side (zero straddling pairs by construction), singletons split
+    on their own id identically to with_split, and the audit composes
+    to a clean report."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        duplicated_documents,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_pairs,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        leakage_safe_split,
+        with_split,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = duplicated_documents(
+        load_table(spark, SF_DIR_SMOKE, "documents")
+    ).localCheckpoint(eager=True)
+    labels = near_dup_components(docs).localCheckpoint(eager=True)
+    split = leakage_safe_split(docs, labels).localCheckpoint(eager=True)
+
+    # no verified near-dup pair straddles splits
+    pairs = near_dup_pairs(docs).select("id_a", "id_b")
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddle = pairs.join(sa, "id_a").join(sb, "id_b").filter(
+        F.col("sa") != F.col("sb")
+    )
+    assert straddle.count() == 0
+    # whole components share one split (stronger: transitive closure)
+    comp_splits = (
+        split.join(labels, "doc_id")
+        .groupBy("component_id")
+        .agg(F.count_distinct("split").alias("n"))
+    )
+    assert comp_splits.filter(F.col("n") > 1).count() == 0
+    # fractions roughly honored
+    frac = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert frac["train"] / n > 0.8 and frac.get("test", 0) / n < 0.12
+    # singleton docs (no component row covering them beyond themselves)
+    # get exactly the with_split assignment keyed on their own id
+    singles = labels.filter(
+        F.col("component_id") == F.col("doc_id")
+    ).select("doc_id")
+    lone = (
+        split.join(singles, "doc_id")
+        .select("doc_id", "split")
+        .withColumnRenamed("split", "got")
+    )
+    ref = with_split(
+        docs.join(singles, "doc_id").withColumn(
+            "__k", F.col("doc_id").cast("string")
+        ),
+        "__k",
+    ).select("doc_id", "split")
+    diff = lone.join(ref, "doc_id").filter(F.col("got") != F.col("split"))
+    # component label == own id -> identical hash key -> identical split
+    assert diff.count() == 0
