@@ -142,3 +142,39 @@ def stream_cms_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_lc_maintenance(
+    items_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    col: str = "token",
+    m: int | None = None,
+) -> StreamingQuery:
+    """Maintain a linear-counting distinct sketch from an item stream —
+    the distinct-cardinality twin of ``stream_cms_maintenance``: each
+    micro-batch folds its occupied md5 buckets into the persisted store
+    (``update_lc_index`` — batch_id-keyed, replay-idempotent), and
+    ``read_lc`` answers "how many distinct so far" at any time without
+    rescanning the stream's history. Same availableNow scheduled shape
+    and the same crash-window compaction gate (``compact_lc_index``)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        LC_M,
+        update_lc_index,
+    )
+
+    m_eff = LC_M if m is None else m
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_lc_index(
+            batch_df, index_path, batch_id=batch_id, col=col, m=m_eff
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1088,3 +1088,37 @@ def test_stream_drift_metrics_per_batch(spark, tmp_path):
     assert len(em) == 1
     assert em[0]["l1_distance"] == want["l1_distance"]
     assert em[0]["metric2"] == want["max_rate_gap"]
+
+
+def test_stream_lc_maintenance_matches_one_shot(spark, tmp_path):
+    """Streamed LC sketch == one-shot whole-corpus sketch bit-for-bit
+    (set-union mergeability through the availableNow stream path)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        linear_count,
+        read_lc,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+    from nosql_to_sql_migration_tool_spark.streaming.cms_stream import (
+        stream_lc_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=True)
+    want = linear_count(toks.select("token"), "token").collect()[0].asDict()
+
+    drops = str(tmp_path / "drops")
+    idx = str(tmp_path / "lc")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(2):
+        toks.filter(F.col("doc_id") % 2 == i).select("token").coalesce(
+            1
+        ).write.mode("append").parquet(drops)
+        q = stream_lc_maintenance(
+            spark.readStream.schema("token string").parquet(drops), idx, ckpt
+        )
+        q.awaitTermination(120)
+    assert read_lc(spark, idx).collect()[0].asDict() == want
