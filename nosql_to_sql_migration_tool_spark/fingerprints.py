@@ -227,6 +227,14 @@ _CONST_TYPES = (
 # ---------------------------------------------------------------------------
 
 _RUNTIME_CACHE_IDS: set[int] = set()
+# Strong references to every registered container (ADVICE r9): exclusion is
+# by id(), and a garbage-collected container's id can be recycled by CPython
+# for a genuine module constant — which would then be silently excluded from
+# plan digests (a hash that fails to change on a real constant edit). Keeping
+# the containers alive makes id recycling impossible; the list grows only by
+# one entry per runtime_cache() call site (re-imports under test add a few
+# duplicates, all tiny dicts).
+_RUNTIME_CACHE_REFS: list = []
 
 
 def runtime_cache(container):
@@ -236,6 +244,7 @@ def runtime_cache(container):
         _MY_CACHE: dict[str, tuple] = runtime_cache({})
     """
     _RUNTIME_CACHE_IDS.add(id(container))
+    _RUNTIME_CACHE_REFS.append(container)
     return container
 
 

@@ -1481,8 +1481,6 @@ def substring_span_pairs(
     on gram for the df computation and on (id_b, g) for the pair
     alignment; everything downstream is bounded by candidate-pair
     alignment volume (the inherent output size of substring dedup)."""
-    from pyspark.sql import Window
-
     # grams feeds THREE consumers (rare-df groupBy + both alignment
     # sides); without a cut Spark re-derives the tokenize+explode for
     # each (the containment_pairs lesson — no ReusedExchange across

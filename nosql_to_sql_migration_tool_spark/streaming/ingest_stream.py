@@ -30,6 +30,14 @@ cross-batch redelivery, not a replay — it is dropped from the batch
 gate. Replay-duplicated index rows are also deduped before the
 bucket-width cap inside ``ingest_near_dup_flags``.
 
+The replay/redelivery classification probes a compact ``(id,
+batch_id)`` LEDGER (ADVICE r9), written batch_id-partitioned BEFORE
+any sink/index mutation and folded by ``compact_ingest_ledger`` under
+the same crash-window gate as the CMS/LC stores — per-batch gate cost
+is one pruned single-column scan of the folded ledger, never a rescan
+of the full accepted + quarantine sinks (which grow with total corpus
+ingested and whose compaction can never shrink the text payload).
+
 Within-batch near-dups: the gate is batch-vs-CORPUS; two near-dup docs
 arriving in the SAME batch both pass (neither is in the index yet) and
 collapse on the next batch — callers needing intra-batch dedup run the
@@ -38,7 +46,7 @@ batch through ``near_dup_pairs`` first, exactly like the batch path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
@@ -93,35 +101,82 @@ def stream_ingest_near_dup(
     )
 
 
+def _ledger_path(accepted_path: str) -> str:
+    return accepted_path.rstrip("/") + ".__ledger"
+
+
+def _ledger_append(ids: DataFrame, ledger_path: str, batch_id: int) -> None:
+    """Record the batch's (post-foreign-drop) ids under its batch_id —
+    dynamic-partition overwrite, so a replayed batch rewrites exactly
+    its own partition with identical rows (the CMS/LC store
+    discipline)."""
+    (
+        ids.distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_path)
+    )
+
+
 def _replay_partition(
     batch_df: DataFrame,
     batch_id: int,
     sink_paths: tuple[str, str],
     id_col: str,
+    ledger_path: str,
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Split prior sink state by THIS batch_id (ADVICE r8): the previous
-    gate excluded the batch's ids from the probed index/verify side on
-    EVERY delivery, so a doc redelivered under a NEW batch_id (or an id
-    colliding with a prior batch's) silently skipped duplicate detection,
-    double-accepted, and appended duplicate index rows.
+    """Split prior ingest state by THIS batch_id (ADVICE r8): the gate
+    excludes the batch's ids from the probed index/verify side on EVERY
+    delivery, so a doc redelivered under a NEW batch_id (or an id
+    colliding with a prior batch's) must not silently skip duplicate
+    detection, double-accept, or append duplicate index rows.
+
+    The classification source is the compact ``(id, batch_id)`` LEDGER,
+    not the sinks (ADVICE r9): scanning the full accepted + quarantine
+    sinks cost O(total docs ever ingested) per batch and compaction
+    never shrank it; the ledger is a single pruned id column per
+    partition and ``compact_ingest_ledger`` folds committed batches to
+    one compact row set. Pre-ledger deployments bootstrap once: when
+    the ledger is absent but sinks exist, it is derived from the sinks
+    (the one remaining full scan) and persisted, so every later batch
+    probes only the ledger.
 
     Returns ``(batch_df, replayed_ids)`` where
 
-    * ids already sunk under a DIFFERENT batch_id are dropped from the
-      batch entirely — a cross-batch redelivery is already ingested and
-      its verdict stands (idempotent skip, no duplicate sink/index rows);
-    * ``replayed_ids`` are ids already sunk under the SAME batch_id —
-      a true at-least-once replay of a crashed commit; only THESE are
-      excluded from the probed index and verify side so the replayed
-      probe sees the corpus exactly as the first delivery did."""
+    * ids already ingested under a DIFFERENT batch_id (including the
+      reserved compacted ``batch_id=-1`` — a fold happens only after
+      its batches' checkpoints committed, so no fold victim can ever
+      replay) are dropped from the batch entirely — a cross-batch
+      redelivery is already ingested and its verdict stands (idempotent
+      skip, no duplicate sink/index rows);
+    * ``replayed_ids`` are ids already ingested under the SAME
+      batch_id — a true at-least-once replay of a crashed commit; only
+      THESE are excluded from the probed index and verify side so the
+      replayed probe sees the corpus exactly as the first delivery
+      did."""
     spark = batch_df.sparkSession
     prior = None
-    for path in sink_paths:
-        try:
-            part = spark.read.parquet(path).select(id_col, "batch_id")
-        except AnalysisException:
-            continue
-        prior = part if prior is None else prior.unionByName(part)
+    try:
+        prior = spark.read.parquet(ledger_path).select(id_col, "batch_id")
+    except AnalysisException:
+        # bootstrap from pre-ledger sinks (upgrade path), persisted so
+        # this full scan happens at most once per deployment
+        for path in sink_paths:
+            try:
+                part = spark.read.parquet(path).select(id_col, "batch_id")
+            except AnalysisException:
+                continue
+            prior = part if prior is None else prior.unionByName(part)
+        if prior is not None:
+            prior = prior.distinct().localCheckpoint(eager=True)
+            (
+                prior.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("batch_id")
+                .parquet(ledger_path)
+            )
     if prior is None:
         return batch_df, None
     foreign = (
@@ -129,12 +184,68 @@ def _replay_partition(
         .select(id_col)
         .distinct()
     )
+    # BOTH outputs are consumed after _ledger_append dynamically
+    # overwrites this batch's ledger partition; materialize them now
+    # (batch-scale rows) so no downstream plan re-lists the replaced
+    # ledger files mid-flight
     replayed = (
         prior.filter(F.col("batch_id") == int(batch_id))
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    return batch_df.join(foreign, id_col, "left_anti"), replayed
+    filtered = batch_df.join(foreign, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    return filtered, replayed
+
+
+def compact_ingest_ledger(
+    spark: SparkSession,
+    accepted_path: str,
+    max_safe_batch_id: int | None = None,
+    ledger_path: str | None = None,
+) -> None:
+    """Fold committed batches' ledger rows into the reserved
+    ``batch_id=-1`` partition — the CMS/LC compaction discipline applied
+    to the replay ledger, bounding it at one distinct-id row set (+
+    preserved unsafe batches). Semantically safe because a COMMITTED
+    batch_id can never replay: its ids only ever need the "different
+    batch_id ⇒ already ingested, drop" classification, which -1
+    (never a real batch id — Structured Streaming ids are >= 0)
+    provides. Same crash-window gate as the rollup/CMS compactions:
+    pass ``max_safe_batch_id`` (``rollup.last_committed_batch_id``)
+    while a stream is attached; ``None`` folds everything and is only
+    safe with no attached stream. Static overwrite per the rollup's
+    compaction lesson."""
+    path = ledger_path if ledger_path is not None else _ledger_path(
+        accepted_path
+    )
+    try:
+        parts = spark.read.parquet(path)
+    except AnalysisException:
+        return
+    if max_safe_batch_id is not None:
+        safe_pred = (F.col("batch_id") == -1) | (
+            F.col("batch_id") <= int(max_safe_batch_id)
+        )
+    else:
+        safe_pred = F.lit(True)
+    id_cols = [c for c in parts.columns if c != "batch_id"]
+    folded = (
+        parts.filter(safe_pred)
+        .select(*id_cols)
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+        .unionByName(parts.filter(~safe_pred))
+        .localCheckpoint(eager=True)
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def gate_batch(
@@ -173,11 +284,17 @@ def gate_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    ledger = _ledger_path(accepted_path)
     batch_df, replayed_ids = _replay_partition(
-        batch_df, batch_id, (accepted_path, quarantine_path), id_col
+        batch_df, batch_id, (accepted_path, quarantine_path), id_col, ledger
     )
     if batch_df.isEmpty():
         return
+    # ledger FIRST (before any sink/index mutation): a crash after this
+    # append classifies the redelivery as a TRUE replay, whose
+    # exclusions are no-ops against not-yet-mutated state — verdicts
+    # replay bit-identically from any crash point
+    _ledger_append(batch_df.select(id_col), ledger, batch_id)
     try:
         buckets = spark.read.parquet(index_path).select(
             "band_idx", "band_hash", id_col
@@ -251,11 +368,13 @@ def gate_embedding_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    ledger = _ledger_path(accepted_path)
     batch_df, replayed_ids = _replay_partition(
-        batch_df, batch_id, (accepted_path, quarantine_path), id_col
+        batch_df, batch_id, (accepted_path, quarantine_path), id_col, ledger
     )
     if batch_df.isEmpty():
         return
+    _ledger_append(batch_df.select(id_col), ledger, batch_id)
     try:
         bands = spark.read.parquet(index_path).select(
             "band_idx", "band_val", id_col

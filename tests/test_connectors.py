@@ -241,9 +241,10 @@ def test_export_training_shards_roundtrip_and_verify(spark, tmp_path):
     m2 = {r["shard"]: r.asDict() for r in
           export_training_shards(docs, out2, n_shards=8).collect()}
     assert m1 == m2
-    # and the stored manifest equals the returned one
+    # and the stored manifest equals the returned one (modulo the
+    # self-describing hash_mode column)
     stored = {r["shard"]: r.asDict() for r in
-              read_manifest(spark, out).collect()}
+              read_manifest(spark, out).drop("hash_mode").collect()}
     assert stored == m1
 
     # verification green on intact data
@@ -265,3 +266,81 @@ def test_export_training_shards_roundtrip_and_verify(spark, tmp_path):
     vj = verify_shards(spark, outj, fmt="json")
     assert vj.count() == 4
     assert vj.filter(~F.col("rows_match") | ~F.col("content_match")).count() == 0
+
+
+def test_export_manifest_advice_r9_hardening(spark, tmp_path):
+    """The three ADVICE r9 export nits, each reproduced:
+
+    1. manifest computed from READ-BACK — a nondeterministic input frame
+       still verifies green (the stored manifest describes the disk);
+    2. json exports with non-(long,string) columns verify green (stored
+       and recomputed fingerprints both see post-round-trip types);
+    3. md5canon mode: the stored manifest is bit-replayable in DuckDB
+       (external audit without Spark)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.sources.export import (
+        export_training_shards,
+        manifest_sql,
+        read_manifest,
+        verify_shards,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+
+    # 1. nondeterministic input: unseeded rand() sample — pre-read-back
+    #    manifests would disagree with the written files
+    nondet = docs.filter(F.rand() < 0.7)
+    out_nd = str(tmp_path / "nd")
+    export_training_shards(nondet, out_nd, n_shards=4)
+    v = verify_shards(spark, out_nd)
+    assert v.filter(~F.col("rows_match") | ~F.col("content_match")).count() == 0
+
+    # 2. json export with int/double/timestamp columns (the types a json
+    #    round trip retypes) verifies green
+    typed = load_table(spark, SF_DIR_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.col("o_custkey").cast("int").alias("cust"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    out_j = str(tmp_path / "typed_json")
+    export_training_shards(
+        typed, out_j, n_shards=4, text_col=None, fmt="json"
+    )
+    vj = verify_shards(spark, out_j, text_col=None, fmt="json")
+    assert vj.count() == 4
+    assert vj.filter(
+        ~F.col("rows_match") | ~F.col("content_match")
+    ).count() == 0
+
+    # 3. md5canon: DuckDB recomputes the manifest bit-identically from
+    #    the source table
+    out_c = str(tmp_path / "canon")
+    export_training_shards(docs, out_c, n_shards=4, hash_mode="md5canon")
+    stored = {
+        r["shard"]: (r["n_rows"], r["content_xor"], r["n_tokens"])
+        for r in read_manifest(spark, out_c).collect()
+    }
+    sql = manifest_sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+        4,
+        docs.schema,
+    )
+    con = duckdb.connect()
+    oracle = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(sql).fetchall()
+    }
+    con.close()
+    assert stored == oracle
+    # and verify (which recomputes in md5canon from the files) is green
+    vc = verify_shards(spark, out_c)
+    assert vc.filter(
+        ~F.col("rows_match") | ~F.col("content_match")
+    ).count() == 0

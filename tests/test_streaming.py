@@ -871,6 +871,97 @@ def test_ingest_gate_cross_batch_redelivery_is_idempotent(spark, tmp_path):
     assert index_rows0 <= spark.read.parquet(idx).count()
 
 
+def test_ingest_ledger_compaction_and_bootstrap(spark, tmp_path):
+    """ADVICE r9: the replay gate probes the compact (id, batch_id)
+    ledger, not the full sinks. Three contracts: (1) compaction folds
+    committed batches to the reserved batch_id=-1 set and a post-fold
+    cross-batch redelivery is STILL dropped (−1 classifies as 'different
+    batch_id ⇒ already ingested'); (2) the crash-window gate preserves
+    unsafe batches; (3) a pre-ledger deployment (sinks exist, no ledger)
+    bootstraps the ledger from the sinks once and classifies
+    correctly."""
+    import shutil
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        _ledger_path,
+        compact_ingest_ledger,
+        gate_batch,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    batch0 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+    ).localCheckpoint(eager=True)
+    batch1 = docs.filter(
+        (F.col("doc_id") >= 330) & (F.col("doc_id") < 360)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+
+    ledger = _ledger_path(acc)
+    ids_before = {
+        r["doc_id"]
+        for r in spark.read.parquet(ledger).select("doc_id").collect()
+    }
+    assert ids_before == {
+        r["doc_id"] for r in batch0.unionByName(batch1).select("doc_id").collect()
+    }
+
+    # (2) gated fold: batch 1 not yet committed -> its partition survives
+    compact_ingest_ledger(spark, acc, max_safe_batch_id=0)
+    led = spark.read.parquet(ledger)
+    assert set(
+        r["batch_id"] for r in led.select("batch_id").distinct().collect()
+    ) == {-1, 1}
+
+    # (1) full fold, then cross-batch redelivery of folded ids is dropped
+    compact_ingest_ledger(spark, acc)
+    led = spark.read.parquet(ledger)
+    assert set(
+        r["batch_id"] for r in led.select("batch_id").distinct().collect()
+    ) == {-1}
+    assert {r["doc_id"] for r in led.select("doc_id").collect()} == ids_before
+
+    sink_rows = spark.read.parquet(acc).count() + spark.read.parquet(qua).count()
+    gate_batch(batch0, 2, corpus, idx, acc, qua)  # pure redelivery
+    assert (
+        spark.read.parquet(acc).count() + spark.read.parquet(qua).count()
+        == sink_rows
+    )
+
+    # (3) bootstrap: wipe the ledger; the next gate derives it from the
+    # sinks and still drops the redelivery
+    shutil.rmtree(ledger)
+    fresh = docs.filter(
+        (F.col("doc_id") >= 360) & (F.col("doc_id") < 380)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch0.unionByName(fresh), 3, corpus, idx, acc, qua)
+    led = spark.read.parquet(ledger)
+    # redelivered batch-0 ids carry their ORIGINAL batch ids in the
+    # bootstrapped ledger; only the fresh docs were ingested under 3
+    sunk3 = {
+        r["doc_id"]
+        for r in led.filter(F.col("batch_id") == 3).select("doc_id").collect()
+    }
+    assert sunk3 == {r["doc_id"] for r in fresh.select("doc_id").collect()}
+    # no doc appears in both sinks or under two batch_ids
+    both = spark.read.parquet(acc).select("doc_id").intersect(
+        spark.read.parquet(qua).select("doc_id")
+    )
+    assert both.count() == 0
+
+
 def test_stream_ingest_embedding_gate_and_replay(spark, tmp_path):
     """Embedding twin of the text gate (VERDICT r7 next #5): batch 1's
     accepted vectors enter the hyperplane-LSH index, so batch 2's exact
