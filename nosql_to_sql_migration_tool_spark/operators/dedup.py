@@ -1555,7 +1555,7 @@ def _span_stats(spans: DataFrame) -> DataFrame:
     )
 
 
-def substring_cross_leakage(
+def cross_leakage_spans(
     train_df: DataFrame,
     eval_df: DataFrame,
     text_col: str = "text",
@@ -1564,22 +1564,15 @@ def substring_cross_leakage(
     min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
     df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
 ) -> DataFrame:
-    """Substring-level eval decontamination (the Lee-et-al/PaLM-style
-    check): maximal exactly-repeated token spans where ``id_a`` is a
-    TRAIN document and ``id_b`` is an EVAL document — a train shard
-    memorizably containing eval text is leakage even when whole-doc
-    near-dup audits (split_leakage) miss it because the documents as a
-    whole differ. Same anchors/blocking/islands machinery as
-    ``substring_span_pairs``; candidates pair strictly across the
-    split (no within-split work), and rare-anchor document frequency is
-    computed over the UNION so a gram common in train but rare overall
-    still blocks. Output: one row per contaminated (train, eval) pair
-    with exact span stats; drop or rewrite the train side per policy.
-
-    Ids must be unique across both inputs (the usual split of one
-    corpus). 100 TB shape: identical to substring_span_pairs except the
-    candidate join is train-rare x eval-rare instead of a self-join —
-    strictly cheaper at equal corpus size."""
+    """The shared heavy core of substring-level eval decontamination:
+    one row per maximal train×eval repeated span ``(id_a, id_b, d,
+    __isl, start_a, span_words)`` — ``substring_cross_leakage`` folds
+    these to pair stats, ``leaked_span_positions`` to train-doc scrub
+    positions, so a pipeline (and the bench memo) computes the
+    anchors/alignment ONCE for both consumers. Candidates pair strictly
+    across the split (no within-split work); rare-anchor document
+    frequency is computed over the UNION so a gram common in train but
+    rare overall still blocks."""
     grams_a = _gram_positions(train_df, text_col, id_col, k).localCheckpoint(
         eager=True
     )
@@ -1602,7 +1595,39 @@ def substring_cross_leakage(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _span_stats(_aligned_span_stats(cand, grams_a, grams_b, k, min_len))
+    return _aligned_span_stats(cand, grams_a, grams_b, k, min_len)
+
+
+def substring_cross_leakage(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Substring-level eval decontamination (the Lee-et-al/PaLM-style
+    check): maximal exactly-repeated token spans where ``id_a`` is a
+    TRAIN document and ``id_b`` is an EVAL document — a train shard
+    memorizably containing eval text is leakage even when whole-doc
+    near-dup audits (split_leakage) miss it because the documents as a
+    whole differ. Same anchors/blocking/islands machinery as
+    ``substring_span_pairs``. Output: one row per contaminated (train,
+    eval) pair with exact span stats; drop or rewrite the train side
+    per policy. ``spans`` short-circuits with a precomputed
+    ``cross_leakage_spans`` frame (the memo/pipeline path).
+
+    Ids must be unique across both inputs (the usual split of one
+    corpus). 100 TB shape: identical to substring_span_pairs except the
+    candidate join is train-rare x eval-rare instead of a self-join —
+    strictly cheaper at equal corpus size."""
+    if spans is None:
+        spans = cross_leakage_spans(
+            train_df, eval_df, text_col, id_col, k, min_len, df_cap
+        )
+    return _span_stats(spans)
 
 
 def substring_span_pairs_sql(
@@ -1663,6 +1688,144 @@ GROUP BY id_a, id_b
 """
 
 
+def _cross_span_ctes_sql(
+    k: int,
+    df_cap: int,
+    text_expr: str = "text",
+) -> str:
+    """Shared DuckDB CTE chain of the cross-leakage family — everything
+    through the maximal-span relation ``spans(id_a, id_b, d, isl,
+    start_a, span_words)``; expects ``train_docs`` / ``eval_docs`` CTEs
+    upstream, consumers append their own fold."""
+    toks = tokens_sql(text_expr)
+    return f"""
+toked_a AS (SELECT doc_id AS id, {toks} AS t FROM train_docs),
+toked_b AS (SELECT doc_id AS id, {toks} AS t FROM eval_docs),
+grams_a AS (
+  SELECT id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS g
+  FROM (
+    SELECT id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+    FROM toked_a WHERE len(t) >= {k}
+  )
+),
+grams_b AS (
+  SELECT id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS g
+  FROM (
+    SELECT id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+    FROM toked_b WHERE len(t) >= {k}
+  )
+),
+rare AS (
+  SELECT g FROM (
+    SELECT g FROM grams_a UNION ALL SELECT g FROM grams_b
+  ) GROUP BY g HAVING count(*) <= {df_cap}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM (SELECT id, grams_a.g FROM grams_a JOIN rare USING (g)) a
+  JOIN (SELECT id, grams_b.g FROM grams_b JOIN rare USING (g)) b USING (g)
+),
+m AS (
+  SELECT c.id_a, c.id_b, ga.pos AS pa, gb.pos AS pb,
+         ga.pos - gb.pos AS d
+  FROM cand c
+  JOIN grams_a ga ON ga.id = c.id_a
+  JOIN grams_b gb ON gb.id = c.id_b AND gb.g = ga.g
+),
+runs AS (
+  SELECT id_a, id_b, d, pa,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, d ORDER BY pa
+         ) AS isl
+  FROM m
+),
+spans AS (
+  SELECT id_a, id_b, d, isl,
+         min(pa) AS start_a,
+         max(pa) - min(pa) + {k} AS span_words
+  FROM runs GROUP BY id_a, id_b, d, isl
+)"""
+
+
+def substring_cross_leakage_sql(
+    train_sql: str,
+    eval_sql: str,
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``substring_cross_leakage`` (train×eval anchors,
+    union rare-df, same islands and aggregates — integer outputs)."""
+    return f"""
+WITH train_docs AS ({train_sql}),
+eval_docs AS ({eval_sql}),
+{_cross_span_ctes_sql(k, df_cap, text_expr)}
+SELECT id_a, id_b,
+       count(*) AS n_spans,
+       max(span_words) AS max_span_words,
+       CAST(sum(span_words) AS BIGINT) AS total_span_words
+FROM spans
+WHERE span_words >= {min_len}
+GROUP BY id_a, id_b
+"""
+
+
+def scrub_token_spans_sql(
+    train_sql: str,
+    eval_sql: str,
+    k: int = DEFAULT_SUBSTRING_K,
+    min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
+    df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB replay of the FULL decontamination remediation: recompute
+    the leaked train-doc span positions, drop every token inside any
+    leaked range, reassemble affected docs token-by-token (single-space
+    joined, exactly the Spark rebuild), pass untouched docs through
+    with their original text — ``(doc_id, text)`` for the whole train
+    side, hash-comparable string-for-string."""
+    return f"""
+WITH train_docs AS ({train_sql}),
+eval_docs AS ({eval_sql}),
+{_cross_span_ctes_sql(k, df_cap, text_expr)},
+spanpos AS (
+  SELECT id_a AS doc_id, start_a AS start_pos, span_words
+  FROM spans WHERE span_words >= {min_len}
+  GROUP BY 1, 2, 3
+),
+affected AS (SELECT DISTINCT doc_id FROM spanpos),
+atoks AS (
+  SELECT id AS doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (
+    SELECT id, t, unnest(range(1, len(t) + 1)) AS i
+    FROM toked_a WHERE id IN (SELECT doc_id FROM affected)
+  )
+),
+kept AS (
+  SELECT doc_id, pos, tok FROM atoks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spanpos s
+    WHERE s.doc_id = tk.doc_id
+      AND tk.pos >= s.start_pos
+      AND tk.pos < s.start_pos + s.span_words
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS {text_expr}
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id, coalesce(r.{text_expr}, '') AS {text_expr}
+FROM affected a LEFT JOIN rebuilt r USING (doc_id)
+UNION ALL
+SELECT t.doc_id, t.{text_expr}
+FROM train_docs t
+WHERE t.doc_id NOT IN (SELECT doc_id FROM affected)
+"""
+
+
 def leaked_span_positions(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -1671,34 +1834,17 @@ def leaked_span_positions(
     k: int = DEFAULT_SUBSTRING_K,
     min_len: int = DEFAULT_SUBSTRING_MIN_LEN,
     df_cap: int = DEFAULT_SUBSTRING_DF_CAP,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Positional form of ``substring_cross_leakage``: one row per
     leaked maximal span with its location in the TRAIN doc —
     ``(doc_id, start_pos, span_words)`` — the input the scrubber
-    consumes. Same blocking and islands machinery."""
-    grams_a = _gram_positions(train_df, text_col, id_col, k).localCheckpoint(
-        eager=True
-    )
-    grams_b = _gram_positions(eval_df, text_col, id_col, k).localCheckpoint(
-        eager=True
-    )
-    union_rows = grams_a.select("g").unionByName(grams_b.select("g"))
-    rare = (
-        union_rows.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= df_cap)
-        .select("g")
-    )
-    cand = (
-        grams_a.join(rare, "g").select(F.col("id").alias("id_a"), "g")
-        .join(
-            grams_b.join(rare, "g").select(F.col("id").alias("id_b"), "g"),
-            "g",
+    consumes. Same blocking and islands machinery (``spans`` reuses a
+    precomputed ``cross_leakage_spans`` frame)."""
+    if spans is None:
+        spans = cross_leakage_spans(
+            train_df, eval_df, text_col, id_col, k, min_len, df_cap
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    spans = _aligned_span_stats(cand, grams_a, grams_b, k, min_len)
     # the same train span may leak into several eval docs — scrub once
     return (
         spans.groupBy(

@@ -972,3 +972,298 @@ def bpe_token_count_sql(expr: str) -> str:
     """DuckDB twin (RE2 ``regexp_extract_all`` length)."""
     pat = BPE_TOKEN_RE.replace("'", "''")
     return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (round 10): the text-side complement of the
+# embedding ANN family — top-k document retrieval for a term query over an
+# inverted-index shape. Okapi BM25 with the Robertson +1 idf
+# (ln((N - df + 0.5)/(df + 0.5) + 1), always positive), k1 = 1.2, b = 0.75.
+#
+# Cross-engine determinism: every input to the float pipeline is an exact
+# integer (tf, df, doc/corpus token counts), every float op (IEEE divide,
+# multiply, add) is bit-identical across engines given bit-identical
+# inputs, and the ONE transcendental — ln — is rounded to 6 decimals the
+# moment it is computed: raw JVM Math.log vs DuckDB libm log differ in the
+# last ulp on ~8% of inputs (measured), but round(ln(...), 6) is bit-equal
+# over ln's FINITE input domain here ((N - df + 0.5)/(df + 0.5) + 1 for
+# df in 1..N), which tests/test_text_retrieval.py pins exhaustively for
+# corpus sizes through 100k docs. Per-term contributions are
+# then rounded to integer MICROS and summed as BIGINTs — an order-free
+# integer fold, the repo's standard defense against float sum
+# non-associativity — so the final score is bit-stable under any
+# partitioning and replayable in SQL.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query:
+    ``(doc_id, n_hit_terms, score_micro)`` — ``score_micro`` is the
+    BM25 score in integer micros (sum of per-term micro contributions).
+    Only documents containing at least one query term appear.
+
+    100 TB shape: the token explode filters to QUERY TERMS before any
+    shuffle (posting fan-in is bounded by |terms| x docs-with-term, the
+    inverted-index probe cost, never the corpus token count); df/N/avgdl
+    are term- and corpus-bounded aggregates broadcast to the scoring
+    join; the per-doc fold is one combinable integer sum."""
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        id_col,
+        F.size("__t").alias("__len"),
+        F.explode("__t").alias("__tok"),
+    )
+    corpus_stats = (
+        df.select(F.size(tokens(F.col(text_col))).alias("__l"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_docs"),
+            F.sum("__l").cast("long").alias("__total_tokens"),
+        )
+    )
+    postings = (
+        toked.filter(F.col("__tok").isin(*terms))
+        .groupBy(id_col, "__tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__tf"),
+            F.max("__len").cast("long").alias("__len"),
+        )
+    )
+    dfreq = postings.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    k1 = F.lit(BM25_K1)
+    b = F.lit(BM25_B)
+    scored = (
+        postings.join(F.broadcast(dfreq), "__tok")
+        .join(F.broadcast(corpus_stats))
+        .withColumn(
+            "__avgdl",
+            F.col("__total_tokens").cast("double")
+            / F.col("__n_docs").cast("double"),
+        )
+        .withColumn(
+            "__idf",
+            F.round(
+                F.log(
+                    (
+                        F.col("__n_docs").cast("double")
+                        - F.col("__df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("__df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("__tf").cast("double") * (k1 + F.lit(1.0)))
+            / (
+                F.col("__tf").cast("double")
+                + k1
+                * (
+                    F.lit(1.0)
+                    - b
+                    + b * F.col("__len").cast("double") / F.col("__avgdl")
+                )
+            ),
+        )
+        .withColumn(
+            "__micros",
+            F.round(F.col("__contrib") * F.lit(1_000_000.0), 0).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("__micros").cast("long").alias("score_micro"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 retrieval with deterministic ties (score desc, id
+    asc) — Spark plans the global ORDER BY + LIMIT as TakeOrdered
+    (per-partition top-k then a k-sized merge), never a full sort."""
+    return (
+        bm25_scores(df, terms, text_col, id_col)
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_idf_sql(n_docs: str, dfreq: str) -> str:
+    """The idf expression (DuckDB) — exposed separately so the
+    exhaustive-domain parity test pins exactly what the oracle uses."""
+    return (
+        f"round(ln((CAST({n_docs} AS DOUBLE) - CAST({dfreq} AS DOUBLE) + 0.5)"
+        f" / (CAST({dfreq} AS DOUBLE) + 0.5) + 1.0), 6)"
+    )
+
+
+def bm25_topk_sql(
+    docs_sql: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``bm25_topk`` — identical integer inputs, IEEE
+    float steps, micro rounding and integer fold."""
+    toks = tokens_sql(text_expr)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH docs AS ({docs_sql}),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS total_tokens
+  FROM toked
+),
+postings AS (
+  SELECT doc_id, tok,
+         CAST(count(*) AS BIGINT) AS tf,
+         CAST(max(len) AS BIGINT) AS len
+  FROM (
+    SELECT doc_id, len(t) AS len, unnest(t) AS tok FROM toked
+  )
+  WHERE tok IN ({term_list})
+  GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY tok
+),
+contrib AS (
+  SELECT p.doc_id,
+         CAST(round(
+           {bm25_idf_sql('s.n_docs', 'd.df')}
+           * (CAST(p.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(p.tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * CAST(p.len AS DOUBLE)
+                   / (CAST(s.total_tokens AS DOUBLE)
+                      / CAST(s.n_docs AS DOUBLE))))
+           * 1000000.0, 0) AS BIGINT) AS micros
+  FROM postings p
+  JOIN dfreq d USING (tok)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_hit_terms,
+       CAST(sum(micros) AS BIGINT) AS score_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (round 10): the Heaps-law dataset statistic a
+# corpus pipeline reads before fixing a tokenizer vocabulary — how many NEW
+# token types each slab of corpus contributes and the cumulative type count
+# in corpus order. "Corpus order" is id order (deterministic and
+# partition-free); a type's arrival point is min(doc_id), one combinable
+# aggregate, so the whole curve costs one token shuffle + bucket-bounded
+# metadata work — no global window (cumulative counts go through
+# ranking.bucketed_cumsum's offset decomposition).
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth(
+    df: DataFrame,
+    bucket_docs: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per corpus slab (``floor(id / bucket_docs)``): ``(bucket, n_docs,
+    n_tokens, new_types, cum_types)`` — ``new_types`` counts token types
+    whose FIRST occurrence (min id) lands in the slab, ``cum_types`` is
+    the running vocabulary size. Empty-text docs count toward n_docs
+    with zero tokens."""
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+
+    bkt = (F.col(id_col) / F.lit(bucket_docs)).cast("long")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    arrivals = (
+        toks.groupBy("__tok")
+        .agg(F.min(id_col).alias("__first_id"))
+        .groupBy(
+            (F.col("__first_id") / F.lit(bucket_docs))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    slabs = df.groupBy(bkt.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    joined = slabs.join(arrivals, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+    )
+    return bucketed_cumsum(
+        joined,
+        (F.col("bucket") / F.lit(8)).cast("long"),
+        [F.col("bucket")],
+        "new_types",
+        out_col="cum_types",
+    ).select("bucket", "n_docs", "n_tokens", "new_types", "cum_types")
+
+
+def vocab_growth_sql(
+    docs_sql: str,
+    bucket_docs: int = 100,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``vocab_growth`` (window over the handful of
+    buckets — metadata scale, fine in the oracle)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+arrivals AS (
+  SELECT CAST(min_id // {bucket_docs} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM (
+    SELECT tok, min(doc_id) AS min_id
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+    GROUP BY tok
+  )
+  GROUP BY 1
+),
+slabs AS (
+  SELECT CAST(doc_id // {bucket_docs} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS n_tokens
+  FROM toked
+  GROUP BY 1
+)
+SELECT s.bucket, s.n_docs, s.n_tokens,
+       CAST(coalesce(a.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(a.new_types, 0)) OVER (
+         ORDER BY s.bucket ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_types
+FROM slabs s LEFT JOIN arrivals a USING (bucket)
+"""

@@ -6703,33 +6703,22 @@ def _force(df: DataFrame) -> None:
     df.count()
 
 
-@_prewarm("build:dedup_corpus")
-def _pw_dedup_corpus(spark, sf_dir):
-    _force(_dedup_docs(spark, sf_dir))
-
-
-@_prewarm("build:dedup_shingles")
-def _pw_dedup_shingles(spark, sf_dir):
-    _force(_dedup_shingles(spark, sf_dir))
-
-
-@_prewarm("build:raw_shingles")
-def _pw_raw_shingles(spark, sf_dir):
-    _force(_raw_shingles(spark, sf_dir))
-
-
-@_prewarm("build:text_canon_fp")
-def _pw_text_canon_fp(spark, sf_dir):
-    """One-time codegen compile of the shared text-canonicalization +
-    md5 fingerprint projection (regexp_replace/lower/trim/md5 over the
-    documents text column). Attributed in round 7: this stage's Janino
-    compile (~1.2s) was billed to whichever fingerprint query ran first
-    under the driver's repeat-1 (doc_fingerprint, flagged 2 rounds as a
-    phantom regression); warm steady-state for the family is ~0.4s."""
+@_prewarm("build:dedup_text_memos")
+def _pw_dedup_text_memos(spark, sf_dir):
+    """The dedup family's shared TEXT-side memos in one row (r10
+    capacity consolidation, VERDICT r9 next #6 — same costs excluded
+    from the query rows, fewer bench rows): the planted-dup corpus
+    frame, its shingle sets, the raw-document shingle sets, and the
+    one-time codegen compile of the canonical-fingerprint projection
+    (the ~1.2s Janino compile that round 7 caught billing itself to
+    whichever fingerprint query ran first)."""
     from nosql_to_sql_migration_tool_spark.operators.text import (
         with_fingerprints,
     )
 
+    _force(_dedup_docs(spark, sf_dir))
+    _force(_dedup_shingles(spark, sf_dir))
+    _force(_raw_shingles(spark, sf_dir))
     with_fingerprints(
         load_table(spark, sf_dir, "documents"),
         shingles=_raw_shingles(spark, sf_dir),
@@ -6773,24 +6762,17 @@ def _pw_emb_truth(spark, sf_dir):
     _force(_memo_truth_pairs(spark, sf_dir))
 
 
-@_prewarm("build:raw_centroids")
-def _pw_raw_centroids(spark, sf_dir):
+@_prewarm("build:block_quantizers")
+def _pw_block_quantizers(spark, sf_dir):
+    """The ANN blocking family's quantizer artifacts in one row (r10
+    capacity consolidation): raw-corpus centroids, the planted-dup
+    quantizer (flat + two-level), and both cell assignments — the
+    stage-by-stage DAG a production deployment persists once and every
+    IVF/semantic query probes."""
     _memo_centroids(spark, sf_dir, "raw", 8, 2, 256)
-
-
-@_prewarm("build:block_quantizer")
-def _pw_block_quantizer(spark, sf_dir):
     k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
     _dup_emb_centroids(spark, sf_dir, k, 2, tl)
-
-
-@_prewarm("build:block_assign_flat")
-def _pw_block_assign_flat(spark, sf_dir):
     _force(_dup_emb_assigned(spark, sf_dir, "flat"))
-
-
-@_prewarm("build:block_assign_two_level")
-def _pw_block_assign_two_level(spark, sf_dir):
     _force(_dup_emb_assigned(spark, sf_dir, "two_level"))
 
 
@@ -6828,10 +6810,12 @@ def _pw_ingest_cms(spark, sf_dir):
 
 @_prewarm("build:drift_baseline")
 def _pw_drift_baseline(spark, sf_dir):
-    """One-time persist of the frozen pre-1998 price distribution (one
-    orders scan + a 64-row write) so the vs-baseline audit row measures
-    the steady-state one-scan-of-new-data path."""
+    """One-time persist of BOTH frozen drift references — the pre-1998
+    price distribution (64-bin counts) and the first-half event-type
+    mix (category counts) — so each vs-baseline audit row measures the
+    steady-state one-scan-of-new-data path."""
     _orders_price_baseline(spark, sf_dir)
+    _events_type_baseline(spark, sf_dir)
 
 
 @_prewarm("build:quantile_truth")
@@ -6860,13 +6844,12 @@ def _pw_derby_boot(spark, sf_dir):
     ).save()
 
 
-@_prewarm("build:pq_codebooks")
-def _pw_pq_books(spark, sf_dir):
+@_prewarm("build:pq_index")
+def _pw_pq_index(spark, sf_dir):
+    """PQ codebook training + one-pass corpus encode to 4-byte codes in
+    one row (r10 capacity consolidation); plan pinned to read codes
+    only (test_plan_shapes.py)."""
     _memo_pq_books(spark, sf_dir)
-
-
-@_prewarm("build:pq_encode")
-def _pw_pq_encode(spark, sf_dir):
     _force(_memo_pq_encoded(spark, sf_dir))
 
 
@@ -7566,3 +7549,349 @@ def q_near_dup_pagerank(spark, sf_dir):
     DECIMAL sum, so the DuckDB oracle's unrolled three-CTE replay is
     bit-identical."""
     return pagerank(_dedup_pairs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 10 registrations — the six r9-built, pytest-verified operators the
+# r9 rotation window had no room for (VERDICT r9 "Next round" #1-#5):
+# substring-level eval decontamination + its scrub remediation, the
+# oracle-checkable linear-counting distinct sketch, the component-keyed
+# leakage-safe split, the frozen categorical drift baseline, and the
+# manifest-verified training-shard export round trip.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.dedup import (  # noqa: E402
+    cross_leakage_spans,
+    leaked_span_positions,
+    scrub_token_spans,
+    scrub_token_spans_sql,
+    substring_cross_leakage,
+    substring_cross_leakage_sql,
+)
+
+# Train/eval sides of the planted-duplicates corpus under the standard
+# hash split (train = bucket < 90, eval = val + test): the NAIVE split, so
+# planted copies genuinely straddle it — the leakage the audit must find
+# (and the contrast case for leakage_safe_split below, whose component-
+# keyed assignment provably cannot straddle).
+_LEAK_TRAIN_SQL = (
+    f"SELECT doc_id, text FROM ({DUPLICATED_DOCUMENTS_SQL}) "
+    f"WHERE {split_bucket_sql('doc_id')} < 90"
+)
+_LEAK_EVAL_SQL = (
+    f"SELECT doc_id, text FROM ({DUPLICATED_DOCUMENTS_SQL}) "
+    f"WHERE {split_bucket_sql('doc_id')} >= 90"
+)
+
+_LEAK_SPANS_CACHE: dict[str, tuple] = runtime_cache({})
+
+
+def _leak_train(spark, sf_dir):
+    docs = _dedup_docs(spark, sf_dir)
+    return with_split(docs, "doc_id").filter(
+        F.col("split") == "train"
+    ).select("doc_id", "text")
+
+
+def _leak_eval(spark, sf_dir):
+    docs = _dedup_docs(spark, sf_dir)
+    return with_split(docs, "doc_id").filter(
+        F.col("split") != "train"
+    ).select("doc_id", "text")
+
+
+def _leak_spans(spark, sf_dir):
+    """Maximal train×eval repeated spans, persisted once per corpus —
+    the shared heavy stage of the decontamination family (anchor
+    blocking + alignment islands), consumed by both the audit fold and
+    the scrub position set."""
+    return _cached(
+        _LEAK_SPANS_CACHE,
+        spark,
+        sf_dir,
+        lambda: cross_leakage_spans(
+            _leak_train(spark, sf_dir), _leak_eval(spark, sf_dir)
+        ),
+    )
+
+
+@query(
+    "substring_cross_leakage",
+    substring_cross_leakage_sql(_LEAK_TRAIN_SQL, _LEAK_EVAL_SQL),
+)
+def q_substring_cross_leakage(spark, sf_dir):
+    """Substring-level eval DECONTAMINATION audit (Lee-et-al / PaLM
+    style; reference analogue: Migration_Validation.ps1:266-324
+    row-compare generalized to token spans): maximal exactly-repeated
+    token spans >= 20 tokens where one side is a TRAIN document and the
+    other an EVAL document of the standard hash split — train shards
+    memorizably containing eval text, the leakage whole-doc near-dup
+    audits miss. Candidates pair strictly across the split (strictly
+    cheaper than the substring_dup_spans self-join at equal corpus
+    size); rare-anchor df is computed over the union. Integer-only
+    outputs; oracle replays anchors, islands and folds."""
+    return substring_cross_leakage(
+        _leak_train(spark, sf_dir),
+        _leak_eval(spark, sf_dir),
+        spans=_leak_spans(spark, sf_dir),
+    )
+
+
+@query(
+    "scrub_token_spans",
+    scrub_token_spans_sql(_LEAK_TRAIN_SQL, _LEAK_EVAL_SQL),
+)
+def q_scrub_token_spans(spark, sf_dir):
+    """The REMEDIATION half of decontamination: every leaked span's
+    tokens removed from the train side — affected docs explode to
+    positions, leaked ranges drop via one spans-per-doc-bounded range
+    semi-join, survivors reassemble through a combinable
+    array_sort(collect_list) (no global window); untouched docs pass
+    through without entering the rebuild path at all. Output is the
+    ENTIRE scrubbed train corpus (doc_id, text), hash-compared
+    string-for-string against DuckDB's independent span-removal
+    replay — the oracle proves token-exact removal, not just counts."""
+    train = _leak_train(spark, sf_dir)
+    positions = leaked_span_positions(
+        train, _leak_eval(spark, sf_dir), spans=_leak_spans(spark, sf_dir)
+    )
+    return scrub_token_spans(train, positions).select("doc_id", "text")
+
+
+# --- linear counting: the oracle-checkable distinct sketch ---------------
+
+from nosql_to_sql_migration_tool_spark.operators.sketches import (  # noqa: E402
+    linear_count,
+    linear_count_sql,
+)
+
+
+@query(
+    "linear_count",
+    linear_count_sql(
+        "SELECT CAST(o_custkey AS VARCHAR) AS o_custkey FROM orders",
+        "o_custkey",
+    ),
+)
+def q_linear_count(spark, sf_dir):
+    """Linear probabilistic counting (Whang et al. 1990) of distinct
+    order customers — the replacement for the r3 HLL whose estimate was
+    engine-specific and had to be de-registered: linear counting's
+    estimate is a pure function of (m, occupied md5 buckets), so DuckDB
+    reproduces the ESTIMATE bit-for-bit (the ANSI decimal-division
+    pitfall is pinned: both engines cast to DOUBLE before ln). At
+    100 TB the shuffle carries <= m bucket rows per partition (one
+    map-side-combinable distinct over 4096 buckets), never the raw
+    keys; the mergeable batch form is ingest_lc's persisted store."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").cast("string").alias("o_custkey"))
+    return linear_count(keys, "o_custkey")
+
+
+# --- leakage-safe split: assignment keyed on near-dup components ---------
+
+_LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE docs AS ({DUPLICATED_DOCUMENTS_SQL}),
+{_MINHASH_BUCKETS_SQL_MAT},
+sh AS MATERIALIZED (SELECT doc_id, {word_shingles_sql('text')} AS sh FROM docs),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+),
+splits AS (
+  SELECT d.doc_id,
+         CASE WHEN {split_bucket_sql('coalesce(c.component_id, d.doc_id)')}
+                   < 90 THEN 'train'
+              WHEN {split_bucket_sql('coalesce(c.component_id, d.doc_id)')}
+                   < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM docs d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT least(x.split, y.split) AS split_a,
+       greatest(x.split, y.split) AS split_b,
+       count(*) AS n_pairs,
+       least(x.split, y.split) <> greatest(x.split, y.split) AS leaked
+FROM pairs p
+JOIN splits x ON p.id_a = x.doc_id
+JOIN splits y ON p.id_b = y.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("leakage_safe_split", _LEAKAGE_SAFE_SPLIT_ORACLE)
+def q_leakage_safe_split(spark, sf_dir):
+    """Split assignment that CANNOT leak across near-duplicates: the
+    hash key is the transitive near-dup COMPONENT label, so every
+    member of a dup group lands on one side by construction — the
+    assignment-time fix for what split_leakage_audit detects after the
+    fact. The registered result is the split_leakage audit of the
+    component-keyed assignment over the verified pair set: the hash
+    pins that every pair row is same-split (leaked = false throughout,
+    with the real nonzero pair counts), i.e. the INVARIANT, not just
+    the mechanics. Reuses the persisted component + pair memos; the
+    oracle independently replays closure, keying and audit."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        leakage_safe_split,
+        split_leakage,
+    )
+
+    docs = _dedup_docs(spark, sf_dir)
+    splits = leakage_safe_split(
+        docs, _dedup_components(spark, sf_dir)
+    ).select("doc_id", "split")
+    return split_leakage(_dedup_pairs(spark, sf_dir), splits)
+
+
+# --- frozen categorical drift baseline -----------------------------------
+
+_EVENTS_CAT_BASELINE_CACHE: dict[str, tuple] = runtime_cache({})
+
+
+def _events_type_baseline(spark, sf_dir) -> str:
+    """The persisted first-half event-type mix (category counts + n) —
+    the frozen categorical reference a deployment maintains out-of-band,
+    twin of ``_orders_price_baseline``."""
+    entry = _EVENTS_CAT_BASELINE_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    import uuid
+
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        save_categorical_baseline,
+    )
+
+    path = _scratch_dir("cat_baseline") + "/" + uuid.uuid4().hex
+    events = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    save_categorical_baseline(
+        events.filter(F.col("ts") < split), "event_type", path
+    )
+    _EVENTS_CAT_BASELINE_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@query("categorical_drift_vs_baseline", _CATEGORICAL_DRIFT_ORACLE)
+def q_categorical_drift_vs_baseline(spark, sf_dir):
+    """Categorical twin of orders_price_drift_vs_baseline (completes
+    VERDICT r8 next #6): the reference event-type mix is PERSISTED as
+    category counts + total — pure metadata — and live traffic audits
+    against the stored table, one scan of NEW data only. Bit-equal to
+    the two-snapshot audit by construction (full-outer union of
+    categories, integer cross-products), which is exactly what sharing
+    events_type_drift_audit's oracle proves."""
+    from nosql_to_sql_migration_tool_spark.operators.quality import (
+        categorical_drift_vs_baseline,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    return categorical_drift_vs_baseline(
+        events.filter(F.col("ts") >= split),
+        "event_type",
+        _events_type_baseline(spark, sf_dir),
+    )
+
+
+# --- training-shard export round trip ------------------------------------
+
+from nosql_to_sql_migration_tool_spark.sources.export import (  # noqa: E402
+    export_training_shards,
+    manifest_sql,
+    read_manifest,
+    verify_shards,
+)
+
+_SHARD_EXPORT_CACHE: dict[str, tuple] = runtime_cache({})
+_SHARD_EXPORT_N = 8
+
+_DOCS_EXPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_SHARD_MANIFEST_SQL = manifest_sql(
+    "SELECT doc_id, text FROM documents",
+    _SHARD_EXPORT_N,
+    _DOCS_EXPORT_SCHEMA,
+)
+
+
+def _shard_export(spark, sf_dir) -> str:
+    """One md5canon-manifested export of the documents corpus per
+    (session, sf_dir) — the persisted sink artifact the verification
+    query audits."""
+    entry = _SHARD_EXPORT_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    path = _scratch_dir("shard_export") + "/docs"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    export_training_shards(
+        docs, path, _SHARD_EXPORT_N, hash_mode="md5canon"
+    )
+    _SHARD_EXPORT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@query(
+    "training_shard_export",
+    f"""
+WITH m AS ({_SHARD_MANIFEST_SQL})
+SELECT shard, n_rows, content_xor, n_tokens,
+       TRUE AS rows_match, TRUE AS content_match
+FROM m
+""",
+)
+def q_training_shard_export(spark, sf_dir):
+    """Training-shard export ROUND TRIP (VERDICT r9 next #5): the
+    documents corpus written as 8 manifest-verified shards (md5 shard
+    assignment, order-free bit_xor content checksum in md5canon mode),
+    then (a) the stored manifest — computed from a read-back of the
+    written files — is hash-compared against DuckDB's INDEPENDENT
+    recomputation of (shard, n_rows, content_xor, n_tokens) from the
+    source table, proving manifest ≡ data across engines; and (b)
+    verify_shards' re-scan flags joined in, pinned all-green. One
+    shard-count-sized result; the export itself is the build row."""
+    path = _shard_export(spark, sf_dir)
+    stored = read_manifest(spark, path).drop("hash_mode")
+    flags = verify_shards(spark, path).select(
+        "shard", "rows_match", "content_match"
+    )
+    return stored.join(flags, "shard")
+
+
+# --- round-10 build rows --------------------------------------------------
+
+
+@_prewarm("build:leak_spans")
+def _pw_leak_spans(spark, sf_dir):
+    """One-time anchor-blocking + alignment of the train×eval span
+    frame shared by the decontamination audit and the scrubber."""
+    _force(_leak_spans(spark, sf_dir))
+
+
+@_prewarm("build:training_shards")
+def _pw_training_shards(spark, sf_dir):
+    """One-time sharded corpus write + read-back manifest, so the query
+    row measures the steady-state verification scan, not the export."""
+    _shard_export(spark, sf_dir)

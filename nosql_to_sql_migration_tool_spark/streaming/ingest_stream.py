@@ -335,8 +335,14 @@ def gate_batch(
     )
     accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
     quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
-    accepted.write.mode("append").parquet(accepted_path)
-    quarantined.write.mode("append").parquet(quarantine_path)
+    # batch_id-partitioned sinks (round 10): partition pruning for
+    # readers AND the partition-scoped rewrite takedown_docs needs
+    accepted.write.mode("append").partitionBy("batch_id").parquet(
+        accepted_path
+    )
+    quarantined.write.mode("append").partitionBy("batch_id").parquet(
+        quarantine_path
+    )
     # index maintenance LAST: O(batch) bucket rows, append-only
     update_band_index(
         accepted.select(id_col, text_col), index_path,
@@ -408,8 +414,12 @@ def gate_embedding_batch(
     )
     accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
     quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
-    accepted.write.mode("append").parquet(accepted_path)
-    quarantined.write.mode("append").parquet(quarantine_path)
+    accepted.write.mode("append").partitionBy("batch_id").parquet(
+        accepted_path
+    )
+    quarantined.write.mode("append").partitionBy("batch_id").parquet(
+        quarantine_path
+    )
     update_embedding_index(
         accepted.select(id_col, vec_col), index_path,
         vec_col=vec_col, id_col=id_col,
@@ -451,3 +461,91 @@ def stream_ingest_embedding_near_dup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _takedown_sink(
+    spark: SparkSession,
+    sink_path: str,
+    ids: DataFrame,
+    id_col: str,
+) -> int:
+    """Remove ``ids`` from one batch_id-partitioned sink via
+    PARTITION-SCOPED rewrite: a column-pruned (id, batch_id) scan finds
+    the partitions that actually hold target ids, only those partitions
+    are read in full, anti-joined and dynamically overwritten — the
+    rest of the sink is untouched bytes. Returns the number of rows
+    removed."""
+    try:
+        sink = spark.read.parquet(sink_path)
+    except AnalysisException:
+        return 0
+    hit_batches = [
+        r[0]
+        for r in sink.select(id_col, "batch_id")
+        .join(ids, id_col, "semi")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ]
+    if not hit_batches:
+        return 0
+    affected = sink.filter(F.col("batch_id").isin(hit_batches))
+    kept = affected.join(ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    removed = affected.count() - kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sink_path)
+    )
+    return removed
+
+
+def takedown_docs(
+    spark: SparkSession,
+    ids: DataFrame,
+    accepted_path: str,
+    quarantine_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Right-to-be-forgotten sweep over the ingest family's persisted
+    state: every CONTENT row for the given ids is removed from the
+    accepted sink, the quarantine sink and the LSH index (works for the
+    text band index and the embedding hyperplane index alike — the
+    rewrite keys only on ``id_col``). Returns removed-row counts per
+    store.
+
+    Scale shape: sinks are batch_id-partitioned, so content removal is
+    a partition-scoped rewrite — one pruned (id, batch_id) scan to
+    locate hit partitions, then only those partitions rewrite
+    (``_takedown_sink``). The index holds no content (band hashes +
+    ids) but has no per-id partitioning, so it compacts via one full
+    anti-join rewrite — it is the smallest store by far (no text
+    payload). Crash-safe by idempotence: a crash mid-sweep leaves some
+    partitions rewritten and some not; re-running the same takedown
+    completes it (every step is a pure anti-join of the target ids).
+
+    The replay LEDGER deliberately KEEPS the ids' (id, batch_id) rows:
+    they are content-free, and retaining them means a later redelivery
+    of a taken-down id is still classified 'already ingested' and
+    dropped instead of silently re-entering the corpus. A deployment
+    whose policy forbids retaining even ids can anti-join the ledger
+    too and accept possible re-ingestion."""
+    ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    out = {
+        "accepted": _takedown_sink(spark, accepted_path, ids, id_col),
+        "quarantine": _takedown_sink(spark, quarantine_path, ids, id_col),
+        "index": 0,
+    }
+    try:
+        index = spark.read.parquet(index_path)
+    except AnalysisException:
+        return out
+    kept = index.join(ids, id_col, "left_anti").localCheckpoint(eager=True)
+    out["index"] = index.count() - kept.count()
+    if out["index"]:
+        kept.write.mode("overwrite").parquet(index_path)
+    return out

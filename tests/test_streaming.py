@@ -1213,3 +1213,83 @@ def test_stream_lc_maintenance_matches_one_shot(spark, tmp_path):
         )
         q.awaitTermination(120)
     assert read_lc(spark, idx).collect()[0].asDict() == want
+
+
+def test_takedown_docs_partition_scoped_purge(spark, tmp_path):
+    """Right-to-be-forgotten sweep (round 10): taken-down ids vanish
+    from both sinks and the band index; unrelated docs and partitions
+    are untouched; the replay ledger RETAINS the ids so a later
+    redelivery is still dropped; the sweep is idempotent."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        _ledger_path,
+        gate_batch,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    batch0 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+    ).localCheckpoint(eager=True)
+    batch1 = docs.filter(
+        (F.col("doc_id") >= 330) & (F.col("doc_id") < 360)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+
+    accepted = spark.read.parquet(acc)
+    # pick 2 accepted docs from batch 0 to take down
+    targets = sorted(
+        r["doc_id"]
+        for r in accepted.filter(F.col("batch_id") == 0)
+        .select("doc_id")
+        .collect()
+    )[:2]
+    assert len(targets) == 2
+    ids = spark.createDataFrame([(t,) for t in targets], ["doc_id"])
+
+    before_acc = accepted.count()
+    before_idx = spark.read.parquet(idx).count()
+    removed = takedown_docs(spark, ids, acc, qua, idx)
+    assert removed["accepted"] == 2
+    assert removed["index"] > 0
+
+    after_acc = spark.read.parquet(acc)
+    assert after_acc.count() == before_acc - 2
+    assert after_acc.filter(F.col("doc_id").isin(targets)).count() == 0
+    assert (
+        spark.read.parquet(idx)
+        .filter(F.col("doc_id").isin(targets))
+        .count()
+        == 0
+    )
+    assert spark.read.parquet(idx).count() == before_idx - removed["index"]
+    # batch 1's partition untouched row-for-row
+    assert (
+        after_acc.filter(F.col("batch_id") == 1).count()
+        == accepted.filter(F.col("batch_id") == 1).count()
+    )
+    # ledger retains the ids -> redelivery under a new batch_id drops
+    led = spark.read.parquet(_ledger_path(acc))
+    assert led.filter(F.col("doc_id").isin(targets)).count() == 2
+    redeliver = docs.filter(F.col("doc_id").isin(targets)).localCheckpoint(
+        eager=True
+    )
+    gate_batch(redeliver, 5, corpus, idx, acc, qua)
+    assert (
+        spark.read.parquet(acc).filter(F.col("doc_id").isin(targets)).count()
+        == 0
+    )
+    # idempotent: re-running the sweep removes nothing further
+    removed2 = takedown_docs(spark, ids, acc, qua, idx)
+    assert removed2 == {"accepted": 0, "quarantine": 0, "index": 0}

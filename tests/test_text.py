@@ -203,3 +203,67 @@ def test_bpe_token_count_goldens(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["expected"], r
+
+
+def test_vocab_growth_hand_case_and_cumulative(spark):
+    """Heaps-law curve on a hand corpus: first-arrival accounting, slab
+    stats, cumulative vocabulary, and empty-doc handling."""
+    from nosql_to_sql_migration_tool_spark.operators.text import vocab_growth
+
+    rows = [
+        (0, "a b a"),          # types a,b arrive in bucket 0
+        (1, "b c"),            # c arrives in bucket 0
+        (2, "   "),            # empty: 1 doc, 0 tokens
+        (3, "a d"),            # d arrives in bucket 1
+        (5, "d e e"),          # e arrives in bucket 1
+        (7, "a b c"),          # nothing new in bucket 2 (wait: 7//3=2)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["bucket"]: (
+            r["n_docs"], r["n_tokens"], r["new_types"], r["cum_types"]
+        )
+        for r in vocab_growth(df, bucket_docs=3).collect()
+    }
+    assert got == {
+        0: (3, 5, 3, 3),   # docs 0,1,2; tokens 3+2+0; new a,b,c
+        1: (2, 5, 2, 5),   # docs 3,5; tokens 2+3; new d,e
+        2: (1, 3, 0, 5),   # doc 7; no new types
+    }
+
+
+def test_vocab_growth_cross_engine_parity(spark):
+    """Full value parity over the documents corpus."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        vocab_growth,
+        vocab_growth_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    got = {
+        tuple(r) for r in vocab_growth(docs, bucket_docs=50).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            vocab_growth_sql(
+                "SELECT doc_id, text FROM "
+                f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+                bucket_docs=50,
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) > 1
+    # the curve is a valid cumulative: nondecreasing, ends at total vocab
+    by_bucket = sorted(got)
+    cums = [r[4] for r in by_bucket]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r[3] for r in by_bucket)

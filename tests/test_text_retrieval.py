@@ -1,0 +1,172 @@
+"""BM25 lexical retrieval (round 10) — the text-side complement of the
+embedding ANN family.
+
+The determinism argument (operators/text.py module comment) rests on one
+empirical pin: round(ln(...), 6) must be bit-identical Spark-vs-DuckDB over
+ln's FINITE input domain ((N - df + 0.5)/(df + 0.5) + 1 for df in 1..N) —
+RAW ln is NOT (JVM Math.log vs DuckDB libm differ in the last ulp on ~8%
+of the domain, which is why the operator rounds idf at the source). The
+exhaustive-domain test here is that pin, at the shipped corpus sizes and
+above; everything else in the pipeline is integer arithmetic or
+bit-deterministic IEEE float ops.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.operators.text import (
+    BM25_B,
+    BM25_K1,
+    bm25_idf_sql,
+    bm25_scores,
+    bm25_topk,
+    bm25_topk_sql,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _py_bm25(docs: dict[int, str], terms: tuple[str, ...]) -> dict[int, int]:
+    """Independent Python reference (micros)."""
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out: dict[int, int] = {}
+    for i, t in toks.items():
+        micros = 0
+        hit = False
+        for term in set(terms):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            hit = True
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+            contrib = (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(t) / avgdl))
+            )
+            micros += round(contrib * 1_000_000.0)
+        if hit:
+            out[i] = micros
+    return out
+
+
+def test_bm25_hand_case_and_semantics(spark):
+    """Hand-built corpus: rarer term outweighs commoner one, higher tf
+    wins within a term, longer docs are penalized, docs with no query
+    term are absent."""
+    docs = {
+        1: "apple banana apple cherry",
+        2: "apple banana",
+        3: "banana banana banana banana banana banana banana banana",
+        4: "cherry date",
+        5: "date fig grape",
+    }
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_scores(sdf, ("apple", "cherry")).collect()
+    }
+    ref = _py_bm25(docs, ("apple", "cherry"))
+    assert set(got) == set(ref) == {1, 2, 4}
+    # python libm vs JVM StrictMath may differ in the last ulp -> allow
+    # 1 micro against the PYTHON reference (the cross-engine test below
+    # demands exactness where it matters)
+    for i in ref:
+        assert abs(got[i] - ref[i]) <= 1, (i, got[i], ref[i])
+    # doc 1: two hits incl. the rare 'cherry'; doc 2 only 'apple' ->
+    # doc 1 outranks doc 2; doc 4 has rare 'cherry' in a SHORT doc
+    top = [r["doc_id"] for r in bm25_topk(sdf, ("apple", "cherry"), k=3).collect()]
+    assert top[0] in (1, 4) and set(top) == {1, 2, 4}
+    assert got[1] > got[2]
+
+
+def test_bm25_cross_engine_parity(spark):
+    """Full value parity on the real corpus: (doc_id, n_hit_terms,
+    score_micro) identical Spark vs DuckDB, including the top-k cut."""
+    terms = ("hash", "join", "spark", "window")
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    got = {
+        (r["doc_id"], r["n_hit_terms"], r["score_micro"])
+        for r in bm25_topk(docs, terms, k=25).collect()
+    }
+    con = duckdb.connect()
+    sql = bm25_topk_sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+        terms,
+        k=25,
+    )
+    want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want
+    assert len(got) == 25
+
+
+@pytest.mark.parametrize("n_docs", [500, 5000, 20000, 100000])
+def test_bm25_idf_domain_bit_parity(spark, n_docs):
+    """THE pin: round(ln(...), 6) over the entire reachable idf input
+    domain for a corpus of n_docs documents (df = 1..n_docs) is
+    bit-identical Spark-vs-DuckDB — with it, every downstream float op
+    is deterministic by IEEE, so score_micro can never drift between
+    the engines at these corpus sizes."""
+    sdf = (
+        spark.range(1, n_docs + 1)
+        .select(F.col("id").alias("df"))
+        .select(
+            "df",
+            F.round(
+                F.log(
+                    (
+                        F.lit(float(n_docs))
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    got = {r["df"]: r["idf"] for r in sdf.collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT df, {bm25_idf_sql(str(n_docs), 'df')} AS idf "
+            f"FROM (SELECT unnest(range(1, {n_docs + 1})) AS df)"
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) == n_docs
+    diffs = [d for d in got if got[d] != want[d]]
+    assert diffs == [], f"ln drift at df={diffs[:5]} (n={len(diffs)})"
+
+
+def test_bm25_tie_break_and_length_penalty(spark):
+    """Equal-text duplicates score identically and order by id; a
+    longer doc with the same tf scores strictly lower."""
+    sdf = spark.createDataFrame(
+        [
+            (10, "x y z"),
+            (2, "x y z"),
+            (7, "x y z pad pad pad pad pad pad"),
+            (9, "pad only"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(sdf, ("x",), k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    scores = {r["doc_id"]: r["score_micro"] for r in rows}
+    assert ids == [2, 10, 7]  # ties -> id asc; longer doc last
+    assert scores[2] == scores[10] > scores[7]

@@ -78,6 +78,14 @@ FAMS = {
         "substring_dup_spans", "ingest_cms_heavy_hitters",
         "orders_price_drift_vs_baseline",
     ],
+    # round 10 additions (the registered six; linear_count and the
+    # categorical baseline are metadata-bounded by construction but
+    # measured anyway — cheap rows, and "measured" beats "argued")
+    "newcomers_r10": [
+        "substring_cross_leakage", "scrub_token_spans", "linear_count",
+        "leakage_safe_split", "categorical_drift_vs_baseline",
+        "training_shard_export",
+    ],
 }
 
 
