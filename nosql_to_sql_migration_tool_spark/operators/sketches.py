@@ -566,3 +566,51 @@ def compact_lc_index(
         .partitionBy("batch_id")
         .parquet(index_path)
     )
+
+
+def linear_count_by(
+    items: DataFrame, group_col: str, col: str, m: int = LC_M
+) -> DataFrame:
+    """Per-group linear counting (round 10): ``(group, n_occupied,
+    m_buckets, estimate)`` — one row per group, the grouped form of
+    ``linear_count`` (distinct-users-per-segment at corpus scale
+    without a per-group raw distinct). The shuffle carries at most
+    groups x m bucket rows; estimates use the same DOUBLE-pinned
+    formula, bit-replayable in DuckDB."""
+    occ = (
+        items.select(
+            F.col(group_col).alias("grp"),
+            lc_bucket(F.col(col), m).alias("bucket"),
+        )
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occupied"))
+    )
+    return occ.select(
+        F.col("grp").alias(group_col),
+        "n_occupied",
+        F.lit(m).cast("long").alias("m_buckets"),
+        _lc_estimate(F.col("n_occupied"), m).alias("estimate"),
+    )
+
+
+def linear_count_by_sql(
+    items_sql: str, group_expr: str, expr: str, m: int = LC_M
+) -> str:
+    """DuckDB twin of ``linear_count_by``."""
+    return f"""
+WITH items AS ({items_sql}),
+occ AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_occupied
+  FROM (
+    SELECT DISTINCT {group_expr} AS grp,
+           {lc_bucket_sql(expr, m)} AS bucket
+    FROM items
+  )
+  GROUP BY grp
+)
+SELECT grp AS {group_expr}, n_occupied,
+       CAST({m} AS BIGINT) AS m_buckets,
+       {_lc_estimate_sql('n_occupied', m)} AS estimate
+FROM occ
+"""

@@ -324,3 +324,48 @@ def test_linear_count_cross_engine_parity(spark):
     want = con.sql(sql).df().iloc[0].to_dict()
     assert got["n_occupied"] == want["n_occupied"]
     assert got["estimate"] == want["estimate"]
+
+
+def test_linear_count_by_groups_and_parity(spark):
+    """Grouped linear counting: per-group estimates track per-group
+    exact distincts, and the whole relation is bit-identical in
+    DuckDB."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        linear_count_by,
+        linear_count_by_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    events = load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    got = {
+        r["event_type"]: (r["n_occupied"], r["m_buckets"], r["estimate"])
+        for r in linear_count_by(events, "event_type", "user_id").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            linear_count_by_sql(
+                "SELECT event_type, CAST(user_id AS VARCHAR) AS user_id "
+                f"FROM read_parquet('{SF_DIR_SMOKE}/events.parquet')",
+                "event_type",
+                "user_id",
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) >= 3
+    # estimates within 5% of per-group exact distincts (load << m here)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, (_, _, est) in got.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
