@@ -999,22 +999,16 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_scores(
+def _bm25_term_micros(
     df: DataFrame,
     terms: tuple[str, ...],
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Per-document BM25 score for a bag-of-terms query:
-    ``(doc_id, n_hit_terms, score_micro)`` — ``score_micro`` is the
-    BM25 score in integer micros (sum of per-term micro contributions).
-    Only documents containing at least one query term appear.
-
-    100 TB shape: the token explode filters to QUERY TERMS before any
-    shuffle (posting fan-in is bounded by |terms| x docs-with-term, the
-    inverted-index probe cost, never the corpus token count); df/N/avgdl
-    are term- and corpus-bounded aggregates broadcast to the scoring
-    join; the per-doc fold is one combinable integer sum."""
+    """Shared scoring core: per (document, term) BM25 contribution in
+    integer micros — ``(id, __tok, __micros)``. Query-independent given
+    the term universe, so a query BATCH computes it once over the union
+    of its terms (``bm25_batch_topk``)."""
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     ).select(
@@ -1084,9 +1078,32 @@ def bm25_scores(
             F.round(F.col("__contrib") * F.lit(1_000_000.0), 0).cast("long"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
-        F.sum("__micros").cast("long").alias("score_micro"),
+    return scored.select(id_col, "__tok", "__micros")
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query:
+    ``(doc_id, n_hit_terms, score_micro)`` — ``score_micro`` is the
+    BM25 score in integer micros (sum of per-term micro contributions).
+    Only documents containing at least one query term appear.
+
+    100 TB shape: the token explode filters to QUERY TERMS before any
+    shuffle (posting fan-in is bounded by |terms| x docs-with-term, the
+    inverted-index probe cost, never the corpus token count); df/N/avgdl
+    are term- and corpus-bounded aggregates broadcast to the scoring
+    join; the per-doc fold is one combinable integer sum."""
+    return (
+        _bm25_term_micros(df, terms, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("__micros").cast("long").alias("score_micro"),
+        )
     )
 
 
@@ -1266,4 +1283,144 @@ SELECT s.bucket, s.n_docs, s.n_tokens,
          ORDER BY s.bucket ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS cum_types
 FROM slabs s LEFT JOIN arrivals a USING (bucket)
+"""
+
+
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Batched BM25 retrieval: top-k documents for EVERY query in a
+    query table ``(query_id, terms: array<string>)`` — the many-query
+    sibling of ``bm25_topk`` (the text twin of ``similarity.knn_join``).
+    Output ``(query_id, rank, doc_id, n_hit_terms, score_micro)``.
+
+    Scale shape: per-(doc, term) contributions are computed ONCE over
+    the UNION of all queries' terms (they are query-independent), then
+    joined to the broadcast (query, term) membership — a query batch is
+    small by construction. The grouped top-k runs in the same salted
+    two-phase as ``knn_join`` so no window partition ever holds all
+    docs matching one query: local top-k per (query, salt) keeps
+    n_salts*k survivors, the final rank orders those few rows. Exact
+    for any salt count; deterministic ties (score desc, doc id asc)."""
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("__tok"),
+    )
+    # driver-bounded metadata: the term universe of one query BATCH
+    # (queries are small by construction — same contract as knn_join's
+    # broadcast query side), needed as literals for the pre-shuffle
+    # posting filter
+    union_terms = tuple(
+        r[0] for r in qterms.select("__tok").distinct().collect()
+    )
+    if not union_terms:
+        raise ValueError("query table contributes no terms")
+    contribs = _bm25_term_micros(df, union_terms, text_col, id_col)
+    scored = (
+        contribs.join(F.broadcast(qterms), "__tok")
+        .groupBy("__qid", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("__micros").cast("long").alias("score_micro"),
+        )
+        .withColumn(
+            "__salt", F.crc32(F.col(id_col).cast("string")) % n_salts
+        )
+    )
+    local_w = Window.partitionBy("__qid", "__salt").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(local_w))
+        .where(F.col("__r") <= k)
+        .drop("__r", "__salt")
+    )
+    final_w = Window.partitionBy("__qid").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "rank",
+            id_col,
+            "n_hit_terms",
+            "score_micro",
+        )
+    )
+
+
+def bm25_batch_topk_sql(
+    docs_sql: str,
+    queries_sql: str,
+    k: int = 10,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``bm25_batch_topk``; ``queries_sql`` must yield
+    ``(query_id, term)`` rows (the exploded membership)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+qterms AS (SELECT DISTINCT query_id, term FROM ({queries_sql})),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS total_tokens
+  FROM toked
+),
+postings AS (
+  SELECT doc_id, tok,
+         CAST(count(*) AS BIGINT) AS tf,
+         CAST(max(len) AS BIGINT) AS len
+  FROM (
+    SELECT doc_id, len(t) AS len, unnest(t) AS tok FROM toked
+  )
+  WHERE tok IN (SELECT term FROM qterms)
+  GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY tok
+),
+contrib AS (
+  SELECT p.doc_id, p.tok,
+         CAST(round(
+           {bm25_idf_sql('s.n_docs', 'd.df')}
+           * (CAST(p.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(p.tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * CAST(p.len AS DOUBLE)
+                   / (CAST(s.total_tokens AS DOUBLE)
+                      / CAST(s.n_docs AS DOUBLE))))
+           * 1000000.0, 0) AS BIGINT) AS micros
+  FROM postings p
+  JOIN dfreq d USING (tok)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(sum(c.micros) AS BIGINT) AS score_micro
+  FROM contrib c JOIN qterms q ON q.term = c.tok
+  GROUP BY q.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_hit_terms, score_micro,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, n_hit_terms, score_micro
+FROM ranked WHERE rank <= {k}
 """

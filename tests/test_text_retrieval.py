@@ -170,3 +170,62 @@ def test_bm25_tie_break_and_length_penalty(spark):
     scores = {r["doc_id"]: r["score_micro"] for r in rows}
     assert ids == [2, 10, 7]  # ties -> id asc; longer doc last
     assert scores[2] == scores[10] > scores[7]
+
+
+def test_bm25_batch_topk_matches_per_query_and_oracle(spark):
+    """Batched retrieval == per-query bm25_topk for each query, and the
+    full relation is bit-identical in DuckDB (salted two-phase top-k is
+    exact)."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        bm25_batch_topk,
+        bm25_batch_topk_sql,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    qdefs = {
+        101: ("hash", "join"),
+        102: ("spark", "window", "scan"),
+        103: ("customer",),
+    }
+    queries = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in qdefs.items()],
+        ["query_id", "terms"],
+    )
+    batch = bm25_batch_topk(docs, queries, k=7, n_salts=4)
+    got = {
+        (r["query_id"], r["rank"]): (
+            r["doc_id"], r["n_hit_terms"], r["score_micro"]
+        )
+        for r in batch.collect()
+    }
+    # per-query equivalence (scores AND ranking)
+    for qid, ts in qdefs.items():
+        solo = bm25_topk(docs, ts, k=7).collect()
+        for rank, r in enumerate(solo, start=1):
+            assert got[(qid, rank)] == (
+                r["doc_id"], r["n_hit_terms"], r["score_micro"]
+            ), (qid, rank)
+    # cross-engine parity of the whole relation
+    qrows = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{t}' AS term"
+        for qid, ts in qdefs.items()
+        for t in ts
+    )
+    con = duckdb.connect()
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(
+            bm25_batch_topk_sql(
+                "SELECT doc_id, text FROM "
+                f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+                qrows,
+                k=7,
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
