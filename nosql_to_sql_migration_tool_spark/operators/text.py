@@ -1424,3 +1424,167 @@ ranked AS (
 SELECT query_id, rank, doc_id, n_hit_terms, score_micro
 FROM ranked WHERE rank <= {k}
 """
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-phrase search: ``(doc_id, n_occurrences, first_pos)``
+    for every document containing the phrase as consecutive whitespace
+    tokens — the positional complement of BM25's bag-of-terms scoring.
+    The n-gram projection compares against ONE literal before any
+    shuffle (Catalyst folds the equality into the generate/filter
+    stage), so shuffle volume is matching occurrences only; the fold is
+    one combinable groupBy. 0-based token positions."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("empty phrase")
+    n = len(words)
+    target = " ".join(words)
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") >= n)
+    grams = toked.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {n - 1}), "
+                f"i -> array_join(slice(__t, i, {n}), ' '))"
+            )
+        ).alias("__pos", "__g"),
+    ).where(F.col("__g") == target)
+    return grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("__pos").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_match_sql(
+    docs_sql: str, phrase: str, text_expr: str = "text"
+) -> str:
+    """DuckDB twin of ``phrase_match``."""
+    words = phrase.split()
+    n = len(words)
+    target = " ".join(words).replace("'", "''")
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {n} + 2)) AS i
+    FROM toked WHERE len(t) >= {n}
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM grams WHERE g = '{target}'
+GROUP BY doc_id
+"""
+
+
+def doc_duplication_rate(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplication (memorization-risk) rate: the fraction
+    of a document's k-gram occurrences that also appear in at least one
+    OTHER document — ``(doc_id, n_grams, n_duplicated, dup_rate)``.
+    Ranks individual documents by how much of their text exists
+    elsewhere in the corpus (the per-doc complement of the pairwise
+    containment/substring operators: no pair enumeration, so it stays
+    linear even for boilerplate grams shared by thousands of docs).
+
+    Shape: one gram shuffle for (gram -> n docs containing it), one
+    semi-join-shaped rejoin on gram, one per-doc combinable fold;
+    dup_rate = round(dup/total, 6) — cross-engine-exact rational.
+    Docs shorter than k tokens report zero grams and NULL dup_rate."""
+    grams = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("__t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(__t) - {k - 1}), "
+                    f"i -> array_join(slice(__t, i, {k}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    gdf = grams.groupBy("g").agg(
+        F.count_distinct("id").alias("__ndocs")
+    )
+    per_doc = (
+        grams.join(gdf, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__ndocs") > 1).cast("long"))
+            .cast("long")
+            .alias("n_duplicated"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_duplicated", F.lit(0))
+            .cast("long")
+            .alias("n_duplicated"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_duplicated").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def doc_duplication_rate_sql(
+    docs_sql: str, k: int = 5, text_expr: str = "text"
+) -> str:
+    """DuckDB twin of ``doc_duplication_rate``."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+toked AS (SELECT doc_id AS id, {toks} AS t FROM docs),
+grams AS (
+  SELECT id, array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS g
+  FROM (
+    SELECT id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+    FROM toked WHERE len(t) >= {k}
+  )
+),
+gdf AS (SELECT g, count(DISTINCT id) AS ndocs FROM grams GROUP BY g),
+per_doc AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duplicated
+  FROM grams JOIN gdf USING (g)
+  GROUP BY id
+)
+SELECT d.id AS doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_duplicated, 0) AS BIGINT) AS n_duplicated,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(CAST(p.n_duplicated AS DOUBLE)
+                       / CAST(p.n_grams AS DOUBLE), 6)
+       END AS dup_rate
+FROM toked d LEFT JOIN per_doc p USING (id)
+"""

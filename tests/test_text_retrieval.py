@@ -229,3 +229,107 @@ def test_bm25_batch_topk_matches_per_query_and_oracle(spark):
     }
     con.close()
     assert got == want
+
+
+def test_phrase_match_semantics_and_parity(spark):
+    """Exact phrase positions: overlapping occurrences count, token
+    boundaries respected (no substring false hits), cross-engine
+    parity on the real corpus."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        phrase_match,
+        phrase_match_sql,
+    )
+
+    hand = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # "a b a" occurs at 0 and 2 (overlap)
+            (2, "ab a b"),          # token "ab" is NOT "a b"
+            (3, "x a b a y"),       # one occurrence at 1
+            (4, "a b"),             # shorter than the phrase
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_match(hand, "a b a").collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 1)}
+
+    import duckdb
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    # a 2-token phrase with real hits in the synthetic corpus
+    phrase = "hash join"
+    mine = {
+        tuple(r) for r in phrase_match(docs, phrase).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            phrase_match_sql(
+                "SELECT doc_id, text FROM "
+                f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+                phrase,
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert mine == want and len(mine) > 0
+
+
+def test_doc_duplication_rate_hand_case_and_parity(spark):
+    """Per-doc duplication rate: planted copy pairs rate ~1.0, unique
+    docs rate 0.0, short docs NULL; full corpus parity with DuckDB."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        doc_duplication_rate,
+        doc_duplication_rate_sql,
+    )
+
+    hand = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w"),      # copied as doc 2
+            (2, "p q r s t u v w"),
+            (3, "one two three four five six seven"),  # unique
+            (4, "tiny"),                 # < k tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_duplicated"], r["dup_rate"])
+        for r in doc_duplication_rate(hand, k=5).collect()
+    }
+    assert got[1] == (4, 4, 1.0) and got[2] == (4, 4, 1.0)
+    assert got[3] == (3, 0, 0.0)
+    assert got[4] == (0, 0, None)
+
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        DUPLICATED_DOCUMENTS_SQL,
+        duplicated_documents,
+    )
+
+    docs = duplicated_documents(
+        load_table(spark, SF_DIR_SMOKE, "documents")
+    )
+    mine = {tuple(r) for r in doc_duplication_rate(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            doc_duplication_rate_sql(DUPLICATED_DOCUMENTS_SQL)
+        ).fetchall()
+    }
+    con.close()
+    assert mine == want
+    # planted exact copies must sit at rate 1.0
+    rates = {r[0]: r[3] for r in mine}
+    planted = [d for d in rates if d >= 100_000 and d < 200_000]
+    assert planted and all(rates[d] == 1.0 for d in planted)
