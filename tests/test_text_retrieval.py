@@ -333,3 +333,38 @@ def test_doc_duplication_rate_hand_case_and_parity(spark):
     rates = {r[0]: r[3] for r in mine}
     planted = [d for d in rates if d >= 100_000 and d < 200_000]
     assert planted and all(rates[d] == 1.0 for d in planted)
+
+
+def test_bm25_edge_cases(spark):
+    """Terms absent from the corpus yield an empty result (not an
+    error); duplicate terms in a batch query are deduplicated (no
+    double-counted contribution); a query whose terms all miss
+    contributes no rows to the batch output."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        bm25_batch_topk,
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        ["doc_id", "text"],
+    )
+    assert bm25_scores(docs, ("zzz", "qqq")).count() == 0
+
+    queries = spark.createDataFrame(
+        [
+            (1, ["beta", "beta", "beta"]),  # dup terms -> one contribution
+            (2, ["beta"]),
+            (3, ["nosuchterm"]),
+        ],
+        ["query_id", "terms"],
+    )
+    out = bm25_batch_topk(docs, queries, k=5)
+    rows = {(r["query_id"], r["doc_id"]): r for r in out.collect()}
+    # q1 (deduped) scores identically to q2
+    for d in (1, 2):
+        assert (
+            rows[(1, d)]["score_micro"] == rows[(2, d)]["score_micro"]
+        )
+        assert rows[(1, d)]["n_hit_terms"] == 1
+    assert not [k for k in rows if k[0] == 3]
