@@ -368,3 +368,71 @@ def test_bm25_edge_cases(spark):
         )
         assert rows[(1, d)]["n_hit_terms"] == 1
     assert not [k for k in rows if k[0] == 3]
+
+
+def test_r10_retrieval_plan_invariants(spark):
+    """Scale-shape pins for the round-10 retrieval/statistics operators
+    (the registered surface gets this mechanically from
+    test_plan_shapes.test_full_surface_plan_invariants; these are the
+    r11 candidates): no Python stages, no cartesian products, no global
+    (unpartitioned ordered) windows, pruned read schemas, and the BM25
+    term filter sits below the first shuffle (posting fan-in bounded by
+    the term list, never the corpus token count)."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        bm25_batch_topk,
+        bm25_topk,
+        doc_duplication_rate,
+        phrase_match,
+        vocab_growth,
+    )
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        physical_plan,
+        python_stage_count,
+        read_schemas,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["spark"])], ["query_id", "terms"]
+    )
+    frames = {
+        "bm25_topk": bm25_topk(docs, ("hash", "join"), k=5),
+        "bm25_batch_topk": bm25_batch_topk(docs, queries, k=5),
+        "phrase_match": phrase_match(docs, "hash join"),
+        "vocab_growth": vocab_growth(docs),
+        "doc_duplication_rate": doc_duplication_rate(docs),
+    }
+    for name, df in frames.items():
+        assert python_stage_count(df) == 0, name
+        assert cartesian_products(df) == 0, name
+        assert global_windows(df) == 0, name
+        # column pruning reached the scan: only (doc_id, text) read
+        for schema in read_schemas(df):
+            assert "lang" not in schema and "source" not in schema, (
+                name, schema
+            )
+    # BM25's term filter sits BELOW the shuffle: in the printed plan
+    # tree (parents above children) the nearest ancestors of the token
+    # Generate must encounter the term Filter BEFORE any Exchange —
+    # i.e. the filter executes pre-shuffle, bounding posting fan-in
+    plan = physical_plan(frames["bm25_topk"])
+    lines = plan.splitlines()
+    gen_idx = next(
+        i for i, l in enumerate(lines) if "Generate" in l and "explode" in l
+    )
+    above = list(reversed(lines[:gen_idx]))
+    filt_d = next(
+        (i for i, l in enumerate(above) if "Filter" in l and "hash" in l),
+        None,
+    )
+    exch_d = next(
+        (i for i, l in enumerate(above) if "Exchange" in l), None
+    )
+    assert filt_d is not None, "term filter not found above Generate"
+    assert exch_d is None or filt_d < exch_d, (
+        "term filter is above the shuffle (posting fan-in unbounded)"
+    )
