@@ -1921,3 +1921,65 @@ def scrub_token_spans(
     return untouched.select(df.columns).unionByName(
         rebuilt.select(df.columns)
     )
+
+
+def update_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    new_docs: DataFrame | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Incremental connected-components maintenance (round 10): given
+    the EXISTING ``(id, component_id)`` labels and the new verified
+    near-dup pairs an ingest round produced, return updated labels for
+    the whole corpus WITHOUT re-running propagation over it — the
+    incremental-view-maintenance discipline (``cdc.maintain_aggregate``)
+    applied to the dedup family's heaviest iterative job.
+
+    Correctness: an existing component's connectivity is preserved
+    exactly by its STAR EDGES (member -> component label; the label is
+    the min member's id, itself a member), so propagation over
+    ``star edges of AFFECTED components ∪ new pairs`` computes the same
+    transitive closure as a full rerun restricted to the affected
+    region — and untouched components cannot change (no new edge
+    touches them). New pairs BRIDGING two old components merge them to
+    the smaller label, exactly as a recompute would.
+
+    Cost follows CHURN, never corpus size: one semi-join to find
+    touched components, one to pull their members, and label
+    propagation over (affected members + new docs) with (their star
+    edges + new pairs) — O(affected) per round, O(log diameter) rounds.
+    ``new_docs`` adds ids with no pairs (singletons); pair endpoints
+    absent from ``labels`` are treated as new automatically."""
+    pairs = new_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    touched_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    touched_comps = (
+        labels.join(touched_ids, id_col, "semi")
+        .select("component_id")
+        .distinct()
+    )
+    affected = labels.join(touched_comps, "component_id", "semi")
+    star_edges = affected.filter(
+        F.col(id_col) != F.col("component_id")
+    ).select(
+        F.col(id_col).alias("id_a"), F.col("component_id").alias("id_b")
+    )
+    nodes = affected.select(id_col).unionByName(touched_ids)
+    if new_docs is not None:
+        nodes = nodes.unionByName(new_docs.select(id_col))
+    nodes = nodes.distinct()
+    recomputed = near_dup_components(
+        nodes,
+        id_col=id_col,
+        max_iterations=max_iterations,
+        pairs=star_edges.unionByName(pairs),
+    )
+    untouched = labels.join(touched_comps, "component_id", "anti").select(
+        id_col, "component_id"
+    )
+    return untouched.unionByName(recomputed.select(id_col, "component_id"))

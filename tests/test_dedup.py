@@ -734,3 +734,93 @@ def test_substring_spans_match_token_level_reference_random(spark):
         assert got == _token_level_span_reference(docs, k, min_len)
 
     check()
+
+
+def test_update_components_matches_full_recompute(spark):
+    """Incremental component maintenance == full recompute on the union
+    corpus, across every interesting churn shape: new doc joins an old
+    component, a new doc BRIDGES two old components (merge to the
+    smaller label), new-new pairs form a fresh component, isolated new
+    docs become singletons, and untouched components pass through
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        update_components,
+    )
+
+    old_docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 30)], ["doc_id"]
+    )
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    labels = near_dup_components(old_docs, pairs=old_pairs)
+
+    # churn: 40 joins {10,11}; 41 bridges components {1,2,3} and {10,11};
+    # 50-51 are a brand-new pair; 60 arrives isolated
+    new_pairs = spark.createDataFrame(
+        [(40, 10), (41, 3), (41, 11), (50, 51)], ["id_a", "id_b"]
+    )
+    new_docs = spark.createDataFrame([(60,)], ["doc_id"])
+
+    updated = update_components(labels, new_pairs, new_docs=new_docs)
+    got = {r["doc_id"]: r["component_id"] for r in updated.collect()}
+
+    all_docs = old_docs.unionByName(
+        spark.createDataFrame(
+            [(i,) for i in (40, 41, 50, 51, 60)], ["doc_id"]
+        )
+    )
+    full = {
+        r["doc_id"]: r["component_id"]
+        for r in near_dup_components(
+            all_docs, pairs=old_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert got == full
+    # the bridge merged both old components under the global min label
+    assert got[1] == got[2] == got[3] == got[10] == got[11] == got[40] == got[41] == 1
+    assert got[50] == got[51] == 50
+    assert got[60] == 60 and got[20] == 20 and got[30] == 30
+
+
+def test_update_components_on_real_corpus(spark):
+    """Split the planted-dup corpus by id: components from the 'old'
+    half plus an incremental update with the remaining pairs equals the
+    full-corpus recompute (labels AND row counts)."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        duplicated_documents,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_pairs,
+        update_components,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = duplicated_documents(
+        load_table(spark, SF_DIR_SMOKE, "documents")
+    ).localCheckpoint(eager=True)
+    pairs = near_dup_pairs(docs).localCheckpoint(eager=True)
+
+    cutoff = 100_000  # originals are old; planted copies arrive later
+    old_docs = docs.filter(F.col("doc_id") < cutoff)
+    old_pairs = pairs.filter(
+        (F.col("id_a") < cutoff) & (F.col("id_b") < cutoff)
+    )
+    new_pairs = pairs.filter(
+        (F.col("id_a") >= cutoff) | (F.col("id_b") >= cutoff)
+    )
+    labels = near_dup_components(old_docs, pairs=old_pairs)
+    new_docs = docs.filter(F.col("doc_id") >= cutoff).select("doc_id")
+
+    updated = update_components(labels, new_pairs, new_docs=new_docs)
+    full = near_dup_components(docs, pairs=pairs)
+    assert updated.count() == docs.count()
+    assert updated.exceptAll(full).isEmpty()
+    assert full.exceptAll(updated).isEmpty()
