@@ -1971,7 +1971,13 @@ def update_components(
     )
     nodes = affected.select(id_col).unionByName(touched_ids)
     if new_docs is not None:
-        nodes = nodes.unionByName(new_docs.select(id_col))
+        # guard: an id already labeled AND in an untouched component
+        # must not re-enter via new_docs (it would emit twice — once
+        # from the untouched pass-through, once recomputed as a
+        # singleton with the WRONG label); only genuinely-new ids join
+        nodes = nodes.unionByName(
+            new_docs.select(id_col).join(labels, id_col, "anti")
+        )
     nodes = nodes.distinct()
     recomputed = near_dup_components(
         nodes,

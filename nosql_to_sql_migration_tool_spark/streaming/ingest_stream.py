@@ -500,6 +500,24 @@ def _takedown_sink(
         .partitionBy("batch_id")
         .parquet(sink_path)
     )
+    # dynamic overwrite only touches partitions PRESENT in the written
+    # frame — a partition whose every row was taken down has nothing to
+    # write and would silently keep its old files (the purged rows!);
+    # delete those directories explicitly
+    survivors = {
+        r[0] for r in kept.select("batch_id").distinct().collect()
+    }
+    emptied = [b for b in hit_batches if b not in survivors]
+    if emptied:
+        from nosql_to_sql_migration_tool_spark.hadoop_fs import delete_paths
+
+        delete_paths(
+            spark,
+            [
+                f"{sink_path.rstrip('/')}/batch_id={b}"
+                for b in emptied
+            ],
+        )
     return removed
 
 

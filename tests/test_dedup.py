@@ -824,3 +824,29 @@ def test_update_components_on_real_corpus(spark):
     assert updated.count() == docs.count()
     assert updated.exceptAll(full).isEmpty()
     assert full.exceptAll(updated).isEmpty()
+
+
+def test_update_components_new_docs_overlap_guard(spark):
+    """Regression: a new_docs frame that (incorrectly but plausibly)
+    re-lists already-labeled docs must not duplicate their rows or
+    reset untouched labels — only genuinely-new ids enter the
+    recompute."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        update_components,
+    )
+
+    old_docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 20)], ["doc_id"]
+    )
+    old_pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    labels = near_dup_components(old_docs, pairs=old_pairs)
+
+    new_pairs = spark.createDataFrame([(30, 31)], ["id_a", "id_b"])
+    # 20 is ALREADY labeled (untouched component) — sloppy caller
+    sloppy_new = spark.createDataFrame([(30,), (31,), (20,)], ["doc_id"])
+    updated = update_components(labels, new_pairs, new_docs=sloppy_new)
+    rows = updated.collect()
+    got = {r["doc_id"]: r["component_id"] for r in rows}
+    assert len(rows) == len(got) == 5  # no duplicate rows
+    assert got == {1: 1, 2: 1, 20: 20, 30: 30, 31: 30}

@@ -1293,3 +1293,53 @@ def test_takedown_docs_partition_scoped_purge(spark, tmp_path):
     # idempotent: re-running the sweep removes nothing further
     removed2 = takedown_docs(spark, ids, acc, qua, idx)
     assert removed2 == {"accepted": 0, "quarantine": 0, "index": 0}
+
+
+def test_takedown_fully_emptied_partition_is_deleted(spark, tmp_path):
+    """Regression: dynamic partition overwrite only touches partitions
+    PRESENT in the written frame, so taking down EVERY doc of one batch
+    previously left that partition's files (the purged rows!) on disk —
+    the emptied directory must be deleted explicitly."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_batch,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    batch0 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 320)
+    ).localCheckpoint(eager=True)
+    batch1 = docs.filter(
+        (F.col("doc_id") >= 320) & (F.col("doc_id") < 340)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+
+    # take down EVERYTHING batch 0 sank (accepted and quarantined)
+    ids = batch0.select("doc_id")
+    n_batch0 = (
+        spark.read.parquet(acc).filter(F.col("batch_id") == 0).count()
+        + spark.read.parquet(qua).filter(F.col("batch_id") == 0).count()
+    )
+    removed = takedown_docs(spark, ids, acc, qua, idx)
+    assert removed["accepted"] + removed["quarantine"] == n_batch0
+
+    import os
+
+    assert not os.path.exists(os.path.join(acc, "batch_id=0"))
+    acc_after = spark.read.parquet(acc)
+    assert acc_after.filter(F.col("batch_id") == 0).count() == 0
+    assert acc_after.join(ids, "doc_id", "semi").count() == 0
+    # batch 1 intact
+    assert acc_after.filter(F.col("batch_id") == 1).count() > 0
