@@ -1343,3 +1343,65 @@ def test_takedown_fully_emptied_partition_is_deleted(spark, tmp_path):
     assert acc_after.join(ids, "doc_id", "semi").count() == 0
     # batch 1 intact
     assert acc_after.filter(F.col("batch_id") == 1).count() > 0
+
+
+def test_takedown_docs_embedding_family(spark, tmp_path):
+    """takedown_docs is id-keyed and format-agnostic — prove the claim
+    on the EMBEDDING ingest family: purged vectors vanish from the
+    accepted sink and the hyperplane-LSH index, other vectors and
+    partitions untouched, and the sweep is idempotent."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        build_embedding_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_embedding_batch,
+        takedown_docs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    fresh = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "emb_index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_embedding_index(corpus, idx)
+
+    b0 = fresh.filter(F.col("vec_id") % 2 == 0).localCheckpoint(eager=True)
+    b1 = fresh.filter(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    gate_embedding_batch(b0, 0, corpus, idx, acc, qua)
+    gate_embedding_batch(b1, 1, corpus, idx, acc, qua)
+
+    accepted = spark.read.parquet(acc)
+    targets = sorted(
+        r["vec_id"]
+        for r in accepted.filter(F.col("batch_id") == 0)
+        .select("vec_id")
+        .collect()
+    )[:3]
+    assert len(targets) == 3
+    ids = spark.createDataFrame([(t,) for t in targets], ["vec_id"])
+
+    before_acc = accepted.count()
+    removed = takedown_docs(spark, ids, acc, qua, idx, id_col="vec_id")
+    assert removed["accepted"] == 3 and removed["index"] > 0
+
+    after = spark.read.parquet(acc)
+    assert after.count() == before_acc - 3
+    assert after.filter(F.col("vec_id").isin(targets)).count() == 0
+    assert (
+        spark.read.parquet(idx)
+        .filter(F.col("vec_id").isin(targets))
+        .count()
+        == 0
+    )
+    assert (
+        after.filter(F.col("batch_id") == 1).count()
+        == accepted.filter(F.col("batch_id") == 1).count()
+    )
+    assert takedown_docs(spark, ids, acc, qua, idx, id_col="vec_id") == {
+        "accepted": 0,
+        "quarantine": 0,
+        "index": 0,
+    }
