@@ -396,6 +396,7 @@ def near_dup_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == F.col("node"))
@@ -413,7 +414,19 @@ def near_dup_components(
             ).alias("comp"),
         )
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # ADVICE r10: propagation needs O(diameter) rounds; silently
+        # returning unconverged labels would hand callers (including
+        # update_components' IVM contract) WRONG components. Fail loudly
+        # like the twostar variant does.
+        raise RuntimeError(
+            "near_dup_components: min-label propagation did not reach "
+            f"a fixpoint within max_iterations={max_iterations}; raise "
+            "max_iterations (O(chain diameter) rounds are needed) or "
+            "use near_dup_components_twostar (O(log² n) rounds)"
+        )
     connected = labels.select(
         F.col("node").alias(id_col), F.col("comp").alias("component_id")
     )

@@ -595,9 +595,23 @@ def linear_count_by(
 
 
 def linear_count_by_sql(
-    items_sql: str, group_expr: str, expr: str, m: int = LC_M
+    items_sql: str,
+    group_expr: str,
+    expr: str,
+    m: int = LC_M,
+    out_col: str | None = None,
 ) -> str:
-    """DuckDB twin of ``linear_count_by``."""
+    """DuckDB twin of ``linear_count_by``. ``group_expr`` may be any
+    SQL expression; the output column name is ``out_col``, defaulting
+    to ``group_expr`` only when that is a plain identifier (ADVICE r10:
+    ``grp AS <cast(...)>`` is not a valid alias)."""
+    if out_col is None:
+        if not group_expr.replace("_", "").isalnum():
+            raise ValueError(
+                "linear_count_by_sql: group_expr is not a plain column "
+                "name; pass out_col explicitly"
+            )
+        out_col = group_expr
     return f"""
 WITH items AS ({items_sql}),
 occ AS (
@@ -609,7 +623,7 @@ occ AS (
   )
   GROUP BY grp
 )
-SELECT grp AS {group_expr}, n_occupied,
+SELECT grp AS {out_col}, n_occupied,
        CAST({m} AS BIGINT) AS m_buckets,
        {_lc_estimate_sql('n_occupied', m)} AS estimate
 FROM occ

@@ -105,6 +105,44 @@ def _ledger_path(accepted_path: str) -> str:
     return accepted_path.rstrip("/") + ".__ledger"
 
 
+def _migrate_legacy_sink(spark: SparkSession, sink_path: str) -> bool:
+    """One-time sink layout upgrade (ADVICE r10 medium): pre-round-10
+    deployments appended sinks UNPARTITIONED, with batch_id as a data
+    column in root-level files; round-10 gates append
+    ``partitionBy('batch_id')``. Without this rewrite the first
+    post-upgrade append produces a mixed root-files-plus-batch_id=N
+    layout that breaks every later read of the sink (conflicting
+    directory structures / batch_id as both data and partition column)
+    — including the gate's own verify-side read. Runs inside the same
+    once-per-deployment ledger-bootstrap branch ('sinks exist, no
+    ledger'), so the full-sink rewrite happens at most once; a
+    partitioned sink (no root-level data files) is untouched. Returns
+    whether a rewrite happened."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+        list_files,
+        path_exists,
+    )
+
+    if not path_exists(spark, sink_path):
+        return False
+    root_data_files = [
+        p
+        for p, _ in list_files(spark, sink_path)
+        if not p.rsplit("/", 1)[-1].startswith((".", "_"))
+    ]
+    if not root_data_files:
+        return False
+    # LAZINESS HAZARD: checkpoint before overwriting the path we read
+    rows = spark.read.parquet(sink_path).localCheckpoint(eager=True)
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(sink_path)
+    )
+    return True
+
+
 def _ledger_append(ids: DataFrame, ledger_path: str, batch_id: int) -> None:
     """Record the batch's (post-foreign-drop) ids under its batch_id —
     dynamic-partition overwrite, so a replayed batch rewrites exactly
@@ -162,8 +200,12 @@ def _replay_partition(
         prior = spark.read.parquet(ledger_path).select(id_col, "batch_id")
     except AnalysisException:
         # bootstrap from pre-ledger sinks (upgrade path), persisted so
-        # this full scan happens at most once per deployment
+        # this full scan happens at most once per deployment; the same
+        # branch migrates any legacy UNPARTITIONED sink to the
+        # batch_id-partitioned layout before this round's append can
+        # create a mixed layout (ADVICE r10 medium)
         for path in sink_paths:
+            _migrate_legacy_sink(spark, path)
             try:
                 part = spark.read.parquet(path).select(id_col, "batch_id")
             except AnalysisException:
@@ -479,17 +521,20 @@ def _takedown_sink(
         sink = spark.read.parquet(sink_path)
     except AnalysisException:
         return 0
-    hit_batches = [
-        r[0]
-        for r in sink.select(id_col, "batch_id")
+    # hit partitions stay a DataFrame (VERDICT r10 #7): an isin over a
+    # collected literal list grew with the number of touched batches;
+    # a broadcast semi-join keeps partition location distributed and
+    # lets dynamic partition pruning skip the untouched bytes
+    hit = (
+        sink.select(id_col, "batch_id")
         .join(ids, id_col, "semi")
         .select("batch_id")
         .distinct()
-        .collect()
-    ]
-    if not hit_batches:
+        .localCheckpoint(eager=True)
+    )
+    if hit.isEmpty():
         return 0
-    affected = sink.filter(F.col("batch_id").isin(hit_batches))
+    affected = sink.join(F.broadcast(hit), "batch_id", "semi")
     kept = affected.join(ids, id_col, "left_anti").localCheckpoint(
         eager=True
     )
@@ -503,11 +548,15 @@ def _takedown_sink(
     # dynamic overwrite only touches partitions PRESENT in the written
     # frame — a partition whose every row was taken down has nothing to
     # write and would silently keep its old files (the purged rows!);
-    # delete those directories explicitly
-    survivors = {
-        r[0] for r in kept.select("batch_id").distinct().collect()
-    }
-    emptied = [b for b in hit_batches if b not in survivors]
+    # delete those directories explicitly. The only collect here is the
+    # emptied-partition list, which delete_paths needs driver-side
+    # anyway and is bounded by the takedown's own blast radius.
+    emptied = [
+        r[0]
+        for r in hit.join(
+            kept.select("batch_id").distinct(), "batch_id", "left_anti"
+        ).collect()
+    ]
     if emptied:
         from nosql_to_sql_migration_tool_spark.hadoop_fs import delete_paths
 
@@ -565,5 +614,17 @@ def takedown_docs(
     kept = index.join(ids, id_col, "left_anti").localCheckpoint(eager=True)
     out["index"] = index.count() - kept.count()
     if out["index"]:
-        kept.write.mode("overwrite").parquet(index_path)
+        # preserve the band_idx-partitioned layout (ADVICE r10 high):
+        # build_*/update_*_index all write partitionBy('band_idx'); an
+        # unpartitioned rewrite here left a mixed layout, so the NEXT
+        # gated batch's index append produced conflicting directory
+        # structures and broke the stream. Static overwrite replaces
+        # every partition, so fully-emptied bands vanish without an
+        # explicit directory delete.
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("band_idx")
+            .parquet(index_path)
+        )
     return out

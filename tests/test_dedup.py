@@ -850,3 +850,35 @@ def test_update_components_new_docs_overlap_guard(spark):
     got = {r["doc_id"]: r["component_id"] for r in rows}
     assert len(rows) == len(got) == 5  # no duplicate rows
     assert got == {1: 1, 2: 1, 20: 20, 30: 30, 31: 30}
+
+
+def test_components_raise_on_nonconvergence(spark):
+    """ADVICE r10 (low): min-label propagation needs O(chain diameter)
+    rounds; an exhausted max_iterations must raise (like the twostar
+    variant), never silently return wrong labels — update_components'
+    exact-equivalence contract depends on it."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        update_components,
+    )
+
+    chain_ids = spark.createDataFrame(
+        [(i,) for i in range(6)], ["doc_id"]
+    )
+    chain_pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        near_dup_components(
+            chain_ids, pairs=chain_pairs, max_iterations=1
+        ).collect()
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(6)], ["doc_id", "component_id"]
+    )
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        update_components(labels, chain_pairs, max_iterations=1).collect()
+    # ample iterations: the same chain converges to one component
+    got = update_components(labels, chain_pairs, max_iterations=20)
+    assert {r["component_id"] for r in got.collect()} == {0}

@@ -369,3 +369,31 @@ def test_linear_count_by_groups_and_parity(spark):
     }
     for g, (_, _, est) in got.items():
         assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
+
+
+def test_linear_count_by_sql_out_col_for_expressions():
+    """ADVICE r10 (low): group_expr used to be spliced into the output
+    alias verbatim, so any real expression produced invalid SQL. An
+    expression now requires an explicit out_col; plain identifiers
+    keep the old default."""
+    import duckdb
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        linear_count_by_sql,
+    )
+
+    sql = linear_count_by_sql(
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (13, 'c')) t(k, v)",
+        "CAST(k % 10 AS VARCHAR)",
+        "v",
+        out_col="k_mod",
+    )
+    con = duckdb.connect()
+    rows = con.execute(sql).fetchall()
+    cols = [d[0] for d in con.description]
+    con.close()
+    assert cols[0] == "k_mod"
+    assert {r[0] for r in rows} == {"1", "2", "3"}
+    with pytest.raises(ValueError, match="out_col"):
+        linear_count_by_sql("SELECT 1 AS k", "CAST(k AS VARCHAR)", "k")

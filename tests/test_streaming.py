@@ -1405,3 +1405,139 @@ def test_takedown_docs_embedding_family(spark, tmp_path):
         "quarantine": 0,
         "index": 0,
     }
+
+
+def test_gate_batch_after_takedown_keeps_index_layout(spark, tmp_path):
+    """ADVICE r10 (high): the takedown index rewrite must preserve the
+    band_idx-partitioned layout — the old unpartitioned rewrite made
+    the NEXT gated batch's partitionBy('band_idx') append produce a
+    mixed layout that broke every later index read. Gate → takedown →
+    gate again must work end-to-end."""
+    import os
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_batch,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    batch0 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch0, 0, corpus, idx, acc, qua)
+
+    targets = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(acc).select("doc_id").collect()
+    )[:2]
+    ids = spark.createDataFrame([(t,) for t in targets], ["doc_id"])
+    removed = takedown_docs(spark, ids, acc, qua, idx)
+    assert removed["accepted"] == 2 and removed["index"] > 0
+
+    # the rewritten index kept its hive layout: band_idx=N dirs, no
+    # root-level data files
+    entries = os.listdir(idx)
+    assert any(e.startswith("band_idx=") for e in entries)
+    assert not any(
+        e.endswith(".parquet") and not e.startswith((".", "_"))
+        for e in entries
+    )
+
+    # the stream keeps working: gate another batch against the
+    # rewritten index, then read every store back
+    batch1 = docs.filter(
+        (F.col("doc_id") >= 330) & (F.col("doc_id") < 360)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.join(ids, "doc_id", "semi").count() == 0
+    assert idx_df.filter(F.col("band_idx").isNull()).count() == 0
+    acc_df = spark.read.parquet(acc)
+    assert acc_df.filter(F.col("batch_id") == 1).count() > 0
+    assert acc_df.join(ids, "doc_id", "semi").count() == 0
+
+
+def test_legacy_unpartitioned_sink_migrates_on_bootstrap(spark, tmp_path):
+    """ADVICE r10 (medium): a pre-round-10 deployment wrote sinks
+    unpartitioned (batch_id as a data column in root-level files); the
+    first post-upgrade gate must migrate them to the
+    batch_id-partitioned layout during the one-time ledger bootstrap,
+    or its own append would create a mixed, unreadable layout."""
+    import os
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        _ledger_path,
+        gate_batch,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    # simulate the legacy deployment: batches 0 and 1 appended
+    # UNPARTITIONED with batch_id as a plain column, and no ledger
+    legacy0 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 320)
+    ).withColumn("batch_id", F.lit(0)).withColumn(
+        "best_jaccard", F.lit(0.0)
+    )
+    legacy1 = docs.filter(
+        (F.col("doc_id") >= 320) & (F.col("doc_id") < 340)
+    ).withColumn("batch_id", F.lit(1)).withColumn(
+        "best_jaccard", F.lit(0.0)
+    )
+    legacy0.write.mode("append").parquet(acc)
+    legacy1.write.mode("append").parquet(acc)
+    n_legacy = spark.read.parquet(acc).count()
+    root_files = [
+        e for e in os.listdir(acc)
+        if e.endswith(".parquet") and not e.startswith((".", "_"))
+    ]
+    assert root_files, "fixture must start as a root-file layout"
+
+    # first post-upgrade gate: bootstraps the ledger AND migrates
+    batch2 = docs.filter(
+        (F.col("doc_id") >= 340) & (F.col("doc_id") < 360)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch2, 2, corpus, idx, acc, qua)
+
+    entries = os.listdir(acc)
+    assert any(e.startswith("batch_id=") for e in entries)
+    assert not any(
+        e.endswith(".parquet") and not e.startswith((".", "_"))
+        for e in entries
+    )
+    migrated = spark.read.parquet(acc)
+    # every legacy row survived the rewrite, new batch appended on top
+    assert migrated.filter(F.col("batch_id") < 2).count() == n_legacy
+    assert migrated.filter(F.col("batch_id") == 2).count() > 0
+    # ledger bootstrapped from the legacy sinks: a redelivery of a
+    # legacy id under a new batch_id is dropped, sinks stay readable
+    redeliver = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 305)
+    ).localCheckpoint(eager=True)
+    gate_batch(redeliver, 3, corpus, idx, acc, qua)
+    after = spark.read.parquet(acc)
+    assert after.filter(F.col("batch_id") == 3).count() == 0
+    assert after.count() == migrated.count()
+    led = spark.read.parquet(_ledger_path(acc))
+    assert led.filter(F.col("doc_id") == 300).count() == 1
