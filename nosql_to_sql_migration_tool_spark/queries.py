@@ -6732,13 +6732,13 @@ def _pw_minhash_candidates(spark, sf_dir):
     _force(_dedup_cands(spark, sf_dir))
 
 
-@_prewarm("build:near_dup_pairs")
-def _pw_near_dup_pairs(spark, sf_dir):
+@_prewarm("build:near_dup_graph")
+def _pw_near_dup_graph(spark, sf_dir):
+    """The dedup graph memos in one row (r11 capacity consolidation —
+    same lineage: components IS the closure of the verified pairs):
+    Jaccard-verified near-dup pairs, then their transitive component
+    labels."""
     _force(_dedup_pairs(spark, sf_dir))
-
-
-@_prewarm("build:near_dup_components")
-def _pw_near_dup_components(spark, sf_dir):
     _force(_dedup_components(spark, sf_dir))
 
 
@@ -6747,19 +6747,24 @@ def _pw_simhash(spark, sf_dir):
     _force(_dedup_simhash(spark, sf_dir))
 
 
-@_prewarm("build:jaccard_truth_pairs")
-def _pw_jaccard_truth(spark, sf_dir):
+@_prewarm("build:audit_truths")
+def _pw_audit_truths(spark, sf_dir):
+    """The recall/error audits' ground-truth artifacts in one row (r11
+    capacity consolidation — same lineage: each is the exact reference
+    an approximate operator's registered AUDIT row compares against):
+    prefix-filter exact Jaccard pairs, the brute-force cosine truth
+    sample, and the exact-quantile truth plan's first (codegen-warm)
+    execution."""
     _force(_prefix_truth_pairs(spark, sf_dir))
+    _force(_memo_truth_pairs(spark, sf_dir))
+    q_price_quantile_error_audit(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 @_prewarm("build:emb_near_dup_pairs")
 def _pw_emb_pairs(spark, sf_dir):
     _force(_memo_emb_pairs(spark, sf_dir))
-
-
-@_prewarm("build:emb_truth_sample")
-def _pw_emb_truth(spark, sf_dir):
-    _force(_memo_truth_pairs(spark, sf_dir))
 
 
 @_prewarm("build:block_quantizers")
@@ -6776,14 +6781,19 @@ def _pw_block_quantizers(spark, sf_dir):
     _force(_dup_emb_assigned(spark, sf_dir, "two_level"))
 
 
-@_prewarm("build:ingest_band_index")
-def _pw_ingest_band_index(spark, sf_dir):
+@_prewarm("build:ingest_state")
+def _pw_ingest_state(spark, sf_dir):
+    """The incremental-ingest family's persisted state in one row (r11
+    capacity consolidation — same lineage: each is an index/store a
+    gated stream maintains and its steady-state query probes): the text
+    band index, the embedding hyperplane index, the CMS partials store
+    (3 batch folds + gated compaction), and the post-takedown scratch
+    deployment (gate x2 + right-to-be-forgotten sweep) the
+    takedown_audit row reads."""
     _force(_ingest_corpus_buckets(spark, sf_dir))
-
-
-@_prewarm("build:ingest_emb_index")
-def _pw_ingest_emb_index(spark, sf_dir):
     _force(_ingest_emb_bands(spark, sf_dir))
+    _force(q_ingest_cms_heavy_hitters(spark, sf_dir))
+    _takedown_state(spark, sf_dir)
 
 
 @_prewarm("build:catalog_views")
@@ -6798,16 +6808,6 @@ def _pw_catalog_views(spark, sf_dir):
     ).save()
 
 
-@_prewarm("build:ingest_cms")
-def _pw_ingest_cms(spark, sf_dir):
-    """One-time construction of the persisted CMS partials store (3
-    batch folds + gated compaction, ~4.5s at sf0.1) — memoized, so
-    without this row the cost would bill to ingest_cms_heavy_hitters'
-    first driver run while the committed min-of-2 measured the warm
-    memo (the r8 accounting lesson)."""
-    _force(q_ingest_cms_heavy_hitters(spark, sf_dir))
-
-
 @_prewarm("build:drift_baseline")
 def _pw_drift_baseline(spark, sf_dir):
     """One-time persist of BOTH frozen drift references — the pre-1998
@@ -6816,18 +6816,6 @@ def _pw_drift_baseline(spark, sf_dir):
     steady-state one-scan-of-new-data path."""
     _orders_price_baseline(spark, sf_dir)
     _events_type_baseline(spark, sf_dir)
-
-
-@_prewarm("build:quantile_truth")
-def _pw_quantile_truth(spark, sf_dir):
-    """First execution of the quantile-audit plan pays a 2-9s
-    codegen/shuffle warm-up over its exact-truth bucketed cumsum
-    (measured 12.7s cold -> 3.0-3.4s steady); run it once so the query
-    row measures the steady state — the same warm-run discipline as
-    build:catalog_views / build:derby_boot."""
-    q_price_quantile_error_audit(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
 
 
 @_prewarm("build:derby_boot")
@@ -7895,3 +7883,192 @@ def _pw_training_shards(spark, sf_dir):
     """One-time sharded corpus write + read-back manifest, so the query
     row measures the steady-state verification scan, not the export."""
     _shard_export(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 11 registrations (VERDICT r10 next #1/#3/#4/#5/#6): BM25 retrieval,
+# Heaps-law vocabulary growth, grouped linear counting, incremental
+# connected-components maintenance, and the read-only right-to-be-forgotten
+# audit. All five were built and pytest-proven in rounds 9-10; this block
+# puts them under the driver's oracle gate.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.sketches import (  # noqa: E402
+    linear_count_by,
+    linear_count_by_sql,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    bm25_topk,
+    bm25_topk_sql,
+    vocab_growth,
+    vocab_growth_sql,
+)
+from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (  # noqa: E402
+    takedown_audit,
+    takedown_audit_sql,
+)
+
+_BM25_TERMS = ("hash", "join", "spark", "window")
+
+
+@query(
+    "bm25_topk",
+    bm25_topk_sql("SELECT doc_id, text FROM documents", _BM25_TERMS, k=25),
+)
+def q_bm25_topk(spark, sf_dir):
+    """Top-25 BM25 retrieval over the documents corpus for a 4-term
+    query — the text-retrieval complement of the ANN family (VERDICT
+    r10 next #3). Scale shape: the term IN-filter sits BELOW the first
+    shuffle (posting fan-in bounded by |terms| x docs-containing-term,
+    never the corpus token count — pinned by
+    test_r10_retrieval_plan_invariants), per-doc stats fold map-side,
+    and the global top-k plans as TakeOrdered (per-partition heap +
+    k-row merge, no full sort). Cross-engine: idf = round(ln(...), 6)
+    AT THE SOURCE (bit-parity proven exhaustively over the df domain
+    through N=100k in test_bm25_idf_domain_bit_parity), scores folded
+    to integer micros."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+@query("vocab_growth", vocab_growth_sql("SELECT doc_id, text FROM documents"))
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (VERDICT r10 next #5): per
+    100-doc corpus slab, the number of NEW token types arriving (first
+    occurrence = min doc_id — one combinable aggregate) and the running
+    vocabulary size. The cumulative count goes through
+    bucketed_cumsum's offset decomposition, so there is NO global
+    ordered window anywhere — one token shuffle plus bucket-count
+    metadata work, which is what lets the same plan walk a 100 TB
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth(docs)
+
+
+@query(
+    "linear_count_by",
+    linear_count_by_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS user_id FROM events",
+        "event_type",
+        "user_id",
+    ),
+)
+def q_linear_count_by(spark, sf_dir):
+    """Grouped linear counting (VERDICT r10 next #4): distinct users
+    PER EVENT TYPE through the same md5-bucket sketch whose scalar form
+    went green in r10 — completes the linear-counting family. The
+    shuffle carries at most groups x m occupied-bucket rows (map-side
+    combinable distinct), never the raw keys; the estimate is a pure
+    function of (m, n_occupied), so DuckDB reproduces every VALUE
+    bit-for-bit."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    return linear_count_by(events, "event_type", "user_id")
+
+
+@query("update_components", _COMPONENTS_ORACLE)
+def q_update_components(spark, sf_dir):
+    """Incremental connected-components maintenance (VERDICT r10 next
+    #1): the corpus's verified near-dup pairs are split into an 'old'
+    edge set (labels computed once) and a churn round of 'new' pairs;
+    ``update_components`` folds the new pairs in by recomputing ONLY
+    the affected components (star edges preserve their connectivity
+    exactly), never touching the rest of the corpus — the IVM
+    discipline of the reference's incremental sync
+    (private/Sync.ps1:1-294: only changed rows touch the sink) applied
+    to the dedup closure. The oracle is the full recursive-CTE
+    transitive closure over ALL pairs, so a green row proves
+    incremental-maintenance ≡ full recompute on this corpus. Cost
+    follows churn: one semi-join to find touched components, label
+    propagation over (affected members + new pairs) only."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components,
+        update_components,
+    )
+
+    docs = _dedup_docs(spark, sf_dir)
+    pairs = _dedup_pairs(spark, sf_dir)
+    churn = (F.col("id_a") + F.col("id_b")) % 3 == 0
+    labels = near_dup_components(docs, pairs=pairs.filter(~churn))
+    return update_components(labels, pairs.filter(churn))
+
+
+# --- right-to-be-forgotten audit ------------------------------------------
+
+_TAKEDOWN_STATE_CACHE: dict[str, tuple] = runtime_cache({})
+
+
+def _takedown_state(spark, sf_dir) -> tuple[str, str, str]:
+    """Persisted post-takedown ingest state, built once per (session,
+    sf_dir): corpus band index (doc_id % 5 != 0), two gated batches
+    (doc_id % 10 == 0 and % 10 == 5 — together the % 5 == 0 set), then
+    a ``takedown_docs`` sweep of every doc_id % 15 == 0. The audit
+    query reads this state; the build is timed as part of
+    ``build:ingest_state``."""
+    import os
+    import shutil
+
+    entry = _TAKEDOWN_STATE_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_batch,
+        takedown_docs,
+    )
+
+    base = os.path.join(
+        _scratch_dir("takedown_state"),
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    # gates APPEND: wipe any stale state so a rebuilt session replays
+    # the exact batch sequence instead of redelivering onto old sinks
+    shutil.rmtree(base, ignore_errors=True)
+    idx = base + "/index"
+    acc = base + "/accepted"
+    qua = base + "/quarantine"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    corpus = docs.filter(k % 5 != 0)
+    build_band_index(corpus, idx)
+    gate_batch(
+        docs.filter(k % 10 == 0).localCheckpoint(eager=True),
+        0, corpus, idx, acc, qua,
+    )
+    gate_batch(
+        docs.filter(k % 10 == 5).localCheckpoint(eager=True),
+        1, corpus, idx, acc, qua,
+    )
+    takedown_docs(spark, docs.filter(k % 15 == 0).select("doc_id"), acc, qua, idx)
+    _TAKEDOWN_STATE_CACHE[sf_dir] = (spark, (idx, acc, qua))
+    return idx, acc, qua
+
+
+@query(
+    "takedown_audit",
+    takedown_audit_sql("doc_id % 5 = 0", "doc_id % 15 = 0"),
+)
+def q_takedown_audit(spark, sf_dir):
+    """Read-only post-takedown audit (VERDICT r10 next #6): after two
+    gated ingest batches and a right-to-be-forgotten sweep of every
+    doc_id % 15 == 0, recompute the invariants the persisted state must
+    satisfy — purged ids absent from both content sinks AND the LSH
+    index, every surviving accepted doc still probe-able (index rows
+    present), the replay ledger RETAINING the purged ids, and the
+    content stores holding EXACTLY batch-minus-purged (count + order-
+    free md5-fold checksum; verdict-independent because accepted ∪
+    quarantine partitions the gated batch). DuckDB recomputes the same
+    invariants from the source table alone — the reference's
+    validation-trio pattern (Migration_Validation.ps1:365-418) applied
+    to the takedown contract. Every check is a pruned-column semi/anti
+    join + tiny aggregate; no content column is ever read."""
+    idx, acc, qua = _takedown_state(spark, sf_dir)
+    purged = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 15 == 0)
+        .select("doc_id")
+    )
+    return takedown_audit(spark, purged, acc, qua, idx)

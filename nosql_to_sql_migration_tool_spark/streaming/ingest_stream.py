@@ -628,3 +628,146 @@ def takedown_docs(
             .parquet(index_path)
         )
     return out
+
+
+def _id_fingerprint(col: str):
+    """60-bit integer fold of md5(id-as-string) — the ``md5canon``
+    export convention (``sources/export.py``), reused so the audit's
+    order-free ``bit_xor`` membership checksum replays bit-identically
+    in DuckDB (``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1,
+    15)) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def takedown_audit(
+    spark: SparkSession,
+    ids: DataFrame,
+    accepted_path: str,
+    quarantine_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """READ-ONLY post-takedown audit (VERDICT r10 next #6): recompute
+    the invariants a completed ``takedown_docs`` sweep must leave in
+    the persisted ingest state — the reference's validation trio
+    (count, membership, checksum;
+    ``private/Migration_Validation.ps1:365-418``) applied to the
+    right-to-be-forgotten contract. One ``(invariant, n)`` row each:
+
+    * ``accepted_purged_present`` / ``quarantine_purged_present`` /
+      ``index_purged_present`` — rows for purged ids still in a content
+      store (must be 0);
+    * ``accepted_missing_from_index`` — accepted docs with no index
+      band rows (must be 0: every accepted doc stays probe-able);
+    * ``ledger_purged_retained`` — purged ids still in the replay
+      ledger (must be ALL of them: redeliveries stay excluded);
+    * ``content_docs`` / ``content_ids_xor`` — distinct-doc count and
+      order-free md5-fold checksum over accepted ∪ quarantine, pinning
+      that the sweep removed EXACTLY the purged ids and nothing else.
+
+    Every check is a semi/anti-join + tiny aggregate over the
+    persisted stores (no content scan beyond the pruned id/partition
+    columns); a store that does not exist (e.g. a quarantine that
+    never received a row) audits as empty."""
+    ids = ids.select(id_col).distinct()
+
+    def _read(path: str, *cols: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path).select(*cols)
+        except AnalysisException:
+            return None
+
+    def _row(name: str, df: DataFrame | None, agg=None) -> DataFrame:
+        if df is None:
+            return spark.range(1).select(
+                F.lit(name).alias("invariant"),
+                F.lit(0).cast("long").alias("n"),
+            )
+        agg = agg if agg is not None else F.count(F.lit(1)).cast("long")
+        return df.agg(agg.alias("n")).select(
+            F.lit(name).alias("invariant"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+
+    accepted = _read(accepted_path, id_col)
+    quarantine = _read(quarantine_path, id_col)
+    index = _read(index_path, id_col)
+    ledger = _read(_ledger_path(accepted_path), id_col)
+
+    def _semi(df: DataFrame | None) -> DataFrame | None:
+        return None if df is None else df.join(ids, id_col, "semi")
+
+    content = None
+    for part in (accepted, quarantine):
+        if part is not None:
+            content = part if content is None else content.unionByName(part)
+    content_ids = None if content is None else content.distinct()
+    missing = (
+        None
+        if accepted is None
+        else accepted.distinct().join(
+            index if index is not None else accepted.limit(0),
+            id_col,
+            "left_anti",
+        )
+    )
+    ledger_retained = (
+        None
+        if ledger is None
+        else ledger.select(id_col).distinct().join(ids, id_col, "semi")
+    )
+    checks = [
+        _row("accepted_purged_present", _semi(accepted)),
+        _row("quarantine_purged_present", _semi(quarantine)),
+        _row("index_purged_present", _semi(index)),
+        _row("accepted_missing_from_index", missing),
+        _row("ledger_purged_retained", ledger_retained),
+        _row("content_docs", content_ids),
+        _row(
+            "content_ids_xor",
+            content_ids,
+            agg=F.bit_xor(_id_fingerprint(id_col)),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def takedown_audit_sql(
+    batch_pred: str, purged_pred: str, id_expr: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``takedown_audit`` for a gated-ingest deployment
+    whose batch membership and purge set are expressible as predicates
+    over the source ``documents`` table: the content stores must hold
+    EXACTLY (batch minus purged) — verdict-independent, because
+    accepted ∪ quarantine partitions the gated batch — the index must
+    cover every accepted doc and no purged one, and the ledger retains
+    the purge set."""
+    fp = (
+        f"CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH batch AS (SELECT {id_expr} AS id FROM documents WHERE {batch_pred}),
+purged AS (SELECT {id_expr} AS id FROM documents WHERE {purged_pred}),
+content AS (SELECT id FROM batch WHERE id NOT IN (SELECT id FROM purged))
+SELECT 'accepted_purged_present' AS invariant, CAST(0 AS BIGINT) AS n
+UNION ALL
+SELECT 'quarantine_purged_present', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'index_purged_present', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'accepted_missing_from_index', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'ledger_purged_retained', (SELECT CAST(count(*) AS BIGINT) FROM purged)
+UNION ALL
+SELECT 'content_docs', (SELECT CAST(count(*) AS BIGINT) FROM content)
+UNION ALL
+SELECT 'content_ids_xor',
+       (SELECT CAST(coalesce(bit_xor({fp.replace(id_expr, 'id')}), 0)
+               AS BIGINT) FROM content)
+"""

@@ -1541,3 +1541,94 @@ def test_legacy_unpartitioned_sink_migrates_on_bootstrap(spark, tmp_path):
     assert after.count() == migrated.count()
     led = spark.read.parquet(_ledger_path(acc))
     assert led.filter(F.col("doc_id") == 300).count() == 1
+
+
+def test_takedown_audit_invariants_and_oracle(spark, tmp_path):
+    """READ-ONLY post-takedown audit (VERDICT r10 next #6): after a
+    gate x2 + sweep, the invariant rows pin purged-id absence, index
+    coverage, ledger retention and exact content membership — and the
+    DuckDB twin recomputes the same rows from the source table alone.
+    Also: a store that never materialized (here: quarantine under a
+    threshold of 1.01 — nothing quarantines) audits as empty instead of
+    erroring."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_batch,
+        takedown_audit,
+        takedown_audit_sql,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    k = F.col("doc_id")
+    corpus = docs.filter(k % 5 != 0)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+    gate_batch(
+        docs.filter(k % 10 == 0).localCheckpoint(eager=True),
+        0, corpus, idx, acc, qua,
+    )
+    gate_batch(
+        docs.filter(k % 10 == 5).localCheckpoint(eager=True),
+        1, corpus, idx, acc, qua,
+    )
+    purged = docs.filter(k % 15 == 0).select("doc_id")
+    takedown_docs(spark, purged, acc, qua, idx)
+
+    got = {
+        r["invariant"]: r["n"]
+        for r in takedown_audit(spark, purged, acc, qua, idx).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            takedown_audit_sql("doc_id % 5 = 0", "doc_id % 15 = 0")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert got["accepted_purged_present"] == 0
+    assert got["index_purged_present"] == 0
+    assert got["accepted_missing_from_index"] == 0
+    assert got["ledger_purged_retained"] > 0
+    assert got["content_docs"] > 0
+
+    # tamper detection: put one purged doc's band rows back and the
+    # membership checks catch it
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        update_band_index,
+    )
+
+    one = docs.filter(k % 15 == 0).limit(1).localCheckpoint(eager=True)
+    update_band_index(one, idx)
+    tampered = {
+        r["invariant"]: r["n"]
+        for r in takedown_audit(spark, purged, acc, qua, idx).collect()
+    }
+    assert tampered["index_purged_present"] > 0
+
+    # missing store audits as empty: a quarantine path that never
+    # received a row (fresh deployment, nothing gated yet)
+    empty_audit = {
+        r["invariant"]: r["n"]
+        for r in takedown_audit(
+            spark,
+            purged,
+            acc,
+            str(tmp_path / "never_written"),
+            idx,
+        ).collect()
+    }
+    assert empty_audit["quarantine_purged_present"] == 0

@@ -86,6 +86,11 @@ FAMS = {
         "leakage_safe_split", "categorical_drift_vs_baseline",
         "training_shard_export",
     ],
+    # round 11 additions (the registered five)
+    "newcomers_r11": [
+        "bm25_topk", "vocab_growth", "linear_count_by",
+        "update_components", "takedown_audit",
+    ],
 }
 
 
