@@ -616,3 +616,254 @@ def leakage_safe_split(
     return with_split(keyed, "__split_key", train_pct, val_pct).drop(
         "__comp", "__split_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (round 11): select raw-corpus documents
+# whose hashed unigram distribution looks like a TARGET corpus (Xie et al.
+# 2023, "Data Selection for Language Models via Importance Resampling").
+# Features are md5-hashed token buckets (the paper's hashed n-grams), so the
+# per-bucket ratio table is ALWAYS n_buckets rows — broadcastable at any
+# corpus size — and every document's weight is one broadcast join + a
+# combinable sum over its own tokens. Determinism follows the BM25 pin:
+# ln(...) is rounded to 6 dp AT THE SOURCE (raw ln differs Spark-vs-DuckDB
+# in the last ulp), then folded to integer micros.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 8192
+
+
+def _dsir_bucket(tok, n_buckets: int):
+    """md5-hex bucket of a token — the ``lc_bucket``/``cms_bucket``
+    integer convention (``operators/sketches.py``), kept local to avoid
+    a sketches import for one expression."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _dsir_bucket_sql(expr: str, n_buckets: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT) "
+        f"% {n_buckets}"
+    )
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    return (
+        df.select(
+            F.explode(tokens(F.col(text_col))).alias("__tok")
+        )
+        .select(_dsir_bucket(F.col("__tok"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dsir_bucket_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The importance model: per hashed-token bucket, target and raw
+    occurrence counts plus the add-one-smoothed log probability ratio in
+    integer micros —
+
+        lr_micro = round(ln( ((ct+1) * (Nr+B)) / ((cr+1) * (Nt+B)) ), 6)
+                   * 1e6
+
+    (B = n_buckets). The relation is at most B rows regardless of corpus
+    size — the point of hashing — so it broadcasts; counts stay exact
+    BIGINTs and the single ln is 6-dp-rounded at the source, making
+    every downstream weight a pure integer fold."""
+    ct = _bucket_counts(target, text_col, n_buckets)
+    cr = _bucket_counts(raw, text_col, n_buckets)
+    joined = (
+        ct.select("bucket", F.col("c").alias("ct"))
+        .join(
+            cr.select("bucket", F.col("c").alias("cr")), "bucket", "full"
+        )
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+        )
+    )
+    nt = target.select(
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        .cast("long")
+        .alias("__nt")
+    )
+    nr = raw.select(
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        .cast("long")
+        .alias("__nr")
+    )
+    b = float(n_buckets)
+    lr = F.round(
+        F.log(
+            (
+                (F.col("ct") + F.lit(1)).cast("double")
+                * (F.col("__nr") + F.lit(b)).cast("double")
+            )
+            / (
+                (F.col("cr") + F.lit(1)).cast("double")
+                * (F.col("__nt") + F.lit(b)).cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        joined.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            "ct",
+            "cr",
+            F.round(lr * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """Per raw document: ``(id, n_tokens, weight_micro)`` where
+    weight_micro is the summed bucket log-ratio over the document's
+    token occurrences — the DSIR importance log-weight in integer
+    micros (higher = more target-like). Docs with no tokens weigh 0.
+
+    Plan shape: one token explode, a per-(doc, bucket) combinable
+    count, a BROADCAST join against the ≤ n_buckets ratio table, and a
+    per-doc sum — no corpus-sized shuffle beyond the (doc, bucket)
+    fold, which is what survives 100 TB. Pass a persisted ``ratios``
+    (from ``dsir_bucket_ratios``) to reuse the model across selection
+    rounds — the production shape; it derives inline when omitted."""
+    if ratios is None:
+        ratios = dsir_bucket_ratios(raw, target, text_col, n_buckets)
+    doc_buckets = (
+        raw.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .select(
+            id_col, _dsir_bucket(F.col("__tok"), n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scored = (
+        doc_buckets.join(
+            F.broadcast(ratios.select("bucket", "lr_micro")), "bucket"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_micro"))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("weight_micro", F.lit(0))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic top-``n_docs`` importance selection: highest
+    ``weight_micro`` first, md5-free id tie-break — the greedy
+    (temperature-0) form of DSIR's resampling step, which is the
+    reproducible choice for a data pipeline (sampled variants change
+    the corpus under reruns). Plans as TakeOrdered over the weight
+    relation."""
+    w = dsir_weights(raw, target, text_col, id_col, n_buckets, ratios)
+    return w.orderBy(F.col("weight_micro").desc(), F.col(id_col)).limit(
+        n_docs
+    )
+
+
+def dsir_weights_sql(
+    raw_sql: str,
+    target_sql: str,
+    text_expr: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of ``dsir_weights`` (inline-ratio form): identical
+    bucket hash, exact BIGINT counts, the same 6-dp-rounded single ln
+    and integer-micro fold."""
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens_sql
+
+    toks = tokens_sql(text_expr)
+    b = float(n_buckets)
+    return f"""
+WITH raw AS ({raw_sql}),
+target AS ({target_sql}),
+rtok AS (SELECT doc_id, {toks} AS t FROM raw),
+ttok AS (SELECT {toks} AS t FROM target),
+ct AS (
+  SELECT {_dsir_bucket_sql('tok', n_buckets)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM ttok) GROUP BY 1
+),
+cr AS (
+  SELECT {_dsir_bucket_sql('tok', n_buckets)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM rtok) GROUP BY 1
+),
+nt AS (SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS n FROM ttok),
+nr AS (SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS n FROM rtok),
+ratios AS (
+  SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+         CAST(round(round(ln(
+           ((CAST(coalesce(ct.c, 0) AS DOUBLE) + 1.0)
+              * (CAST(nr.n AS DOUBLE) + {b}))
+           / ((CAST(coalesce(cr.c, 0) AS DOUBLE) + 1.0)
+              * (CAST(nt.n AS DOUBLE) + {b}))
+         ), 6) * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM ct FULL JOIN cr ON ct.bucket = cr.bucket, nt, nr
+),
+doc_buckets AS (
+  SELECT doc_id, {_dsir_bucket_sql('tok', n_buckets)} AS bucket,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM rtok)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(d.tf * r.lr_micro) AS BIGINT) AS weight_micro
+  FROM doc_buckets d JOIN ratios r USING (bucket)
+  GROUP BY d.doc_id
+)
+SELECT raw.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.weight_micro, 0) AS BIGINT) AS weight_micro
+FROM raw LEFT JOIN scored s ON raw.doc_id = s.doc_id
+"""

@@ -6747,6 +6747,11 @@ def _pw_simhash(spark, sf_dir):
     _force(_dedup_simhash(spark, sf_dir))
 
 
+@_prewarm("build:emb_near_dup_pairs")
+def _pw_emb_pairs(spark, sf_dir):
+    _force(_memo_emb_pairs(spark, sf_dir))
+
+
 @_prewarm("build:audit_truths")
 def _pw_audit_truths(spark, sf_dir):
     """The recall/error audits' ground-truth artifacts in one row (r11
@@ -6754,17 +6759,14 @@ def _pw_audit_truths(spark, sf_dir):
     an approximate operator's registered AUDIT row compares against):
     prefix-filter exact Jaccard pairs, the brute-force cosine truth
     sample, and the exact-quantile truth plan's first (codegen-warm)
-    execution."""
+    execution. Ordered AFTER build:emb_near_dup_pairs so the truth
+    sample reuses the already-warm embedding memos (the incremental
+    cost-accounting rule of this block)."""
     _force(_prefix_truth_pairs(spark, sf_dir))
     _force(_memo_truth_pairs(spark, sf_dir))
     q_price_quantile_error_audit(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-
-
-@_prewarm("build:emb_near_dup_pairs")
-def _pw_emb_pairs(spark, sf_dir):
-    _force(_memo_emb_pairs(spark, sf_dir))
 
 
 @_prewarm("build:block_quantizers")
@@ -8001,11 +8003,13 @@ _TAKEDOWN_STATE_CACHE: dict[str, tuple] = runtime_cache({})
 
 def _takedown_state(spark, sf_dir) -> tuple[str, str, str]:
     """Persisted post-takedown ingest state, built once per (session,
-    sf_dir): corpus band index (doc_id % 5 != 0), two gated batches
-    (doc_id % 10 == 0 and % 10 == 5 — together the % 5 == 0 set), then
-    a ``takedown_docs`` sweep of every doc_id % 15 == 0. The audit
-    query reads this state; the build is timed as part of
-    ``build:ingest_state``."""
+    sf_dir): corpus band index (doc_id % 5 != 0), ONE gated batch (the
+    doc_id % 5 == 0 set), then a ``takedown_docs`` sweep of every
+    doc_id % 15 == 0. One batch keeps the build-row cost down (each
+    gate is dozens of tiny jobs at bench scale); the multi-batch
+    partition-scoped behavior is separately pytest-pinned
+    (test_streaming takedown tests gate two batches). The audit query
+    reads this state; the build is timed in ``build:ingest_state``."""
     import os
     import shutil
 
@@ -8035,14 +8039,12 @@ def _takedown_state(spark, sf_dir) -> tuple[str, str, str]:
     corpus = docs.filter(k % 5 != 0)
     build_band_index(corpus, idx)
     gate_batch(
-        docs.filter(k % 10 == 0).localCheckpoint(eager=True),
+        docs.filter(k % 5 == 0).localCheckpoint(eager=True),
         0, corpus, idx, acc, qua,
     )
-    gate_batch(
-        docs.filter(k % 10 == 5).localCheckpoint(eager=True),
-        1, corpus, idx, acc, qua,
+    takedown_docs(
+        spark, docs.filter(k % 15 == 0).select("doc_id"), acc, qua, idx
     )
-    takedown_docs(spark, docs.filter(k % 15 == 0).select("doc_id"), acc, qua, idx)
     _TAKEDOWN_STATE_CACHE[sf_dir] = (spark, (idx, acc, qua))
     return idx, acc, qua
 

@@ -236,3 +236,149 @@ def test_leakage_safe_split_keeps_components_together(spark):
     diff = lone.join(ref, "doc_id").filter(F.col("got") != F.col("split"))
     # component label == own id -> identical hash key -> identical split
     assert diff.count() == 0
+
+
+# --- DSIR importance resampling (round 11) ---------------------------------
+
+
+def test_dsir_weights_hand_case(spark):
+    """A target of apple-documents must weight apple-bearing raw docs
+    above apple-free ones; empty docs weigh 0 and survive the left
+    join."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (1, "apple apple pie"),
+            (2, "quantum flux capacitor"),
+            (3, "apple orchard"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, "apple apple apple tart"), (101, "apple sauce")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight_micro"])
+        for r in dsir_weights(raw, target).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4] == (0, 0)
+    assert got[1][0] == 3 and got[3][0] == 2
+    # apple docs outscore the apple-free doc; within the apple docs the
+    # denser one wins; every out-of-target token carries the smoothed
+    # negative log ratio, so the all-unseen doc is the most negative
+    assert got[1][1] > got[2][1] and got[3][1] > got[2][1]
+    assert got[1][1] > got[3][1] > got[2][1]
+    # selection follows (weight desc, id) exactly — note the empty doc
+    # legitimately ranks at 0, above any negative-log-weight doc
+    ranking = sorted(got, key=lambda d: (-got[d][1], d))
+    picked = [r["doc_id"] for r in dsir_select(raw, target, 2).collect()]
+    assert picked == ranking[:2]
+
+
+def test_dsir_weights_cross_engine_parity(spark):
+    """Whole-relation bit parity on the real corpus: raw = all
+    documents, target = the English slice — every (doc_id, n_tokens,
+    weight_micro) row identical Spark vs DuckDB."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight_micro"])
+        for r in dsir_weights(raw, target).collect()
+    }
+    con = duckdb.connect()
+    sql = dsir_weights_sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR_SMOKE}/documents.parquet') "
+        "WHERE lang = 'en'",
+    )
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want and len(got) == 500
+    # the semantic claim: English documents look more target-like
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [w for d, (_, w) in got.items() if langs[d] == "en"]
+    rest = [w for d, (_, w) in got.items() if langs[d] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_ln_domain_parity(spark):
+    """The BM25 ln-pin applied to DSIR's ratio form: round(ln((ct+1) *
+    nrb / ((cr+1) * ntb)), 6) is bit-identical Spark-vs-DuckDB over a
+    dense grid of count pairs at realistic corpus totals — with the
+    single ln pinned, every downstream weight is integer arithmetic."""
+    import duckdb
+
+    grid = spark.range(1, 2001).select(
+        (F.col("id") % 50 + 1).alias("ct"),
+        (F.col("id") % 437 + 1).alias("cr"),
+    )
+    ntb, nrb = 1_234_567.0 + 8192.0, 9_876_543.0 + 8192.0
+    got = [
+        r["lr"]
+        for r in grid.select(
+            F.round(
+                F.log(
+                    (F.col("ct") + F.lit(1)).cast("double")
+                    * F.lit(nrb)
+                    / ((F.col("cr") + F.lit(1)).cast("double") * F.lit(ntb))
+                ),
+                6,
+            ).alias("lr")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT round(ln((CAST(ct AS DOUBLE) + 1.0) * {nrb}
+                          / ((CAST(cr AS DOUBLE) + 1.0) * {ntb})), 6)
+            FROM (SELECT i % 50 + 1 AS ct, i % 437 + 1 AS cr
+                  FROM generate_series(1, 2000) t(i))
+            """
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+def test_dsir_persisted_ratios_reuse(spark):
+    """The production shape: the <= n_buckets ratio table persists once
+    (one model) and is reused across selection rounds — identical
+    output to the inline derivation."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    ratios = dsir_bucket_ratios(raw, target).localCheckpoint(eager=True)
+    assert ratios.count() <= 8192
+    via = sorted(
+        map(tuple, dsir_weights(raw, target, ratios=ratios).collect())
+    )
+    inline = sorted(map(tuple, dsir_weights(raw, target).collect()))
+    assert via == inline
