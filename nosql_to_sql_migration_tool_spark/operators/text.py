@@ -1588,3 +1588,89 @@ SELECT d.id AS doc_id,
        END AS dup_rate
 FROM toked d LEFT JOIN per_doc p USING (id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by group (round 11): the dataset statistic a pipeline
+# reads before budgeting compute per language/source — how many BPE-ish
+# tokens each whitespace token becomes (fertility > 1.2 on a slice usually
+# means the tokenizer underserves it). Two shuffle-free per-row projections
+# (whitespace count, regex pretoken count) and one combinable group
+# aggregate; ratios pinned round(.,6) from exact BIGINT sums.
+# ---------------------------------------------------------------------------
+
+
+def token_fertility_by(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per group: ``(group, n_docs, ws_tokens, bpe_tokens, fertility)``
+    where fertility = bpe_tokens / ws_tokens rounded 6 dp (0.0 for a
+    group with no whitespace tokens). One corpus pass, one combinable
+    aggregate — the shuffle carries one row per group."""
+    per_row = df.select(
+        F.col(group_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__ws"),
+        bpe_token_count(F.col(text_col)).cast("long").alias("__bpe"),
+    )
+    agg = per_row.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(F.col("ws_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("bpe_tokens").cast("double")
+                / F.col("ws_tokens").cast("double"),
+                6,
+            )
+        )
+        .alias("fertility"),
+    )
+
+
+def token_fertility_by_sql(
+    docs_sql: str,
+    group_expr: str,
+    text_expr: str = "text",
+    out_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``token_fertility_by``. ``out_col`` names the
+    group column when ``group_expr`` is not a plain identifier (the
+    ``linear_count_by_sql`` alias contract)."""
+    if out_col is None:
+        if not group_expr.replace("_", "").isalnum():
+            raise ValueError(
+                "token_fertility_by_sql: group_expr is not a plain "
+                "column name; pass out_col explicitly"
+            )
+        out_col = group_expr
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+per_row AS (
+  SELECT {group_expr} AS grp,
+         CAST(len({toks}) AS BIGINT) AS ws,
+         CAST({bpe_token_count_sql(text_expr)} AS BIGINT) AS bpe
+  FROM docs
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+  FROM per_row GROUP BY grp
+)
+SELECT grp AS {out_col}, n_docs, ws_tokens, bpe_tokens,
+       CASE WHEN ws_tokens = 0 THEN 0.0
+            ELSE round(CAST(bpe_tokens AS DOUBLE)
+                       / CAST(ws_tokens AS DOUBLE), 6)
+       END AS fertility
+FROM agg
+"""

@@ -867,3 +867,91 @@ SELECT raw.doc_id,
        CAST(coalesce(s.weight_micro, 0) AS BIGINT) AS weight_micro
 FROM raw LEFT JOIN scored s ON raw.doc_id = s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (round 11): quality-weighted corpus
+# subsampling via the A-RES exponential-key trick (Efraimidis & Spirakis
+# 2006) with md5-derived uniforms — so the "random" sample is a pure
+# function of (id, weight): reproducible across engines, reruns and any
+# partitioning, and it grows stably (adding docs never reshuffles the keys
+# of existing ones — the with_split contract applied to weighted choice).
+# ---------------------------------------------------------------------------
+
+_WS_DENOM = float(1 << 52)  # 13 md5 hex chars -> exact 52-bit double
+
+
+def _sample_uniform(id_col: str):
+    """u in (0, 1]: the first 13 md5 hex chars of the id as a 52-bit
+    integer, +1, over 2^52 — exactly representable as a double, so both
+    engines see the bit-identical uniform."""
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return (v + F.lit(1)).cast("double") / F.lit(_WS_DENOM)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``n`` rows with the largest ``ln(u_id) / weight`` — exactly a
+    weighted random sample WITHOUT replacement drawn once and frozen
+    (A-RES keys; u^(1/w) order == ln(u)/w order). Rows with weight <= 0
+    or NULL are never sampled. Returns ``(id, weight, key_micro)``;
+    ranking is on the integer micro key with an id tie-break, so
+    selection is bit-deterministic and SQL-replayable.
+
+    Determinism: u is md5-derived (exact 52-bit double), the ONE ln is
+    rounded 6 dp at the source (the BM25/DSIR pin), and the division by
+    the caller's weight is a single IEEE op — identical inputs, identical
+    key. Weights must themselves be cross-engine-stable values (integers
+    or already-6-dp-rounded doubles — the caller's contract).
+
+    Scale shape: one shuffle-free key projection + a global top-n that
+    plans as TakeOrdered (per-partition heap, n-row merge) — the same
+    cost as any top-k, with no random-number state to coordinate."""
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(
+                F.round(F.log(_sample_uniform(id_col)), 6)
+                / F.col(weight_col).cast("double")
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("key_micro"),
+        )
+    )
+    return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(n)
+
+
+def weighted_sample_sql(
+    rows_sql: str,
+    weight_expr: str,
+    n: int,
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``weighted_sample`` (identical md5 uniform, 6-dp
+    ln pin, integer micro key, id tie-break)."""
+    u = (
+        f"(CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, "
+        f"13)) AS BIGINT) + 1) / {_WS_DENOM}"
+    )
+    return f"""
+WITH rows_in AS ({rows_sql}),
+keyed AS (
+  SELECT {id_expr} AS {id_expr}, {weight_expr} AS {weight_expr},
+         CAST(round(round(ln({u}), 6)
+                    / CAST({weight_expr} AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS key_micro
+  FROM rows_in
+  WHERE {weight_expr} IS NOT NULL AND {weight_expr} > 0
+)
+SELECT * FROM keyed ORDER BY key_micro DESC, {id_expr} LIMIT {n}
+"""

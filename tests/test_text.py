@@ -267,3 +267,52 @@ def test_vocab_growth_cross_engine_parity(spark):
     cums = [r[4] for r in by_bucket]
     assert cums == sorted(cums)
     assert cums[-1] == sum(r[3] for r in by_bucket)
+
+
+def test_token_fertility_by_parity_and_semantics(spark):
+    """Per-language tokenizer fertility: exact BIGINT sums, 6-dp ratio,
+    whole relation bit-identical in DuckDB; a punctuation-dense string
+    shows fertility > 1 (the statistic's point)."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        token_fertility_by,
+        token_fertility_by_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("lang", "text")
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["ws_tokens"], r["bpe_tokens"], r["fertility"]
+        )
+        for r in token_fertility_by(docs, "lang").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            token_fertility_by_sql(
+                "SELECT lang, text FROM "
+                f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+                "lang",
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) >= 4
+    assert all(f >= 1.0 for (_, _, _, f) in got.values())
+
+    # hand case incl. the empty-group guard
+    hand = spark.createDataFrame(
+        [("a", "don't stop, it's fine."), ("b", "")],
+        ["grp", "text"],
+    )
+    rows = {
+        r["grp"]: (r["ws_tokens"], r["bpe_tokens"], r["fertility"])
+        for r in token_fertility_by(hand, "grp").collect()
+    }
+    ws, bpe, fert = rows["a"]
+    assert bpe > ws and fert > 1.0
+    assert rows["b"] == (0, 0, 0.0)

@@ -382,3 +382,84 @@ def test_dsir_persisted_ratios_reuse(spark):
     )
     inline = sorted(map(tuple, dsir_weights(raw, target).collect()))
     assert via == inline
+
+
+# --- deterministic weighted sampling (round 11) -----------------------------
+
+
+def test_weighted_sample_determinism_and_parity(spark):
+    """Same (id, weight) -> same sample, bit-identical in DuckDB; zero/
+    NULL weights never selected; n caps the output."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet").select(
+        "doc_id",
+        # cross-engine-stable integer weights, some zeros
+        (F.col("doc_id") % 7).cast("long").alias("w"),
+    )
+    got = [
+        (r["doc_id"], r["w"], r["key_micro"])
+        for r in weighted_sample(docs, "w", 50).collect()
+    ]
+    got2 = [
+        (r["doc_id"], r["w"], r["key_micro"])
+        for r in weighted_sample(docs, "w", 50).collect()
+    ]
+    assert got == got2 and len(got) == 50
+    assert all(w > 0 for _, w, _ in got)
+    con = duckdb.connect()
+    want = [
+        tuple(r)
+        for r in con.execute(
+            weighted_sample_sql(
+                "SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS w FROM "
+                f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+                "w",
+                50,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+def test_weighted_sample_follows_weights(spark):
+    """The statistical contract: across many disjoint id universes, the
+    inclusion frequency of heavy items dominates light ones (weight 9
+    vs 1 -> a 9x expected key advantage)."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        weighted_sample,
+    )
+
+    rows = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(9.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    picked = weighted_sample(rows, "w", 200).collect()
+    heavy = sum(1 for r in picked if r["w"] == 9.0)
+    # E[heavy] ~ 185/200 at 9:1 odds; even loosely, heavy must dominate
+    assert heavy > 140, heavy
+    # stability: adding MORE rows never changes an existing row's key
+    bigger = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(9.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    keys_small = {
+        r["doc_id"]: r["key_micro"]
+        for r in weighted_sample(rows, "w", 2000).collect()
+    }
+    keys_big = {
+        r["doc_id"]: r["key_micro"]
+        for r in weighted_sample(bigger, "w", 4000).collect()
+    }
+    assert all(keys_big[d] == k for d, k in keys_small.items())
