@@ -577,6 +577,7 @@ def takedown_docs(
     quarantine_path: str,
     index_path: str,
     id_col: str = "doc_id",
+    purge_ledger: bool = False,
 ) -> dict[str, int]:
     """Right-to-be-forgotten sweep over the ingest family's persisted
     state: every CONTENT row for the given ids is removed from the
@@ -595,18 +596,24 @@ def takedown_docs(
     partitions rewritten and some not; re-running the same takedown
     completes it (every step is a pure anti-join of the target ids).
 
-    The replay LEDGER deliberately KEEPS the ids' (id, batch_id) rows:
+    The replay LEDGER by default KEEPS the ids' (id, batch_id) rows:
     they are content-free, and retaining them means a later redelivery
     of a taken-down id is still classified 'already ingested' and
     dropped instead of silently re-entering the corpus. A deployment
-    whose policy forbids retaining even ids can anti-join the ledger
-    too and accept possible re-ingestion."""
+    whose policy forbids retaining even the bare ids passes
+    ``purge_ledger=True`` — the ledger rows are removed too (reported
+    under ``'ledger'``), and the documented trade is accepted: a later
+    redelivery of a purged id re-enters the gate as a fresh document."""
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
     out = {
         "accepted": _takedown_sink(spark, accepted_path, ids, id_col),
         "quarantine": _takedown_sink(spark, quarantine_path, ids, id_col),
         "index": 0,
     }
+    if purge_ledger:
+        out["ledger"] = _takedown_sink(
+            spark, _ledger_path(accepted_path), ids, id_col
+        )
     try:
         index = spark.read.parquet(index_path)
     except AnalysisException:
@@ -771,3 +778,58 @@ SELECT 'content_ids_xor',
        (SELECT CAST(coalesce(bit_xor({fp.replace(id_expr, 'id')}), 0)
                AS BIGINT) FROM content)
 """
+
+
+def _compact_store(
+    spark: SparkSession, path: str, partition_col: str
+) -> dict[str, int]:
+    """Shared compaction body: distinct over ALL columns, static
+    partition-preserving overwrite. Returns before/after row counts
+    ({'before': 0, 'after': 0} when the store does not exist)."""
+    try:
+        rows = spark.read.parquet(path)
+    except AnalysisException:
+        return {"before": 0, "after": 0}
+    before = rows.count()
+    deduped = rows.distinct().localCheckpoint(eager=True)
+    after = deduped.count()
+    if after < before:
+        (
+            deduped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    return {"before": before, "after": after}
+
+
+def compact_ingest_index(
+    spark: SparkSession, index_path: str
+) -> dict[str, int]:
+    """Fold replay-appended duplicate rows out of a persisted LSH index
+    (text band index or embedding hyperplane index alike — both are
+    band_idx-partitioned): an at-least-once replay re-appends the
+    batch's bucket rows bit-identically, so readers dedupe at probe
+    time (``ingest_near_dup_flags``) — correct, but the file set grows
+    with every replay. One distinct + static rewrite restores the
+    minimal index; same operating rule as ``compact_ingest_ledger`` /
+    the CMS-store compaction: run it with no stream attached (or after
+    the last batch's checkpoint committed). Returns before/after row
+    counts."""
+    return _compact_store(spark, index_path, "band_idx")
+
+
+def compact_ingest_sinks(
+    spark: SparkSession, accepted_path: str, quarantine_path: str
+) -> dict[str, dict[str, int]]:
+    """The sink twin of ``compact_ingest_index``: a replayed batch
+    re-appends its accepted/quarantined rows BIT-IDENTICALLY (the
+    replay contract pins identical verdicts and scores), so duplicates
+    are exact and one distinct per sink removes them. Partition-scoped
+    readers see the same rows before and after; only the bytes shrink.
+    Same no-attached-stream operating rule. Returns before/after
+    counts per sink."""
+    return {
+        "accepted": _compact_store(spark, accepted_path, "batch_id"),
+        "quarantine": _compact_store(spark, quarantine_path, "batch_id"),
+    }

@@ -1632,3 +1632,107 @@ def test_takedown_audit_invariants_and_oracle(spark, tmp_path):
         ).collect()
     }
     assert empty_audit["quarantine_purged_present"] == 0
+
+
+def test_compaction_folds_replay_duplicates(spark, tmp_path):
+    """An at-least-once replay re-appends bit-identical sink and index
+    rows (readers dedupe — correct but growing); compact_ingest_index /
+    compact_ingest_sinks restore the minimal stores, and a later gated
+    batch behaves identically against the compacted state."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        compact_ingest_index,
+        compact_ingest_sinks,
+        gate_batch,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+    batch = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch, 0, corpus, idx, acc, qua)
+    acc_rows = spark.read.parquet(acc).count()
+    idx_rows = spark.read.parquet(idx).count()
+    # crash replay: same batch_id delivered again
+    gate_batch(batch, 0, corpus, idx, acc, qua)
+    assert spark.read.parquet(acc).count() > acc_rows  # duplicates exist
+    assert spark.read.parquet(idx).count() > idx_rows
+
+    sink_stats = compact_ingest_sinks(spark, acc, qua)
+    idx_stats = compact_ingest_index(spark, idx)
+    assert sink_stats["accepted"]["after"] == acc_rows
+    assert sink_stats["accepted"]["before"] > acc_rows
+    assert idx_stats["after"] == idx_rows and idx_stats["before"] > idx_rows
+    after = spark.read.parquet(acc)
+    assert after.count() == acc_rows
+    assert after.select("doc_id").distinct().count() == acc_rows
+    # idempotent
+    assert compact_ingest_index(spark, idx) == {
+        "before": idx_rows, "after": idx_rows
+    }
+    # the stream keeps working against the compacted state
+    batch1 = docs.filter(
+        (F.col("doc_id") >= 330) & (F.col("doc_id") < 360)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch1, 1, corpus, idx, acc, qua)
+    assert (
+        spark.read.parquet(acc).filter(F.col("batch_id") == 1).count() > 0
+    )
+    # missing store compacts as a no-op
+    assert compact_ingest_index(spark, str(tmp_path / "nope")) == {
+        "before": 0, "after": 0
+    }
+
+
+def test_takedown_purge_ledger_policy(spark, tmp_path):
+    """purge_ledger=True removes even the bare (id, batch_id) ledger
+    rows — and the documented trade holds: a redelivery of the purged
+    id re-enters the gate as a fresh doc instead of being dropped."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        _ledger_path,
+        gate_batch,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+    batch = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch, 0, corpus, idx, acc, qua)
+    target = spark.read.parquet(acc).select("doc_id").orderBy("doc_id").limit(1)
+    target_id = target.collect()[0][0]
+    removed = takedown_docs(
+        spark, target, acc, qua, idx, purge_ledger=True
+    )
+    assert removed["accepted"] == 1 and removed["ledger"] == 1
+    led = spark.read.parquet(_ledger_path(acc))
+    assert led.filter(F.col("doc_id") == target_id).count() == 0
+    # redelivery under a new batch_id re-enters the gate (fresh doc)
+    redeliver = docs.filter(F.col("doc_id") == target_id).localCheckpoint(
+        eager=True
+    )
+    gate_batch(redeliver, 7, corpus, idx, acc, qua)
+    back = (
+        spark.read.parquet(acc).unionByName(spark.read.parquet(qua))
+        .filter(F.col("doc_id") == target_id)
+    )
+    assert back.count() == 1 and back.collect()[0]["batch_id"] == 7
