@@ -124,3 +124,53 @@ def test_sq_persisted_artifacts_shape(spark):
     assert all(
         0 <= c <= SQ_LEVELS for r in sample for c in r["codes"]
     )
+
+
+def test_r11_candidate_plan_invariants(spark):
+    """The mechanical scale-shape pins the registered surface gets from
+    test_plan_shapes, applied to the round-11 r12-registration
+    candidates: no Python stages, no unbroadcast cartesian products, no
+    global ordered windows, and scans pruned to the columns the
+    operator actually uses."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        token_fertility_by,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        dsir_weights,
+        weighted_sample,
+    )
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+        read_schemas,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+
+    emb = _emb(spark)
+    query = emb.filter(F.col("vec_id") == 7).select("embedding")
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    frames = {
+        "sq_topk": sq_topk(emb, query, k=10),
+        "dsir_weights": dsir_weights(raw, target),
+        "weighted_sample": weighted_sample(
+            docs.select("doc_id", (F.col("doc_id") % 7).alias("w")), "w", 50
+        ),
+        "token_fertility_by": token_fertility_by(
+            docs.select("lang", "text"), "lang"
+        ),
+    }
+    for name, df in frames.items():
+        assert python_stage_count(df) == 0, name
+        assert cartesian_products(df) == 0, name
+        assert global_windows(df) == 0, name
+        for schema in read_schemas(df):
+            # neither operator family ever needs these payload columns
+            assert "n_chars" not in schema and "source" not in schema, (
+                name,
+                schema,
+            )
