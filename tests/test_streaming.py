@@ -1736,3 +1736,49 @@ def test_takedown_purge_ledger_policy(spark, tmp_path):
         .filter(F.col("doc_id") == target_id)
     )
     assert back.count() == 1 and back.collect()[0]["batch_id"] == 7
+
+
+def test_takedown_audit_embedding_family(spark, tmp_path):
+    """takedown_audit is id-keyed and store-agnostic — prove it on the
+    EMBEDDING ingest family too: after gating + sweeping vectors, the
+    same invariant rows hold (purged absence, index coverage, ledger
+    retention, exact content membership)."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        build_embedding_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        gate_embedding_batch,
+        takedown_audit,
+        takedown_docs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    k = F.col("vec_id")
+    corpus = emb.filter(k % 5 != 0)
+    idx = str(tmp_path / "emb_index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_embedding_index(corpus, idx)
+    gate_embedding_batch(
+        emb.filter(k % 5 == 0).localCheckpoint(eager=True),
+        0, corpus, idx, acc, qua,
+    )
+    purged = emb.filter(k % 15 == 0).select("vec_id")
+    n_purged = purged.count()
+    takedown_docs(spark, purged, acc, qua, idx, id_col="vec_id")
+
+    got = {
+        r["invariant"]: r["n"]
+        for r in takedown_audit(
+            spark, purged, acc, qua, idx, id_col="vec_id"
+        ).collect()
+    }
+    n_batch = emb.filter(k % 5 == 0).count()
+    assert got["accepted_purged_present"] == 0
+    assert got["quarantine_purged_present"] == 0
+    assert got["index_purged_present"] == 0
+    assert got["accepted_missing_from_index"] == 0
+    assert got["ledger_purged_retained"] == n_purged
+    assert got["content_docs"] == n_batch - n_purged
