@@ -596,24 +596,55 @@ def takedown_docs(
     partitions rewritten and some not; re-running the same takedown
     completes it (every step is a pure anti-join of the target ids).
 
-    The replay LEDGER by default KEEPS the ids' (id, batch_id) rows:
-    they are content-free, and retaining them means a later redelivery
-    of a taken-down id is still classified 'already ingested' and
-    dropped instead of silently re-entering the corpus. A deployment
-    whose policy forbids retaining even the bare ids passes
-    ``purge_ledger=True`` — the ledger rows are removed too (reported
-    under ``'ledger'``), and the documented trade is accepted: a later
-    redelivery of a purged id re-enters the gate as a fresh document."""
+    The replay LEDGER by default KEEPS the ids' (id, batch_id) rows AND
+    gains TOMBSTONES at the reserved ``batch_id = -2``: the retained
+    row alone drops redeliveries under a NEW batch_id, but an
+    at-least-once REPLAY of the original batch (its checkpoint never
+    committed) would classify the purged id as a true replay and write
+    its content straight back — the tombstone closes that hole, because
+    the gate's foreign-id drop (``_replay_partition``: any prior row
+    under a DIFFERENT batch_id ⇒ drop from the batch) sees ``-2`` on
+    every delivery, including the same-batch replay. Tombstones are
+    written FIRST, before any content mutation, so a crash mid-sweep
+    already blocks re-ingestion and a re-run completes the sweep.
+    ``compact_ingest_ledger`` may later fold ``-2`` into the compacted
+    ``-1`` set — equivalent semantics (known id ⇒ drop). Note the
+    RTBF consequence: a tombstoned id is never ingestible again, even
+    if it was never ingested before the takedown.
+
+    A deployment whose policy forbids retaining even the bare ids
+    passes ``purge_ledger=True`` — the ledger rows are removed too
+    (reported under ``'ledger'``) and NO tombstones are written; the
+    documented trade is accepted: a later redelivery of a purged id
+    re-enters the gate as a fresh document."""
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    ledger = _ledger_path(accepted_path)
+    if not purge_ledger:
+        tombs = ids.withColumn("batch_id", F.lit(-2))
+        try:
+            prior = (
+                spark.read.parquet(ledger)
+                .filter(F.col("batch_id") == -2)
+                .select(id_col, "batch_id")
+            )
+            tombs = tombs.unionByName(prior).distinct().localCheckpoint(
+                eager=True
+            )
+        except AnalysisException:
+            pass
+        (
+            tombs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ledger)
+        )
     out = {
         "accepted": _takedown_sink(spark, accepted_path, ids, id_col),
         "quarantine": _takedown_sink(spark, quarantine_path, ids, id_col),
         "index": 0,
     }
     if purge_ledger:
-        out["ledger"] = _takedown_sink(
-            spark, _ledger_path(accepted_path), ids, id_col
-        )
+        out["ledger"] = _takedown_sink(spark, ledger, ids, id_col)
     try:
         index = spark.read.parquet(index_path)
     except AnalysisException:

@@ -1281,7 +1281,21 @@ def test_takedown_docs_partition_scoped_purge(spark, tmp_path):
     )
     # ledger retains the ids -> redelivery under a new batch_id drops
     led = spark.read.parquet(_ledger_path(acc))
-    assert led.filter(F.col("doc_id").isin(targets)).count() == 2
+    assert (
+        led.filter(F.col("doc_id").isin(targets))
+        .select("doc_id")
+        .distinct()
+        .count()
+        == 2
+    )
+    # plus the round-11 tombstones that keep even a same-batch replay
+    # from resurrecting the purged content
+    assert (
+        led.filter(
+            (F.col("batch_id") == -2) & F.col("doc_id").isin(targets)
+        ).count()
+        == 2
+    )
     redeliver = docs.filter(F.col("doc_id").isin(targets)).localCheckpoint(
         eager=True
     )
@@ -1782,3 +1796,68 @@ def test_takedown_audit_embedding_family(spark, tmp_path):
     assert got["accepted_missing_from_index"] == 0
     assert got["ledger_purged_retained"] == n_purged
     assert got["content_docs"] == n_batch - n_purged
+
+
+def test_takedown_survives_same_batch_replay(spark, tmp_path):
+    """The round-11 tombstone fix: an at-least-once REPLAY of the
+    original batch (same batch_id — its checkpoint never committed)
+    must NOT resurrect taken-down content. Before tombstones, the
+    retained (id, batch_id) ledger row classified the purged id as a
+    true replay and wrote its content straight back."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        compact_ingest_ledger,
+        gate_batch,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+    batch = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 330)
+    ).localCheckpoint(eager=True)
+    gate_batch(batch, 0, corpus, idx, acc, qua)
+    target = (
+        spark.read.parquet(acc).select("doc_id").orderBy("doc_id").limit(1)
+    )
+    target_id = target.collect()[0][0]
+    takedown_docs(spark, target, acc, qua, idx)
+
+    # crash replay: the SAME batch_id redelivers the full batch
+    gate_batch(batch, 0, corpus, idx, acc, qua)
+    content = spark.read.parquet(acc).unionByName(spark.read.parquet(qua))
+    assert content.filter(F.col("doc_id") == target_id).count() == 0
+    assert (
+        spark.read.parquet(idx).filter(F.col("doc_id") == target_id).count()
+        == 0
+    )
+    # non-purged batch docs are still present exactly as before
+    assert (
+        content.select("doc_id").distinct().count()
+        == batch.count() - 1
+    )
+    # a redelivery under a NEW batch_id stays excluded too
+    redeliver = docs.filter(F.col("doc_id") == target_id).localCheckpoint(
+        eager=True
+    )
+    gate_batch(redeliver, 9, corpus, idx, acc, qua)
+    assert (
+        spark.read.parquet(acc).filter(F.col("doc_id") == target_id).count()
+        == 0
+    )
+    # tombstones survive ledger compaction semantically: folding to -1
+    # still drops the id on the next delivery
+    compact_ingest_ledger(spark, acc)
+    gate_batch(redeliver, 11, corpus, idx, acc, qua)
+    assert (
+        spark.read.parquet(acc).filter(F.col("doc_id") == target_id).count()
+        == 0
+    )
