@@ -8016,9 +8016,6 @@ def _takedown_state(spark, sf_dir) -> tuple[str, str, str]:
     entry = _TAKEDOWN_STATE_CACHE.get(sf_dir)
     if entry is not None and entry[0] is spark:
         return entry[1]
-    from nosql_to_sql_migration_tool_spark.operators.dedup import (
-        build_band_index,
-    )
     from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
         gate_batch,
         takedown_docs,
@@ -8037,7 +8034,14 @@ def _takedown_state(spark, sf_dir) -> tuple[str, str, str]:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     k = F.col("doc_id")
     corpus = docs.filter(k % 5 != 0)
-    build_band_index(corpus, idx)
+    # the takedown deployment's corpus IS the ingest family's corpus
+    # (doc_id % 5 != 0), so its persisted index materializes from the
+    # SAME memoized bucket rows build_band_index would recompute —
+    # byte-equivalent by band_bucket_rows' purity (pytest-pinned on
+    # update_band_index), one less minhash pass in build:ingest_state
+    _ingest_corpus_buckets(spark, sf_dir).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(idx)
     gate_batch(
         docs.filter(k % 5 == 0).localCheckpoint(eager=True),
         0, corpus, idx, acc, qua,
