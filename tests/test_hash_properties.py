@@ -44,3 +44,67 @@ def test_distinct_rows_hash_distinctly(rows):
     assert len(set(hashes)) == len(rows), (
         f"collision among {rows!r}: {hashes}"
     )
+
+
+# --- round 11: the md5 bucket/uniform primitives -----------------------------
+#
+# split_bucket / lc_bucket / _dsir_bucket / weighted_sample's uniform all
+# rest on the same convention: a prefix of md5(CAST(key AS STRING)) parsed
+# as a hex integer. One Spark pass over a hypothesis-generated adversarial
+# id table, compared row-for-row against DuckDB evaluating the twin
+# expressions on the SAME table — unicode, quotes, control characters,
+# whitespace-only, empty, huge ints and negatives must all agree, or every
+# split/sketch/sample built on the convention diverges cross-engine.
+
+adversarial_id = st.one_of(
+    st.text(max_size=12),  # full unicode, incl. quotes/backslashes
+    st.text(alphabet=st.sampled_from("'\"\\\n\t `$%_0 "), max_size=8),
+    st.integers(min_value=-(2**62), max_value=2**62).map(str),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(adversarial_id, min_size=1, max_size=8, unique=True))
+def test_md5_bucket_and_uniform_cross_engine(spark, ids):
+    import pandas as pd
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        lc_bucket,
+        lc_bucket_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        _sample_uniform,
+        split_bucket,
+        split_bucket_sql,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": pd.Series(ids, dtype="string")})
+    )
+    got = {
+        r["k"]: (r["sb"], r["lb"], r["u"])
+        for r in df.select(
+            "k",
+            split_bucket("k").alias("sb"),
+            lc_bucket(F.col("k")).alias("lb"),
+            _sample_uniform("k").alias("u"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": pd.Series(ids, dtype="string")}))
+    u_sql = (
+        "(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 13)) "
+        "AS BIGINT) + 1) / 4503599627370496.0"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT k, {split_bucket_sql('k')} AS sb, "
+            f"{lc_bucket_sql('k')} AS lb, {u_sql} AS u FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    for sb, lb, u in got.values():
+        assert 0 <= sb < 100 and 0 <= lb < 4096 and 0.0 < u <= 1.0
