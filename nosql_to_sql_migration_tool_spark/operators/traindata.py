@@ -955,3 +955,133 @@ keyed AS (
 )
 SELECT * FROM keyed ORDER BY key_micro DESC, {id_expr} LIMIT {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Data recipe planner (round 11): the per-source token table a training run
+# fixes before launch — how many tokens to draw from each domain for a
+# target budget, with sqrt-temperature smoothing (the domain_mixture_rates
+# convention) and an explicit repetition cap (no domain repeats more than
+# max_epochs). One grouped aggregate over the corpus; everything after is
+# metadata-sized arithmetic, bit-reproducible cross-engine (sqrt is
+# IEEE-correctly-rounded, shares/epochs round 6 dp, token counts stay
+# BIGINT).
+# ---------------------------------------------------------------------------
+
+
+def data_recipe(
+    df: DataFrame,
+    target_tokens: int,
+    max_epochs: float = 2.0,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per domain: ``(domain, avail_tokens, share, desired_tokens,
+    planned_tokens, epochs, capped)`` where share is the
+    sqrt(avail)-smoothed target mixture, desired = share * target,
+    planned = min(desired, max_epochs * avail) and epochs =
+    planned / avail. ``capped = 1`` marks domains whose desired draw
+    exceeded the repetition cap — the planner deliberately reports the
+    shortfall (sum(desired - planned)) instead of silently
+    redistributing it, so the recipe a run trains on is exactly the
+    table reviewed. Plan: one combinable (domain, tokens) aggregate;
+    the per-domain arithmetic runs on a domains-sized relation."""
+    from pyspark.sql.types import DecimalType
+
+    per = df.groupBy(domain_col).agg(
+        F.sum(F.size(tokens(F.col(text_col))))
+        .cast("long")
+        .alias("avail_tokens")
+    ).select(
+        domain_col,
+        "avail_tokens",
+        F.round(F.sqrt(F.col("avail_tokens")), 6)
+        .cast(DecimalType(18, 6))
+        .alias("__w"),
+    )
+    tot = per.agg(F.sum("__w").alias("__tw"))
+    share = F.round(
+        F.col("__w").cast("double") / F.col("__tw").cast("double"), 6
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "avail_tokens",
+        share.alias("share"),
+    )
+    desired = F.round(F.col("share") * F.lit(float(target_tokens)), 0).cast(
+        "long"
+    )
+    # FLOOR, not round: max_epochs is a hard repetition bound, so the
+    # planned draw must never exceed max_epochs * avail
+    cap = F.floor(
+        F.lit(float(max_epochs)) * F.col("avail_tokens").cast("double")
+    ).cast("long")
+    out = out.select(
+        domain_col,
+        "avail_tokens",
+        "share",
+        desired.alias("desired_tokens"),
+        F.least(desired, cap).alias("planned_tokens"),
+    )
+    return out.select(
+        domain_col,
+        "avail_tokens",
+        "share",
+        "desired_tokens",
+        "planned_tokens",
+        F.round(
+            F.col("planned_tokens").cast("double")
+            / F.col("avail_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+        (F.col("desired_tokens") > F.col("planned_tokens"))
+        .cast("int")
+        .alias("capped"),
+    )
+
+
+def data_recipe_sql(
+    docs_sql: str,
+    target_tokens: int,
+    max_epochs: float = 2.0,
+    domain_expr: str = "lang",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``data_recipe`` (same DECIMAL weight sum, 6-dp
+    share/epochs rounds, BIGINT token arithmetic)."""
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens_sql
+
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+per AS (
+  SELECT {domain_expr} AS domain,
+         CAST(sum(len({toks})) AS BIGINT) AS avail_tokens,
+         CAST(round(sqrt(CAST(sum(len({toks})) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM docs GROUP BY 1
+),
+tot AS (SELECT sum(w) AS tw FROM per),
+shares AS (
+  SELECT domain, avail_tokens,
+         round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share
+  FROM per, tot
+),
+sized AS (
+  SELECT domain, avail_tokens, share,
+         CAST(round(share * {float(target_tokens)}, 0) AS BIGINT)
+           AS desired_tokens,
+         least(
+           CAST(round(share * {float(target_tokens)}, 0) AS BIGINT),
+           CAST(floor({float(max_epochs)} * CAST(avail_tokens AS DOUBLE))
+                AS BIGINT)
+         ) AS planned_tokens
+  FROM shares
+)
+SELECT domain AS {domain_expr}, avail_tokens, share, desired_tokens,
+       planned_tokens,
+       round(CAST(planned_tokens AS DOUBLE)
+             / CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+       CAST(desired_tokens > planned_tokens AS INT) AS capped
+FROM sized
+"""

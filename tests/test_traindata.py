@@ -463,3 +463,66 @@ def test_weighted_sample_follows_weights(spark):
         for r in weighted_sample(bigger, "w", 4000).collect()
     }
     assert all(keys_big[d] == k for d, k in keys_small.items())
+
+
+def test_data_recipe_caps_and_parity(spark):
+    """The pre-launch mixture table: shares sum to ~1, the repetition
+    cap binds exactly where desired > max_epochs*avail (shortfall
+    REPORTED, never silently redistributed), and the whole relation is
+    bit-identical in DuckDB."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        data_recipe,
+        data_recipe_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select("lang", "text")
+    target, epochs = 1_000_000, 1.5
+    got = sorted(
+        map(tuple, data_recipe(docs, target, epochs).collect())
+    )
+    con = duckdb.connect()
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                data_recipe_sql(
+                    "SELECT lang, text FROM "
+                    f"read_parquet('{SF_DIR_SMOKE}/documents.parquet')",
+                    target,
+                    epochs,
+                )
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want and len(got) >= 4
+    rows = {
+        r[0]: dict(
+            avail=r[1], share=r[2], desired=r[3], planned=r[4],
+            epochs=r[5], capped=r[6],
+        )
+        for r in got
+    }
+    assert abs(sum(v["share"] for v in rows.values()) - 1.0) < 1e-4
+    for v in rows.values():
+        import math
+
+        cap = math.floor(epochs * v["avail"])
+        assert v["planned"] == min(v["desired"], cap)
+        assert v["capped"] == int(v["desired"] > v["planned"])
+        assert v["epochs"] <= epochs + 1e-9
+    # the target is large vs this corpus, so every domain must cap at
+    # max_epochs — and the planner reports the global shortfall
+    assert all(v["capped"] == 1 for v in rows.values())
+    shortfall = sum(v["desired"] - v["planned"] for v in rows.values())
+    assert shortfall > 0
+    # a tiny target caps nothing
+    small = {
+        r["lang"]: r["capped"]
+        for r in data_recipe(docs, 1000, epochs).collect()
+    }
+    assert all(c == 0 for c in small.values())
