@@ -763,14 +763,23 @@ def dsir_weights(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # LEFT join + coalesce (ADVICE r11): a persisted ``ratios`` built
+    # on an older corpus snapshot may lack buckets that new docs hash
+    # to; an inner join silently dropped those (doc, bucket) rows from
+    # BOTH sums, corrupting n_tokens (documented as the doc's token
+    # count). Unseen buckets contribute zero weight instead.
     scored = (
         doc_buckets.join(
-            F.broadcast(ratios.select("bucket", "lr_micro")), "bucket"
+            F.broadcast(ratios.select("bucket", "lr_micro")),
+            "bucket",
+            "left",
         )
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("lr_micro"))
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("lr_micro"), F.lit(0))
+            )
             .cast("long")
             .alias("weight_micro"),
         )
@@ -858,8 +867,9 @@ doc_buckets AS (
 scored AS (
   SELECT d.doc_id,
          CAST(sum(d.tf) AS BIGINT) AS n_tokens,
-         CAST(sum(d.tf * r.lr_micro) AS BIGINT) AS weight_micro
-  FROM doc_buckets d JOIN ratios r USING (bucket)
+         CAST(sum(d.tf * coalesce(r.lr_micro, 0)) AS BIGINT)
+           AS weight_micro
+  FROM doc_buckets d LEFT JOIN ratios r USING (bucket)
   GROUP BY d.doc_id
 )
 SELECT raw.doc_id,
@@ -931,14 +941,37 @@ def weighted_sample(
     return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(n)
 
 
+def _plain_ident(expr: str, what: str, out_col: str | None) -> str:
+    """The linear_count_by_sql out_col guard (ADVICE r10/r11):
+    ``<expr> AS <expr>`` is invalid SQL for any non-identifier
+    expression, so default the output alias to the expression only
+    when it IS a plain column name."""
+    if out_col is not None:
+        return out_col
+    if not expr.replace("_", "").isalnum():
+        raise ValueError(
+            f"{what} is not a plain column name; pass its out column "
+            "explicitly"
+        )
+    return expr
+
+
 def weighted_sample_sql(
     rows_sql: str,
     weight_expr: str,
     n: int,
     id_expr: str = "doc_id",
+    id_out: str | None = None,
+    weight_out: str | None = None,
 ) -> str:
     """DuckDB twin of ``weighted_sample`` (identical md5 uniform, 6-dp
-    ln pin, integer micro key, id tie-break)."""
+    ln pin, integer micro key, id tie-break). ``id_out``/``weight_out``
+    name the output columns when the corresponding expression is not a
+    plain identifier (ADVICE r11: ``expr AS expr`` is invalid SQL)."""
+    id_out = _plain_ident(id_expr, "weighted_sample_sql: id_expr", id_out)
+    weight_out = _plain_ident(
+        weight_expr, "weighted_sample_sql: weight_expr", weight_out
+    )
     u = (
         f"(CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, "
         f"13)) AS BIGINT) + 1) / {_WS_DENOM}"
@@ -946,14 +979,14 @@ def weighted_sample_sql(
     return f"""
 WITH rows_in AS ({rows_sql}),
 keyed AS (
-  SELECT {id_expr} AS {id_expr}, {weight_expr} AS {weight_expr},
+  SELECT {id_expr} AS {id_out}, {weight_expr} AS {weight_out},
          CAST(round(round(ln({u}), 6)
                     / CAST({weight_expr} AS DOUBLE) * 1000000.0, 0)
               AS BIGINT) AS key_micro
   FROM rows_in
   WHERE {weight_expr} IS NOT NULL AND {weight_expr} > 0
 )
-SELECT * FROM keyed ORDER BY key_micro DESC, {id_expr} LIMIT {n}
+SELECT * FROM keyed ORDER BY key_micro DESC, {id_out} LIMIT {n}
 """
 
 

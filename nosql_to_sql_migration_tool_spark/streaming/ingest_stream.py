@@ -158,6 +158,37 @@ def _ledger_append(ids: DataFrame, ledger_path: str, batch_id: int) -> None:
     )
 
 
+def _bootstrap_ledger(
+    spark: SparkSession,
+    sink_paths: tuple[str, str],
+    id_col: str,
+    ledger_path: str,
+) -> DataFrame | None:
+    """One-time pre-ledger deployment upgrade, shared by the gate's
+    replay split and ``takedown_docs`` (ADVICE r11 medium): migrate any
+    legacy UNPARTITIONED sink to the batch_id-partitioned layout, then
+    derive the ``(id, batch_id)`` ledger from the sinks and persist it.
+    Returns the derived ledger rows, or ``None`` when no sink exists
+    yet (fresh deployment — nothing to bootstrap)."""
+    prior = None
+    for path in sink_paths:
+        _migrate_legacy_sink(spark, path)
+        try:
+            part = spark.read.parquet(path).select(id_col, "batch_id")
+        except AnalysisException:
+            continue
+        prior = part if prior is None else prior.unionByName(part)
+    if prior is not None:
+        prior = prior.distinct().localCheckpoint(eager=True)
+        (
+            prior.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("batch_id")
+            .parquet(ledger_path)
+        )
+    return prior
+
+
 def _replay_partition(
     batch_df: DataFrame,
     batch_id: int,
@@ -204,21 +235,7 @@ def _replay_partition(
         # branch migrates any legacy UNPARTITIONED sink to the
         # batch_id-partitioned layout before this round's append can
         # create a mixed layout (ADVICE r10 medium)
-        for path in sink_paths:
-            _migrate_legacy_sink(spark, path)
-            try:
-                part = spark.read.parquet(path).select(id_col, "batch_id")
-            except AnalysisException:
-                continue
-            prior = part if prior is None else prior.unionByName(part)
-        if prior is not None:
-            prior = prior.distinct().localCheckpoint(eager=True)
-            (
-                prior.write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("batch_id")
-                .parquet(ledger_path)
-            )
+        prior = _bootstrap_ledger(spark, sink_paths, id_col, ledger_path)
     if prior is None:
         return batch_df, None
     foreign = (
@@ -616,9 +633,26 @@ def takedown_docs(
     passes ``purge_ledger=True`` — the ledger rows are removed too
     (reported under ``'ledger'``) and NO tombstones are written; the
     documented trade is accepted: a later redelivery of a purged id
-    re-enters the gate as a fresh document."""
+    re-enters the gate as a fresh document.
+
+    Takedown-FIRST on a pre-ledger legacy deployment (ADVICE r11
+    medium): before any tombstone or content mutation, an absent
+    ledger is bootstrapped from the sinks via the same
+    ``_bootstrap_ledger`` path the gate uses — otherwise the tombstone
+    write would CREATE the ledger, the gate's ledger-absent branch
+    (the only place legacy sinks migrate and legacy ids enter the
+    ledger) would never fire, later redeliveries of never-ledgered
+    legacy ids would re-ingest, and ``_takedown_sink``'s
+    partition-scoped dynamic overwrite would leave purged rows in the
+    old root-level files while adding partition dirs."""
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
     ledger = _ledger_path(accepted_path)
+    try:
+        spark.read.parquet(ledger)
+    except AnalysisException:
+        _bootstrap_ledger(
+            spark, (accepted_path, quarantine_path), id_col, ledger
+        )
     if not purge_ledger:
         tombs = ids.withColumn("batch_id", F.lit(-2))
         try:

@@ -1861,3 +1861,76 @@ def test_takedown_survives_same_batch_replay(spark, tmp_path):
         spark.read.parquet(acc).filter(F.col("doc_id") == target_id).count()
         == 0
     )
+
+
+def test_takedown_first_on_legacy_sink_bootstraps_and_purges(spark, tmp_path):
+    """ADVICE r11 (medium): a takedown that arrives BEFORE any
+    post-upgrade gate on a pre-ledger deployment must bootstrap the
+    ledger from (and migrate) the legacy sinks first — otherwise the
+    tombstone write creates the ledger, the gate's bootstrap branch
+    never fires, legacy ids never enter the ledger (redeliveries
+    re-ingest), and the partition-scoped purge misses rows living in
+    root-level files."""
+    import os
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        build_band_index,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.ingest_stream import (
+        _ledger_path,
+        gate_batch,
+        takedown_docs,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    qua = str(tmp_path / "quarantine")
+    build_band_index(corpus, idx)
+
+    # legacy deployment: one unpartitioned accepted sink, no ledger
+    legacy = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
+    ).withColumn("batch_id", F.lit(0)).withColumn(
+        "best_jaccard", F.lit(0.0)
+    )
+    legacy.write.mode("append").parquet(acc)
+    assert any(
+        e.endswith(".parquet") and not e.startswith((".", "_"))
+        for e in os.listdir(acc)
+    ), "fixture must start as a root-file layout"
+
+    # takedown FIRST — before any post-upgrade gate ever ran
+    ids = spark.createDataFrame([(300,), (301,)], ["doc_id"])
+    removed = takedown_docs(spark, ids, acc, qua, idx)
+    assert removed["accepted"] == 2
+
+    # the sink migrated to the partitioned layout and the purge REALLY
+    # removed the rows (no copies left behind in old root files)
+    entries = os.listdir(acc)
+    assert any(e.startswith("batch_id=") for e in entries)
+    assert not any(
+        e.endswith(".parquet") and not e.startswith((".", "_"))
+        for e in entries
+    )
+    after = spark.read.parquet(acc)
+    assert after.join(ids, "doc_id", "semi").count() == 0
+    assert after.count() == 38
+
+    # the ledger holds every legacy id + the tombstones, so BOTH a
+    # purged id and an untouched legacy id redelivered later are dropped
+    led = spark.read.parquet(_ledger_path(acc))
+    assert led.filter(F.col("batch_id") == -2).count() == 2
+    assert led.filter(
+        (F.col("doc_id") == 305) & (F.col("batch_id") == 0)
+    ).count() == 1
+    redeliver = docs.filter(
+        F.col("doc_id").isin(300, 305)
+    ).localCheckpoint(eager=True)
+    gate_batch(redeliver, 7, corpus, idx, acc, qua)
+    final = spark.read.parquet(acc)
+    assert final.filter(F.col("batch_id") == 7).count() == 0
+    assert final.count() == 38

@@ -526,3 +526,82 @@ def test_data_recipe_caps_and_parity(spark):
         for r in data_recipe(docs, 1000, epochs).collect()
     }
     assert all(c == 0 for c in small.values())
+
+
+def test_dsir_stale_ratio_table_keeps_token_counts(spark):
+    """ADVICE r11 (low): a persisted ratio table built on an OLDER
+    corpus snapshot may lack buckets new docs hash to. Those tokens
+    must contribute zero weight — not vanish from n_tokens (whose
+    documented meaning is the document's token count)."""
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+
+    old_raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame([(9, "alpha alpha")], ["doc_id", "text"])
+    stale = dsir_bucket_ratios(old_raw, target).localCheckpoint(eager=True)
+    # the new corpus has tokens the stale model never saw
+    new_raw = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "zzz_unseen qqq_unseen alpha")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight_micro"])
+        for r in dsir_weights(new_raw, target, ratios=stale).collect()
+    }
+    # n_tokens is the FULL token count even when buckets are unseen
+    assert got[1][0] == 2
+    assert got[3][0] == 3
+    # doc 3's weight equals just its 'alpha' contribution: same as a
+    # one-token 'alpha' doc scored against the same stale model
+    alpha_only = spark.createDataFrame([(7, "alpha")], ["doc_id", "text"])
+    alpha_w = (
+        dsir_weights(alpha_only, target, ratios=stale)
+        .collect()[0]["weight_micro"]
+    )
+    assert got[3][1] == alpha_w
+
+
+def test_weighted_sample_sql_expression_alias_guard(spark):
+    """ADVICE r11 (low): '<expr> AS <expr>' is invalid SQL for
+    non-identifier expressions — the out_col guard from
+    linear_count_by_sql applies to id_expr and weight_expr too."""
+    import duckdb
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    with pytest.raises(ValueError, match="id_expr"):
+        weighted_sample_sql("SELECT 1", "w", 5, id_expr="CAST(id AS INT)")
+    with pytest.raises(ValueError, match="weight_expr"):
+        weighted_sample_sql("SELECT 1", "w + 1", 5)
+
+    # expression forms work once out columns are named, and replay the
+    # Spark plan bit-identically
+    rows = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(200)], ["doc_id", "q"]
+    )
+    got = [
+        (r["doc_id"], r["w"], r["key_micro"])
+        for r in weighted_sample(
+            rows.select("doc_id", (F.col("q") * 2).alias("w")), "w", 20
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        weighted_sample_sql(
+            "SELECT doc_id, q FROM (SELECT unnest(range(200)) AS doc_id, "
+            "unnest(range(200)) % 7 + 1 AS q)",
+            "q * 2",
+            20,
+            weight_out="w",
+        )
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
