@@ -1674,3 +1674,121 @@ SELECT grp AS {out_col}, n_docs, ws_tokens, bpe_tokens,
        END AS fertility
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Token entropy (round 12): the distribution-shape quality signal the
+# length/ratio family (text_stats, gopher flags) cannot see — a document
+# whose tokens are one phrase looped 500 times passes every length filter
+# but has near-zero unigram entropy. H = ln(n) - (sum_c c*ln(c))/n over the
+# per-doc token counts; the classic repetition/gibberish detector, and the
+# entropy term of many quality classifiers.
+#
+# Cross-engine determinism (the BM25/DSIR discipline): every ln is rounded
+# 6 dp AT THE SOURCE and folded to integer micros (c * ln_micro(c) is an
+# exact BIGINT product, summed order-free), the ONE division of two exact
+# BIGINTs is a single IEEE op, and its round(.,0) re-pins the result —
+# so entropy_micro is a pure integer function of the token multiset,
+# bit-replayable in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _ln_micro(c: Column) -> Column:
+    """round(ln(c), 6) in integer micros — exact BIGINT."""
+    return (
+        F.round(F.round(F.log(c.cast("double")), 6) * F.lit(1_000_000.0), 0)
+        .cast("long")
+    )
+
+
+def _ln_micro_sql(expr: str) -> str:
+    return (
+        f"CAST(round(round(ln(CAST({expr} AS DOUBLE)), 6) * 1000000.0, 0) "
+        f"AS BIGINT)"
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per document: ``(id, n_tokens, n_types, entropy_micro)`` where
+    entropy_micro is the unigram Shannon entropy (nats) in integer
+    micros — 0 for a single-type doc, NULL for an empty one, maximal
+    ln(n_tokens) when every token is distinct. Plan shape: one token
+    explode into a combinable (doc, token) count, one per-doc combinable
+    fold — the same two-shuffle skeleton as every linear text operator
+    here, so it walks a 100 TB corpus without any per-doc sort or
+    window."""
+    counts = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_doc = counts.groupBy("__id").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("__c") * _ln_micro(F.col("__c")))
+        .cast("long")
+        .alias("__s"),
+    )
+    scored = per_doc.select(
+        "__id",
+        "n_tokens",
+        "n_types",
+        (
+            _ln_micro(F.col("n_tokens"))
+            - F.round(
+                F.col("__s").cast("double")
+                / F.col("n_tokens").cast("double"),
+                0,
+            ).cast("long")
+        ).alias("entropy_micro"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.col("entropy_micro"),
+        )
+    )
+
+
+def token_entropy_sql(docs_sql: str, text_expr: str = "text") -> str:
+    """DuckDB twin of ``token_entropy`` (identical ln pin and integer
+    folds)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH docs AS ({docs_sql}),
+toked AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM docs),
+counts AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toked GROUP BY id, tok
+),
+per_doc AS (
+  SELECT id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * {_ln_micro_sql('c')}) AS BIGINT) AS s
+  FROM counts GROUP BY id
+),
+scored AS (
+  SELECT id, n_tokens, n_types,
+         {_ln_micro_sql('n_tokens')}
+           - CAST(round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0)
+                  AS BIGINT) AS entropy_micro
+  FROM per_doc
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.n_types, 0) AS BIGINT) AS n_types,
+       s.entropy_micro
+FROM docs d LEFT JOIN scored s ON d.doc_id = s.id
+"""

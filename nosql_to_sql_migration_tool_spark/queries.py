@@ -1246,44 +1246,12 @@ def q_customer_profile(spark, sf_dir):
     return profile_columns(customer, _PROFILE_COLS)
 
 
-@query(
-    "orders_asof_recent_event",
-    """
-WITH l AS (
-  SELECT o_orderkey, o_custkey % 50 AS user_id,
-         TIMESTAMP '2024-01-01 00:00:00'
-           + (o_orderkey % 29) * INTERVAL 1 DAY
-           + (o_custkey % 24) * INTERVAL 1 HOUR AS ots
-  FROM orders
-),
-r AS (SELECT user_id, ts, event_type FROM events)
-SELECT l.o_orderkey, l.user_id, l.ots,
-       CASE WHEN r.ts >= l.ots - INTERVAL 6 HOUR THEN r.ts END AS asof_ts,
-       CASE WHEN r.ts >= l.ots - INTERVAL 6 HOUR THEN r.event_type END
-         AS asof_event_type
-FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ots >= r.ts
-""",
-)
-def q_orders_asof_recent_event(spark, sf_dir):
-    """Bounded-staleness as-of join: the most recent event only counts
-    if it is at most 6 hours old at the order's timestamp — the
-    max-staleness variant every market-data as-of API carries. Same
-    linear merge, one extra null-out predicate."""
-    from nosql_to_sql_migration_tool_spark.operators.asof import asof_join
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_custkey") % 50).alias("user_id"),
-        F.expr(
-            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
-            "o_orderkey % 29, o_custkey % 24, 0, 0)"
-        ).alias("ots"),
-    )
-    events = load_table(spark, sf_dir, "events")
-    return asof_join(
-        orders, events, "user_id", "ots", "ts", ["ts", "event_type"],
-        tolerance_s=6 * 3600,
-    )
+# `orders_asof_recent_event` (bounded-staleness as-of variant) was
+# de-registered in round 12 (bench-headroom trim for the r12
+# registrations, the r9 precedent): it drove the SAME `asof_join`
+# linear-merge operator as `orders_asof_last_event` (still
+# driver-checked) plus one null-out predicate; the tolerance_s branch
+# stays pytest-covered in tests/test_asof.py.
 
 
 @query(
@@ -2186,25 +2154,12 @@ def q_events_value_delta(spark, sf_dir):
     )
 
 
-@query(
-    "order_price_quartiles_assign",
-    """
-SELECT o_orderkey,
-       ntile(4) OVER (PARTITION BY o_orderpriority
-                      ORDER BY o_totalprice, o_orderkey) AS quartile
-FROM orders
-""",
-)
-def q_order_price_quartiles_assign(spark, sf_dir):
-    """Per-priority price quartile assignment (ntile) — grouped window,
-    never a global single-partition sort."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    return orders.select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
-    )
+# `order_price_quartiles_assign` (grouped ntile) was de-registered in
+# round 12 (bench-headroom trim): the grouped-window family stays
+# driver-checked by `top_orders_per_customer` (row_number) and
+# `customer_spend_percentile_by_nation` (cume_dist), and the EXACT
+# global ntile with no single-partition window — the scale-relevant
+# form — by `customer_spend_deciles`.
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -4403,61 +4358,11 @@ def q_ingest_embedding_near_dup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "cohort_retention",
-    """
-WITH first_seen AS (
-  SELECT user_id,
-         date_trunc('week', min(ts)) AS cohort_week
-  FROM events GROUP BY user_id
-),
-activity AS (
-  SELECT DISTINCT e.user_id, f.cohort_week,
-         CAST(datediff('day', f.cohort_week,
-                       date_trunc('week', e.ts)) / 7 AS INT) AS week_offset
-  FROM events e JOIN first_seen f ON e.user_id = f.user_id
-)
-SELECT cohort_week,
-       week_offset,
-       count(*) AS n_active
-FROM activity
-GROUP BY 1, 2
-""",
-)
-def q_cohort_retention(spark, sf_dir):
-    """Cohort retention matrix: users bucketed by first-seen week (both
-    engines truncate weeks to Monday), counted once per (cohort,
-    week-offset). The offset is day-difference of week starts / 7 —
-    exact integer arithmetic, no calendar-unit ambiguity. The cohort
-    week stays a TIMESTAMP end-to-end: DATE is the one type whose
-    pandas representation differs between the engines (datetime.date
-    vs midnight Timestamp), so a DATE result column would hash-mismatch
-    on representation alone. Two combinable shuffles on user_id; the
-    per-user grain never re-sorts globally."""
-    events = load_table(spark, sf_dir, "events")
-    first_seen = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    activity = (
-        events.join(first_seen, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
-                )
-                / 7
-            )
-            .cast("int")
-            .alias("week_offset"),
-        )
-        .distinct()
-    )
-    return activity.groupBy(
-        "cohort_week",
-        "week_offset",
-    ).agg(F.count(F.lit(1)).alias("n_active"))
+# `cohort_retention` (inline weekly retention matrix) was de-registered
+# in round 12 (bench-headroom trim): `user_cohort_retention` drives the
+# SAME matrix through the packaged `operators/timeseries.cohort_retention`
+# + its oracle twin — the inline duplicate predated the operator and
+# added no coverage.
 
 
 @query(
@@ -4512,83 +4417,11 @@ def q_event_value_outliers(spark, sf_dir):
     )
 
 
-@query(
-    "events_hourly_dense",
-    """
-WITH bounds AS (
-  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
-  FROM events
-),
-spine AS (
-  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
-  FROM bounds
-),
-types AS (SELECT DISTINCT event_type FROM events),
-actual AS (
-  SELECT date_trunc('hour', ts) AS hour_start, event_type,
-         count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-  FROM events GROUP BY 1, 2
-)
-SELECT s.hour_start, t.event_type,
-       coalesce(a.n, 0) AS n_events,
-       last_value(a.total IGNORE NULLS) OVER (
-         PARTITION BY t.event_type ORDER BY s.hour_start
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS locf_total
-FROM spine s
-CROSS JOIN types t
-LEFT JOIN actual a
-  ON a.hour_start = s.hour_start AND a.event_type = t.event_type
-""",
-)
-def q_events_hourly_dense(spark, sf_dir):
-    """Time-series densification: a complete hour x event-type spine
-    (sequence-explode — generated, never scanned), zero-filled counts,
-    and last-observation-carried-forward totals per type. The spine is
-    metadata-sized and broadcast; LOCF is one window per type ordered
-    by the (unique) hour — at 100 TB the partition key keeps every
-    window a single type's spine, thousands of rows, not the corpus."""
-    events = load_table(spark, sf_dir, "events")
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour_start")
-    )
-    types = events.select("event_type").distinct()
-    actual = events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("__h"),
-        F.col("event_type").alias("__et"),
-    ).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col("value").cast(T.DecimalType(18, 2)))
-        .cast("double")
-        .alias("__total"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        spine.crossJoin(F.broadcast(types))
-        .join(
-            actual,
-            (F.col("__h") == F.col("hour_start"))
-            & (F.col("__et") == F.col("event_type")),
-            "left",
-        )
-        .select(
-            "hour_start",
-            "event_type",
-            F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
-            F.last("__total", ignorenulls=True).over(w).alias("locf_total"),
-        )
-    )
+# `events_hourly_dense` (inline hour x type spine + LOCF) was
+# de-registered in round 12 (bench-headroom trim): `events_hourly_gapfill`
+# drives the SAME densify/zero-fill/LOCF shape through the packaged
+# `operators/timeseries.hourly_gapfill` (per-key spans, the scale form)
+# and stays driver-checked; the inline duplicate predated the operator.
 
 
 @query(
@@ -5431,23 +5264,12 @@ def _memo_pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(_PQ_ENC_CACHE, spark, (sf_dir, "enc"), build)
 
 
-@query("pq_topk", pq_topk_sql(table="embeddings"))
-def q_pq_topk(spark, sf_dir):
-    """Product-quantization ADC top-10 for the vec_id=0 query: M=4
-    subspace codebooks trained L2-deterministically on one md5-ranked
-    256-vector sample (memoized per corpus), corpus encoded to 4 small
-    codes per vector, scored from codes alone — at scale the scan
-    reads the 4-byte code column, never the raw embeddings. The oracle
-    re-derives sample, per-subspace Lloyd's, codes, and ADC scores as
-    an unrolled DuckDB CTE chain."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(
-        emb,
-        emb.filter(F.col("vec_id") == 0),
-        _memo_pq_books(spark, sf_dir),
-        k=10,
-        enc=_memo_pq_encoded(spark, sf_dir),
-    )
+# `pq_topk` (raw-ADC top-10) was de-registered in round 12
+# (bench-headroom trim): `pq_topk_rerank` drives the identical codebook
+# training, encoding and ADC scan (shared _memo_pq_books/_memo_pq_encoded
+# artifacts) plus the exact rerank phase a production retrieval runs, so
+# the raw-ADC row added no operator coverage; ADC-only semantics stay
+# pytest-covered in tests/test_corpus_ops.py.
 
 
 from nosql_to_sql_migration_tool_spark.operators.pq import (  # noqa: E402
@@ -6775,12 +6597,16 @@ def _pw_block_quantizers(spark, sf_dir):
     capacity consolidation): raw-corpus centroids, the planted-dup
     quantizer (flat + two-level), and both cell assignments — the
     stage-by-stage DAG a production deployment persists once and every
-    IVF/semantic query probes."""
+    IVF/semantic query probes. Round 12 adds the SQ8 quantizer (param
+    row + corpus code column) to the same lineage, so the sq8_topk row
+    measures steady-state retrieval, not encoding."""
     _memo_centroids(spark, sf_dir, "raw", 8, 2, 256)
     k, tl = _blocking_params(_dup_emb_count(spark, sf_dir))
     _dup_emb_centroids(spark, sf_dir, k, 2, tl)
     _force(_dup_emb_assigned(spark, sf_dir, "flat"))
     _force(_dup_emb_assigned(spark, sf_dir, "two_level"))
+    _force(_memo_sq_params(spark, sf_dir))
+    _force(_memo_sq_codes(spark, sf_dir))
 
 
 @_prewarm("build:ingest_state")
@@ -8078,3 +7904,203 @@ def q_takedown_audit(spark, sf_dir):
         .select("doc_id")
     )
     return takedown_audit(spark, purged, acc, qua, idx)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 registrations (VERDICT r10 next #5 leftovers + the round-11-built
+# candidates, per COVERAGE's queue): SQ8 scalar-quantization retrieval, DSIR
+# importance selection, deterministic weighted sampling, tokenizer fertility
+# by language, exact phrase search, and the per-document duplication rate.
+# All six were built and pytest-proven in rounds 10-11; this block puts them
+# under the driver's oracle gate.
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.sq import (  # noqa: E402
+    sq_encode,
+    sq_param_arrays,
+    sq_params,
+    sq_topk,
+    sq_topk_sql,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    doc_duplication_rate,
+    doc_duplication_rate_sql,
+    phrase_match,
+    phrase_match_sql,
+    token_fertility_by,
+    token_fertility_by_sql,
+)
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    dsir_select,
+    dsir_weights_sql,
+    weighted_sample,
+    weighted_sample_sql,
+)
+
+_SQ_PARAM_CACHE: dict[str, tuple] = runtime_cache({})
+_SQ_CODE_CACHE: dict[str, tuple] = runtime_cache({})
+
+
+def _memo_sq_params(spark, sf_dir):
+    """The SQ8 quantizer's (vmin, vmax) param row, persisted once per
+    corpus — the build artifact a deployment trains in one combinable
+    pass and every encode/retrieve broadcasts (timed in
+    ``build:block_quantizers`` with the other ANN quantizers)."""
+    return _cached(
+        _SQ_PARAM_CACHE,
+        spark,
+        sf_dir,
+        lambda: sq_param_arrays(
+            sq_params(load_table(spark, sf_dir, "embeddings"))
+        ),
+    )
+
+
+def _memo_sq_codes(spark, sf_dir):
+    """The corpus's 1-byte-per-dimension SQ8 code column (shuffle-free
+    zip_with projection against the broadcast params; appends re-encode
+    O(batch))."""
+    return _cached(
+        _SQ_CODE_CACHE,
+        spark,
+        sf_dir,
+        lambda: sq_encode(
+            load_table(spark, sf_dir, "embeddings"),
+            _memo_sq_params(spark, sf_dir),
+        ),
+    )
+
+
+@query(
+    "sq8_topk",
+    sq_topk_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT embedding FROM embeddings WHERE vec_id = 0",
+        k=10,
+        refine=4,
+    ),
+)
+def q_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantization ANN (round-11 build, registered r12):
+    approximate cosine over the DEQUANTIZED 1-byte-per-dimension code
+    column cuts a k*4 candidate set (TakeOrdered — per-partition heap,
+    never a full sort), then only the candidates' raw vectors are
+    point-fetched for the exact rerank. Complements PQ (~4x storage,
+    per-dimension structure preserved, O(batch) append re-encode); the
+    scan reads the code column only — raw embeddings stay pruned out of
+    the approximate phase. Floor of identical IEEE doubles needs no
+    rounding pin; cosines round 6 dp (the house pin), ties break on id.
+    The DuckDB oracle replays params -> codes -> dequant -> cut ->
+    rerank end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        refine=4,
+        codes=_memo_sq_codes(spark, sf_dir),
+        param_row=_memo_sq_params(spark, sf_dir),
+    )
+
+
+_DSIR_RAW_SQL = "SELECT doc_id, text FROM documents"
+_DSIR_TARGET_SQL = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+
+
+@query(
+    "dsir_select",
+    f"""
+SELECT * FROM ({dsir_weights_sql(_DSIR_RAW_SQL, _DSIR_TARGET_SQL)})
+ORDER BY weight_micro DESC, doc_id
+LIMIT 200
+""",
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023; round-11 build,
+    registered r12): the 200 most target-like documents of the
+    multilingual corpus against the English slice as target. md5-hashed
+    token buckets (B=8192) bound the ratio model to a broadcastable
+    constant at ANY corpus size; per-doc cost is one token explode +
+    a combinable (doc, bucket) fold + a broadcast join; the single
+    add-one-smoothed ln is pinned round(.,6) at the source and weights
+    fold as integer micros, so DuckDB replays every weight
+    bit-identically. Selection plans as TakeOrdered with an id
+    tie-break — the reproducible (temperature-0) form of DSIR's
+    resampling step."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(raw, target, 200)
+
+
+@query(
+    "weighted_sample",
+    weighted_sample_sql(
+        "SELECT doc_id, length(text) AS w FROM documents", "w", 200
+    ),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-RES,
+    Efraimidis-Spirakis; round-11 build, registered r12): 200 docs
+    drawn proportionally to text length through exponential keys whose
+    uniforms are md5-derived 52-bit-exact doubles — the 'random' sample
+    is a PURE FUNCTION of (id, weight): reproducible across engines,
+    reruns and partitionings, grow-stable under corpus appends (the
+    with_split contract applied to weighted choice). One shuffle-free
+    key projection + a TakeOrdered top-n; the one ln is pinned
+    round(.,6), keys fold to integer micros."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    return weighted_sample(docs, "w", 200)
+
+
+@query(
+    "token_fertility_by_lang",
+    token_fertility_by_sql("SELECT lang, text FROM documents", "lang"),
+)
+def q_token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language (round-11 build, registered
+    r12): BPE-ish pretokens per whitespace token — the statistic a
+    pipeline reads before budgeting compute per slice (fertility > 1.2
+    usually means the tokenizer underserves the slice). Two shuffle-free
+    per-row projections + ONE combinable group aggregate; the shuffle
+    carries one row per language and the ratio comes from exact BIGINT
+    sums, pinned round(.,6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_fertility_by(docs.select("lang", "text"), "lang")
+
+
+_PHRASE = "hash join"
+
+
+@query(
+    "phrase_match",
+    phrase_match_sql("SELECT doc_id, text FROM documents", _PHRASE),
+)
+def q_phrase_match(spark, sf_dir):
+    """Exact token-phrase search (round-10 build, registered r12): every
+    document containing 'hash join' as consecutive whitespace tokens,
+    with occurrence count and first 0-based position — the positional
+    complement of BM25's bag-of-terms scoring. The n-gram projection
+    compares against ONE folded literal before any shuffle, so shuffle
+    volume is matching occurrences only; the fold is one combinable
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match(docs, _PHRASE)
+
+
+@query(
+    "doc_duplication_rate",
+    doc_duplication_rate_sql(DUPLICATED_DOCUMENTS_SQL),
+)
+def q_doc_duplication_rate(spark, sf_dir):
+    """Per-document duplication (memorization-risk) rate over the
+    planted-dup corpus (round-10 build, registered r12): the fraction
+    of each doc's 5-gram occurrences that appear in at least one OTHER
+    document. The per-doc complement of the pairwise containment/
+    substring operators — no pair enumeration anywhere, so boilerplate
+    grams shared by thousands of docs stay LINEAR (one gram->ndocs
+    fold, one rejoin on gram, one per-doc combinable fold);
+    dup_rate = round(dup/total, 6) is a cross-engine-exact rational."""
+    return doc_duplication_rate(_dedup_docs(spark, sf_dir))

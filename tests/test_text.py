@@ -316,3 +316,88 @@ def test_token_fertility_by_parity_and_semantics(spark):
     ws, bpe, fert = rows["a"]
     assert bpe > ws and fert > 1.0
     assert rows["b"] == (0, 0, 0.0)
+
+
+def test_token_entropy_hand_cases_and_parity(spark):
+    """Round 12: unigram entropy in integer micros — the repetition/
+    gibberish signal the length-ratio filters can't see. Hand cases pin
+    the formula ends (single-type -> 0, all-distinct -> ln(n), empty ->
+    NULL); the whole real corpus hash-matches DuckDB."""
+    import math
+
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        token_entropy,
+        token_entropy_sql,
+    )
+
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    hand = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, ""), (4, "x x y y")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["entropy_micro"])
+        for r in token_entropy(hand).collect()
+    }
+    ln_micro = lambda x: round(round(math.log(x), 6) * 1e6)  # noqa: E731
+    assert got[1] == (4, 1, 0)
+    assert got[2] == (4, 4, ln_micro(4))
+    assert got[3] == (0, 0, None)
+    # two types, two tokens each: ln(4) - (2*ln_micro(2)*2)/4
+    assert got[4] == (4, 2, ln_micro(4) - round(4 * ln_micro(2) / 4))
+    # a looped phrase scores far below a diverse doc of the same length
+    rep = spark.createDataFrame(
+        [(1, "buy now " * 200), (2, " ".join(f"w{i}" for i in range(400)))],
+        ["doc_id", "text"],
+    )
+    s = {r["doc_id"]: r["entropy_micro"] for r in token_entropy(rep).collect()}
+    assert s[1] < s[2] / 5
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    mine = sorted(tuple(r) for r in token_entropy(docs).collect())
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            token_entropy_sql(
+                f"SELECT doc_id, text FROM "
+                f"'{SF_DIR_SMOKE}/documents.parquet'"
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want
+
+
+def test_token_entropy_plan_invariants(spark):
+    """Two combinable shuffles, no Python stage, no global window, scan
+    pruned to (doc_id, text)."""
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        token_entropy,
+    )
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+        read_schemas,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    df = token_entropy(docs)
+    assert python_stage_count(df) == 0
+    assert cartesian_products(df) == 0
+    assert global_windows(df) == 0
+    for schema in read_schemas(df):
+        assert "n_chars" not in schema and "lang" not in schema

@@ -44,9 +44,11 @@ FAMS = {
         "containment_dup_pairs", "cross_doc_chunk_dups",
         "simhash_near_pairs", "jaccard_prefix_pairs", "ingest_near_dup",
     ],
+    # pq_topk was de-registered in r12 (bench trim); the PQ pipeline
+    # stays probed via pq_topk_rerank's shared artifacts
     "similarity": [
         "cosine_topk", "knn_batch", "ivf_topk", "semantic_near_dup",
-        "pq_topk",
+        "pq_topk_rerank",
     ],
     "quantile": [
                 "customer_spend_deciles", "price_quantile_error_audit",
@@ -67,7 +69,9 @@ FAMS = {
         "events_session_window",
     ],
     "graph": ["near_dup_pagerank", "near_dup_components_twostar"],
-    "asof": ["orders_asof_recent_event", "orders_asof_last_event"],
+    # orders_asof_recent_event was de-registered in r12 (bench trim) —
+    # the linear-merge asof operator stays probed via the last-event row
+    "asof": ["orders_asof_last_event"],
     "newcomers_r7r8": [
         "split_leakage_audit", "ingest_embedding_near_dup",
         "cms_heavy_hitters_audit", "orders_price_drift_audit",
@@ -90,6 +94,11 @@ FAMS = {
     "newcomers_r11": [
         "bm25_topk", "vocab_growth", "linear_count_by",
         "update_components", "takedown_audit",
+    ],
+    # round 12 additions (the registered six)
+    "newcomers_r12": [
+        "sq8_topk", "dsir_select", "weighted_sample",
+        "token_fertility_by_lang", "phrase_match", "doc_duplication_rate",
     ],
 }
 
