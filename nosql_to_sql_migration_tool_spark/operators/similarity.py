@@ -1547,3 +1547,101 @@ def ingest_embedding_near_dup_flags(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 12): the contrastive-training data op — for
+# each anchor vector, the k most-similar corpus vectors with a DIFFERENT
+# label (high cosine + wrong class = the pairs that actually move a
+# contrastive/metric loss). The knn_join salted two-phase top-k with a
+# label-mismatch predicate pushed below the first shuffle, so excluded
+# same-label rows never enter the ranking at all.
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_salts: int = 16,
+) -> DataFrame:
+    """``(anchor_id, rank, vec_id, label, cos_sim)`` — top-k
+    cross-label neighbors per anchor, ties on corpus id. The anchor
+    batch broadcasts (small by construction); scoring is one linear
+    broadcast pass over the corpus; the label filter (and the
+    anchor-self exclusion it implies) runs map-side BEFORE the grouped
+    top-k, and the top-k itself is the salted two-phase cut — no window
+    partition ever holds more than |corpus|/n_salts rows, the knn_join
+    discipline."""
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("__aid"),
+            F.col(vec_col).alias("__av"),
+            F.col(label_col).alias("__alabel"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(a)
+        .where(F.col(label_col) != F.col("__alabel"))
+        .select(
+            F.col("__aid").alias("anchor_id"),
+            F.col(id_col),
+            F.col(label_col),
+            cosine(
+                as_double(F.col(vec_col)), as_double(F.col("__av"))
+            ).alias("cos_sim"),
+            (F.crc32(F.col(id_col).cast("string")) % n_salts).alias(
+                "__salt"
+            ),
+        )
+    )
+    local_w = Window.partitionBy("anchor_id", "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(local_w))
+        .where(F.col("__r") <= k)
+        .drop("__r", "__salt")
+    )
+    final_w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "rank", id_col, label_col, "cos_sim")
+    )
+
+
+def hard_negatives_sql(
+    corpus_sql: str,
+    anchors_sql: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of ``hard_negatives`` (corpus/anchors yield
+    (vec_id, embedding, label))."""
+    cos = cosine_sql(
+        "list_transform(c.embedding, x -> CAST(x AS DOUBLE))",
+        "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+anchors AS ({anchors_sql}),
+scored AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id, c.label,
+         {cos} AS cos_sim
+  FROM corpus c, anchors a
+  WHERE c.label <> a.label
+),
+ranked AS (
+  SELECT anchor_id, vec_id, label, cos_sim,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT anchor_id, rank, vec_id, label, cos_sim
+FROM ranked WHERE rank <= {k}
+"""

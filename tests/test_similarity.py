@@ -323,3 +323,54 @@ def test_embedding_band_index_incremental_update_equals_rebuild(spark, tmp_path)
     n_in = incoming.count()
     assert n_in > 0
     assert via_index.filter(F.col("is_near_dup")).count() == n_in
+
+
+def test_hard_negatives_semantics_and_parity(spark):
+    """Round 12: label-aware contrastive mining — every returned row has
+    a label different from its anchor's, ranks are dense by descending
+    cosine with id ties, the anchor itself can never appear (same
+    label), and the whole relation replays bit-identically in DuckDB.
+    Salting is exact: n_salts=1 equals the default."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3)
+    got = hard_negatives(emb, anchors, k=5).collect()
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    for r in got:
+        assert r["label"] != labels[r["anchor_id"]]
+        assert r["vec_id"] != r["anchor_id"]
+    per_anchor = {}
+    for r in got:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    for aid, rows in per_anchor.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [(-r["cos_sim"], r["vec_id"]) for r in rows]
+        assert sims == sorted(sims)
+
+    mine = sorted(map(tuple, got))
+    con = duckdb.connect()
+    src = f"SELECT vec_id, embedding, label FROM '{SF_DIR_SMOKE}/embeddings.parquet'"
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            hard_negatives_sql(src, src + " WHERE vec_id < 3", k=5)
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want
+
+    unsalted = sorted(
+        map(tuple, hard_negatives(emb, anchors, k=5, n_salts=1).collect())
+    )
+    assert unsalted == mine
