@@ -62,7 +62,9 @@ def test_queries_reuse_memo_not_rebuild(spark):
     pq_mod.pq_encode = boom
     try:
         assert q.QUERIES["minhash_candidates"](spark, sf).count() > 0
-        assert q.QUERIES["pq_topk"](spark, sf).count() > 0
+        # pq_topk was de-registered in r12 (bench trim); the rerank row
+        # shares the same encoded-corpus memo
+        assert q.QUERIES["pq_topk_rerank"](spark, sf).count() > 0
     finally:
         dedup_mod.minhash_candidates = orig_cand
         pq_mod.pq_encode = orig_enc
