@@ -1,0 +1,291 @@
+"""Persisted inverted index with incremental BM25 maintenance — the
+retrieval family's IVM form (round 12).
+
+``bm25_topk`` (operators/text.py) re-tokenizes the corpus per query:
+correct, one linear pass, but at 100 TB a retrieval SERVICE cannot pay
+a corpus scan per query. The standard fix is the inverted index: a
+one-time tokenize persists ``(term, doc_id, tf, doc_len)`` postings
+partitioned by a bounded md5 TERM BUCKET, and a query then reads ONLY
+its terms' bucket partitions — cost O(postings of the query terms),
+independent of corpus size. Corpus-level stats (n_docs, total token
+count) persist as one additive row per ingest batch, so idf/avgdl come
+from a metadata-sized scan.
+
+Maintenance follows the ingest family's ledger discipline
+(streaming/ingest_stream.py): batches append under their ``batch_id``
+partition via dynamic-partition overwrite — an at-least-once replay of
+the same batch rewrites exactly its own partitions with identical rows
+(idempotent), and ``compact_inverted_index`` folds committed batches
+into the reserved ``batch_id = -1`` exactly like
+``compact_ingest_ledger`` (additive postings + additive stats, so the
+fold is a union-rewrite; the same crash-window gate applies: pass the
+last committed batch id while a stream is attached).
+
+Scoring replays ``text.bm25_*``'s exact math — Robertson +1 idf with
+the ln pinned round(.,6) at the source, contributions folded to
+integer micros — so ``bm25_topk_indexed(store) == bm25_topk(corpus)``
+row-for-row (pinned by pytest), and the DuckDB oracle for an indexed
+query is simply ``bm25_topk_sql`` over the source table.
+
+Reference analogue: none (the migration tool has no retrieval); this
+is the reference's incremental-sync contract (private/Sync.ps1:1-294 —
+only changed rows touch the persisted state) applied to text
+retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from nosql_to_sql_migration_tool_spark.operators.text import (
+    BM25_B,
+    BM25_K1,
+    tokens,
+)
+
+IDX_BUCKETS = 64
+
+
+def term_bucket(term, n_buckets: int = IDX_BUCKETS):
+    """md5-hex bucket of a term — the house integer convention
+    (``sketches.lc_bucket``), reused so bucket pruning is a pure
+    function of the term."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _postings_path(path: str) -> str:
+    return path.rstrip("/") + "/postings"
+
+
+def _stats_path(path: str) -> str:
+    return path.rstrip("/") + "/stats"
+
+
+def _batch_postings(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """``(term, doc_id, tf, doc_len, bucket)`` for one batch — tf via a
+    combinable (doc, term) count, doc_len denormalized onto every
+    posting row so queries never join a doc-length table."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__t"),
+    ).select(
+        "doc_id",
+        F.size("__t").alias("doc_len"),
+        F.explode("__t").alias("term"),
+    )
+    return (
+        toked.groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("doc_len").cast("long").alias("doc_len"),
+        )
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "doc_len",
+            term_bucket(F.col("term"), n_buckets).alias("bucket"),
+        )
+    )
+
+
+def update_inverted_index(
+    docs: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = IDX_BUCKETS,
+) -> None:
+    """Fold one ingest batch into the store. Postings land under
+    ``batch_id=<b>/bucket=<k>`` partitions, stats under
+    ``batch_id=<b>`` — both dynamic-partition overwrites, so a replayed
+    batch rewrites its own partitions with bit-identical rows (the
+    CMS/LC/ledger replay discipline). Cost per batch: one token explode
+    + one combinable (doc, term) fold — O(batch), never O(index)."""
+    spark = docs.sparkSession
+    postings = _batch_postings(docs, text_col, id_col, n_buckets)
+    (
+        postings.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket")
+        .parquet(_postings_path(path))
+    )
+    stats = docs.select(
+        F.size(tokens(F.col(text_col))).alias("__l")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    (
+        stats.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_stats_path(path))
+    )
+
+
+def read_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """One row ``(n_docs, total_tokens)`` — the additive fold of every
+    batch's stats partition (metadata-sized)."""
+    return spark.read.parquet(_stats_path(path)).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+    n_buckets: int = IDX_BUCKETS,
+) -> DataFrame:
+    """Top-k BM25 from the persisted store — NO corpus scan: the
+    postings read prunes to the query terms' bucket partitions (at most
+    |terms| of the n_buckets directories), df/idf derive from those few
+    postings, n_docs/avgdl from the metadata stats fold, and the exact
+    ``text.bm25_topk`` math (6-dp-ln idf, integer-micro contributions,
+    TakeOrdered top-k with id ties) runs on posting rows only. Output
+    schema matches ``bm25_topk``: ``(doc_id, n_hit_terms,
+    score_micro)``."""
+    # bucket literals for partition pruning, derived driver-side with
+    # the same md5 math as term_bucket (|terms| ints — metadata)
+    import hashlib
+
+    bucket_vals = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+            for t in terms
+        }
+    )
+    postings = (
+        spark.read.parquet(_postings_path(path))
+        .where(F.col("bucket").isin(bucket_vals))
+        .where(F.col("term").isin(*terms))
+        .select("term", "doc_id", "tf", "doc_len")
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    stats = read_index_stats(spark, path)
+    k1 = F.lit(BM25_K1)
+    b = F.lit(BM25_B)
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__avgdl",
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "__idf",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("__df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("__df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__micros",
+            F.round(
+                F.col("__idf")
+                * (F.col("tf").cast("double") * (k1 + F.lit(1.0)))
+                / (
+                    F.col("tf").cast("double")
+                    + k1
+                    * (
+                        F.lit(1.0)
+                        - b
+                        + b
+                        * F.col("doc_len").cast("double")
+                        / F.col("__avgdl")
+                    )
+                )
+                * F.lit(1_000_000.0),
+                0,
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("__micros").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def compact_inverted_index(
+    spark: SparkSession,
+    path: str,
+    max_safe_batch_id: int | None = None,
+) -> None:
+    """Fold committed batches into the reserved ``batch_id = -1``
+    partition — postings and stats are both additive, and a COMMITTED
+    batch can never replay (the compact_ingest_ledger argument), so the
+    fold preserves query results exactly while bounding the partition
+    count. Pass ``max_safe_batch_id`` while a stream is attached; None
+    folds everything (offline maintenance only)."""
+    for sub, part_cols in (
+        (_postings_path(path), ["batch_id", "bucket"]),
+        (_stats_path(path), ["batch_id"]),
+    ):
+        try:
+            cur = spark.read.parquet(sub)
+        except AnalysisException:
+            continue
+        # -1 is committed by definition, so it always re-enters the fold
+        # (repeated compactions keep ONE folded row set, not a pile-up)
+        safe = F.lit(True)
+        if max_safe_batch_id is not None:
+            safe = (F.col("batch_id") == -1) | (
+                F.col("batch_id") <= int(max_safe_batch_id)
+            )
+        folded = cur.where(safe)
+        if folded.isEmpty():
+            continue
+        keep = cur.where(~safe)
+        if sub.endswith("/stats"):
+            folded = folded.agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+            )
+        else:
+            folded = folded.drop("batch_id")
+        merged = (
+            keep.unionByName(
+                folded.withColumn("batch_id", F.lit(-1)),
+                allowMissingColumns=False,
+            )
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(*part_cols)
+            .parquet(sub)
+        )

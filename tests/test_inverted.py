@@ -1,0 +1,127 @@
+"""Persisted inverted index / incremental BM25 (round 12): indexed
+retrieval == corpus-scan retrieval, replay idempotence, compaction
+equivalence, and partition pruning to the query terms' buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.operators.inverted import (
+    bm25_topk_indexed,
+    compact_inverted_index,
+    read_index_stats,
+    update_inverted_index,
+)
+from nosql_to_sql_migration_tool_spark.operators.text import bm25_topk
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+_TERMS = ("hash", "join", "spark", "window")
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+
+
+def test_indexed_bm25_equals_corpus_scan(spark, tmp_path):
+    """Two ingest batches -> the store answers EXACTLY like the one-shot
+    corpus scan (same idf pin, same integer micros, same ties)."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    update_inverted_index(docs.filter(F.col("doc_id") % 2 == 0), path, 0)
+    update_inverted_index(docs.filter(F.col("doc_id") % 2 == 1), path, 1)
+
+    want = [tuple(r) for r in bm25_topk(docs, _TERMS, k=25).collect()]
+    got = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    assert got == want
+    stats = read_index_stats(spark, path).collect()[0]
+    assert stats["n_docs"] == docs.count()
+
+
+def test_index_replay_idempotent(spark, tmp_path):
+    """Re-delivering batch 1 (at-least-once replay) rewrites its own
+    partitions with identical rows — queries unchanged, no duplicate
+    postings, stats not double-counted."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    update_inverted_index(b0, path, 0)
+    update_inverted_index(b1, path, 1)
+    before = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    update_inverted_index(b1, path, 1)  # replay
+    after = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    assert after == before
+    assert read_index_stats(spark, path).collect()[0]["n_docs"] == (
+        docs.count()
+    )
+
+
+def test_index_compaction_preserves_results(spark, tmp_path):
+    """Folding committed batches into batch_id=-1 changes layout, never
+    answers; a second compaction is a no-op pile-up-wise (one folded
+    stats row set, not one per compaction); an uncommitted batch above
+    max_safe_batch_id survives unfolded."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    for b in range(3):
+        update_inverted_index(docs.filter(F.col("doc_id") % 3 == b), path, b)
+    want = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    compact_inverted_index(spark, path, max_safe_batch_id=1)
+    mid = spark.read.parquet(str(tmp_path / "idx/postings"))
+    assert set(
+        r["batch_id"] for r in mid.select("batch_id").distinct().collect()
+    ) == {-1, 2}
+    assert [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ] == want
+    compact_inverted_index(spark, path)
+    post = spark.read.parquet(str(tmp_path / "idx/postings"))
+    assert set(
+        r["batch_id"] for r in post.select("batch_id").distinct().collect()
+    ) == {-1}
+    assert [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ] == want
+    stats = spark.read.parquet(str(tmp_path / "idx/stats"))
+    assert stats.count() == 1  # folds merge, never pile up
+
+
+def test_indexed_query_prunes_to_term_buckets(spark, tmp_path):
+    """The scale contract: the postings scan carries a partition filter
+    on bucket (so only the query terms' directories are read), and the
+    plan has no Python stage / cartesian product."""
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        python_stage_count,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    update_inverted_index(docs, path, 0)
+    df = bm25_topk_indexed(spark, path, _TERMS, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert python_stage_count(df) == 0
+    assert cartesian_products(df) == 0
+    # and the pruned read really returns only the probed terms
+    got = {r["term"] for r in spark.read.parquet(
+        str(tmp_path / "idx/postings")
+    ).where(F.col("term").isin(*_TERMS)).select("term").distinct().collect()}
+    assert got <= set(_TERMS)
