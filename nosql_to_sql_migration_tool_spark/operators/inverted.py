@@ -289,3 +289,53 @@ def compact_inverted_index(
             .partitionBy(*part_cols)
             .parquet(sub)
         )
+
+
+def phrase_match_indexed(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = IDX_BUCKETS,
+) -> DataFrame:
+    """Index-accelerated exact phrase search: candidate docs come from
+    the postings store (every doc containing ALL the phrase's words —
+    an intersection over the words' pruned bucket partitions), and the
+    positional n-gram verify (``text.phrase_match``) runs on that
+    candidate sliver only — the corpus text column is read for
+    candidates, never scanned whole. Result ≡ ``phrase_match(docs)``
+    exactly (a doc containing the phrase contains each word, so the
+    candidate set can never lose a match — the Bloom-style
+    no-false-negative argument; pinned by pytest)."""
+    import hashlib
+
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        phrase_match,
+    )
+
+    words = tuple(dict.fromkeys(phrase.split()))
+    if not words:
+        raise ValueError("empty phrase")
+    bucket_vals = sorted(
+        {
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+            for w in words
+        }
+    )
+    postings = (
+        spark.read.parquet(_postings_path(path))
+        .where(F.col("bucket").isin(bucket_vals))
+        .where(F.col("term").isin(*words))
+        .select("term", "doc_id")
+    )
+    candidates = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("__nw"))
+        .where(F.col("__nw") == len(words))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return phrase_match(
+        docs.join(candidates, id_col, "semi"), phrase, text_col, id_col
+    )

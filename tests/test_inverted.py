@@ -125,3 +125,32 @@ def test_indexed_query_prunes_to_term_buckets(spark, tmp_path):
         str(tmp_path / "idx/postings")
     ).where(F.col("term").isin(*_TERMS)).select("term").distinct().collect()}
     assert got <= set(_TERMS)
+
+
+def test_phrase_match_indexed_equals_scan(spark, tmp_path):
+    """Candidate pruning via the postings store never loses a match
+    (every phrase doc contains each word) and never adds one (the
+    positional verify is exact) — bit-equal to the corpus-scan
+    operator, including repeated-word phrases."""
+    from nosql_to_sql_migration_tool_spark.operators.inverted import (
+        phrase_match_indexed,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        phrase_match,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    update_inverted_index(docs.filter(F.col("doc_id") % 2 == 0), path, 0)
+    update_inverted_index(docs.filter(F.col("doc_id") % 2 == 1), path, 1)
+    for phrase in ("hash join", "the the", "table part"):
+        want = sorted(
+            map(tuple, phrase_match(docs, phrase).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                phrase_match_indexed(spark, path, docs, phrase).collect(),
+            )
+        )
+        assert got == want, phrase
