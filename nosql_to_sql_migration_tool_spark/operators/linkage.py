@@ -1,0 +1,163 @@
+"""Probabilistic record linkage (Fellegi–Sunter) — entity resolution
+for STRUCTURED records, the dedup family's relational sibling
+(round 12).
+
+The reference's validation step answers "is THIS document THIS row?"
+for known-key pairs (``private/Migration_Validation.ps1:266-363``,
+mirrored by ``operators/validation.py:compare_records``). Record
+linkage answers the harder production question — which rows of two
+tables (or one table with itself) are the SAME ENTITY when keys are
+absent or dirty: candidate pairs come from a BLOCKING join (equi-join
+on a blocking key — linear in block sizes, never the |A|x|B| cross
+product), each candidate is scored by summing per-field log-likelihood
+ratios (agreement on a discriminating field adds ln(m/u), disagreement
+adds ln((1-m)/(1-u)) — the Fellegi & Sunter 1969 decision model, the
+same math Splink runs on Spark), and pairs above a threshold are
+matches.
+
+Determinism contract: the per-field (m, u) parameters are CALLER
+inputs (review-able model config, like the trained charlm/NB tables),
+and their ln weights are computed DRIVER-SIDE in Python and embedded
+as integer-micro literals — no engine transcendental anywhere, so the
+score is a pure integer fold both engines replay bit-identically.
+Field comparison is exact equality after the house canonicalization
+(trim + lower for strings); a NULL on either side contributes 0 (the
+standard partial-knowledge treatment).
+
+Scale shape: one equi-join shuffle on the blocking key; weights are
+plan literals; the score is a single projection — at 100 TB the only
+knob that matters is block-key cardinality, exactly like every LSH
+bucket join in ``dedup.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "field_weights_micro",
+    "linkage_scores",
+    "linkage_matches",
+    "linkage_scores_sql",
+]
+
+
+def field_weights_micro(params: dict[str, tuple[float, float]]) -> dict:
+    """``{field: (agree_micro, disagree_micro)}`` from ``{field: (m,
+    u)}`` — m = P(agree | match), u = P(agree | non-match). Computed
+    once, driver-side, with the house 6-dp ln pin; both engines then
+    see only integer literals."""
+    out = {}
+    for field, (m, u) in params.items():
+        if not (0.0 < u < 1.0 and 0.0 < m < 1.0):
+            raise ValueError(f"{field}: m/u must be in (0, 1)")
+        agree = round(round(math.log(m / u), 6) * 1_000_000)
+        disagree = round(round(math.log((1.0 - m) / (1.0 - u)), 6) * 1_000_000)
+        out[field] = (agree, disagree)
+    return out
+
+
+def _canon(col: Column) -> Column:
+    """String fields compare trim+lower (the validation canon); other
+    types compare as-is (cast through string for a single code path)."""
+    return F.lower(F.trim(col.cast("string")))
+
+
+def _canon_sql(expr: str) -> str:
+    return f"lower(trim(CAST({expr} AS VARCHAR)))"
+
+
+def linkage_scores(
+    a: DataFrame,
+    b: DataFrame,
+    block_col: str,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+) -> DataFrame:
+    """``(id_a, id_b, n_agree, score_micro)`` for every blocked
+    candidate pair (same ``block_col`` value, ``id_a`` from ``a``,
+    ``id_b`` from ``b``). ``params`` maps each compared field to its
+    (m, u); the blocking column itself should not be a compared field
+    (it agrees by construction and would add a constant)."""
+    w = field_weights_micro(params)
+    fields = list(params)
+    left = a.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        *[_canon(F.col(f)).alias(f"__a_{f}") for f in fields],
+    )
+    right = b.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        *[_canon(F.col(f)).alias(f"__b_{f}") for f in fields],
+    )
+    pairs = left.join(right, "__blk")
+    score = F.lit(0).cast("long")
+    agree_n = F.lit(0).cast("long")
+    for f in fields:
+        av, bv = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        known = av.isNotNull() & bv.isNotNull()
+        agree = known & (av == bv)
+        score = score + (
+            F.when(agree, F.lit(w[f][0]))
+            .when(known, F.lit(w[f][1]))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        agree_n = agree_n + agree.cast("long")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        agree_n.alias("n_agree"),
+        score.alias("score_micro"),
+    )
+
+
+def linkage_matches(
+    a: DataFrame,
+    b: DataFrame,
+    block_col: str,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+    threshold_micro: int,
+) -> DataFrame:
+    """Blocked pairs whose summed log-likelihood ratio clears the
+    threshold — the match set. Same plan as ``linkage_scores`` plus one
+    filter (the threshold is the reviewed decision boundary of the
+    Fellegi-Sunter model)."""
+    return linkage_scores(a, b, block_col, params, id_col).where(
+        F.col("score_micro") >= int(threshold_micro)
+    )
+
+
+def linkage_scores_sql(
+    a_sql: str,
+    b_sql: str,
+    block_col: str,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+) -> str:
+    """DuckDB twin of ``linkage_scores`` — identical integer weight
+    literals, canon, NULL treatment."""
+    w = field_weights_micro(params)
+    fields = list(params)
+    score_terms = []
+    agree_terms = []
+    for f in fields:
+        av, bv = _canon_sql(f"a.{f}"), _canon_sql(f"b.{f}")
+        known = f"({av} IS NOT NULL AND {bv} IS NOT NULL)"
+        agree = f"({known} AND {av} = {bv})"
+        score_terms.append(
+            f"CASE WHEN {agree} THEN {w[f][0]} "
+            f"WHEN {known} THEN {w[f][1]} ELSE 0 END"
+        )
+        agree_terms.append(f"CASE WHEN {agree} THEN 1 ELSE 0 END")
+    return f"""
+WITH a AS ({a_sql}), b AS ({b_sql})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST({' + '.join(agree_terms)} AS BIGINT) AS n_agree,
+       CAST({' + '.join(score_terms)} AS BIGINT) AS score_micro
+FROM a JOIN b ON a.{block_col} = b.{block_col}
+"""

@@ -1,0 +1,147 @@
+"""Fellegi-Sunter record linkage (round 12): weight math, NULL/canon
+semantics, true-pair recovery on the dirty-customer fixture,
+cross-engine parity, and the blocked (never cross-product) plan."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import (
+    DIRTY_CUSTOMER_TARGET_SQL,
+    dirty_customer_target,
+)
+from nosql_to_sql_migration_tool_spark.operators.linkage import (
+    field_weights_micro,
+    linkage_matches,
+    linkage_scores,
+    linkage_scores_sql,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+_PARAMS = {
+    "c_name": (0.95, 0.001),     # highly discriminating
+    "c_acctbal": (0.9, 0.01),
+    "c_mktsegment": (0.95, 0.2),  # 5 segments -> weak evidence
+}
+
+
+def test_field_weights_micro_math_and_guards():
+    w = field_weights_micro({"f": (0.9, 0.01)})["f"]
+    assert w[0] == round(round(math.log(0.9 / 0.01), 6) * 1e6)
+    assert w[1] == round(round(math.log(0.1 / 0.99), 6) * 1e6)
+    assert w[0] > 0 > w[1]
+    with pytest.raises(ValueError):
+        field_weights_micro({"f": (1.0, 0.01)})
+    with pytest.raises(ValueError):
+        field_weights_micro({"f": (0.9, 0.0)})
+
+
+def test_linkage_recovers_true_pairs_on_dirty_fixture(spark):
+    """Customer linked to its dirtied copy (name suffixes, acctbal
+    drift, dropped rows) blocked on nation: thresholded matches are
+    EXACTLY the true (custkey == custkey) pairs — perturbed-but-same
+    entities clear the bar on the remaining fields, different customers
+    in the same nation never do."""
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    dirty = dirty_customer_target(customer)
+    # the worst TRUE pair is the name-perturbed one (acctbal + segment
+    # agree, name disagrees): ~ +3.06M micros; the best plausible
+    # cross-entity pair disagrees on name AND acctbal: ~ -3.73M
+    threshold = 2_000_000
+    matches = linkage_matches(
+        customer, dirty, "c_nationkey", _PARAMS, "c_custkey", threshold
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in matches}
+    surviving = {
+        r["c_custkey"] for r in dirty.select("c_custkey").collect()
+    }
+    want = {(k, k) for k in surviving}
+    # every surviving true pair found...
+    missing = want - got
+    assert not missing, sorted(missing)[:5]
+    # ...and no cross-entity pair sneaks in
+    assert got == want
+    # dropped rows (custkey % 31 == 0) can never appear
+    assert all(a % 31 != 0 for a, _ in got)
+
+
+def test_linkage_null_and_canon_semantics(spark):
+    """NULL on either side contributes zero (neither agree nor
+    disagree); string comparison is trim+lower."""
+    a = spark.createDataFrame(
+        [(1, 0, "  Alice ", 10.0), (2, 0, "Bob", None)],
+        ["id", "blk", "name", "bal"],
+    )
+    b = spark.createDataFrame(
+        [(11, 0, "alice", 10.0), (12, 0, "bob", 99.0)],
+        ["id", "blk", "name", "bal"],
+    )
+    params = {"name": (0.9, 0.01), "bal": (0.9, 0.01)}
+    w = field_weights_micro(params)
+    rows = {
+        (r["id_a"], r["id_b"]): (r["n_agree"], r["score_micro"])
+        for r in linkage_scores(a, b, "blk", params, "id").collect()
+    }
+    # (1, 11): name agrees after canon, bal agrees
+    assert rows[(1, 11)] == (2, w["name"][0] + w["bal"][0])
+    # (2, 12): name agrees, bal NULL on a-side -> 0 contribution
+    assert rows[(2, 12)] == (1, w["name"][0])
+    # (1, 12): both known, both disagree
+    assert rows[(1, 12)] == (0, w["name"][1] + w["bal"][1])
+
+
+def test_linkage_cross_engine_parity(spark):
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    dirty = dirty_customer_target(customer)
+    mine = sorted(
+        map(
+            tuple,
+            linkage_scores(
+                customer, dirty, "c_nationkey", _PARAMS, "c_custkey"
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            linkage_scores_sql(
+                "SELECT * FROM customer",
+                DIRTY_CUSTOMER_TARGET_SQL,
+                "c_nationkey",
+                _PARAMS,
+                "c_custkey",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and len(mine) > 0
+
+
+def test_linkage_plan_is_blocked_equi_join(spark):
+    """The candidate join is an equi-join on the blocking key — no
+    cartesian product, no Python stage, no global window; weights are
+    plan literals (no extra join for the model)."""
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+    )
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    dirty = dirty_customer_target(customer)
+    df = linkage_scores(customer, dirty, "c_nationkey", _PARAMS, "c_custkey")
+    assert cartesian_products(df) == 0
+    assert python_stage_count(df) == 0
+    assert global_windows(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "c_nationkey" in plan
