@@ -687,27 +687,12 @@ def q_order_price_histogram(spark, sf_dir):
     )
 
 
-@query(
-    "top_tokens",
-    """
-SELECT token, count(*) AS cnt FROM (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
-  FROM documents WHERE length(trim(text)) > 0
-)
-GROUP BY token
-ORDER BY cnt DESC, token LIMIT 20
-""",
-)
-def q_top_tokens(spark, sf_dir):
-    """Deterministic top-20 vocabulary: corpus token counts ordered
-    (count desc, token) — TakeOrderedAndProject over the combinable
-    histogram, no global sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        token_frequencies(docs)
-        .orderBy(F.col("cnt").desc(), "token")
-        .limit(20)
-    )
+# `top_tokens` (token_frequencies + ORDER BY/LIMIT 20) was de-registered
+# in round 12 (bench-headroom trim for the bm25_topk_indexed
+# registration): the full histogram stays driver-checked as
+# `token_frequencies`, and the TakeOrdered top-k shape it added is
+# exercised by a dozen other registered rows (bm25_topk, cosine_topk,
+# top_supplier, returned_revenue_top20, ...).
 
 
 @query(
@@ -6615,13 +6600,16 @@ def _pw_ingest_state(spark, sf_dir):
     capacity consolidation — same lineage: each is an index/store a
     gated stream maintains and its steady-state query probes): the text
     band index, the embedding hyperplane index, the CMS partials store
-    (3 batch folds + gated compaction), and the post-takedown scratch
+    (3 batch folds + gated compaction), the post-takedown scratch
     deployment (gate x2 + right-to-be-forgotten sweep) the
-    takedown_audit row reads."""
+    takedown_audit row reads, and (r12) the inverted-index postings
+    store (two batches + committed compaction) bm25_topk_indexed
+    probes."""
     _force(_ingest_corpus_buckets(spark, sf_dir))
     _force(_ingest_emb_bands(spark, sf_dir))
     _force(q_ingest_cms_heavy_hitters(spark, sf_dir))
     _takedown_state(spark, sf_dir)
+    _inverted_store(spark, sf_dir)
 
 
 @_prewarm("build:catalog_views")
@@ -8104,3 +8092,66 @@ def q_doc_duplication_rate(spark, sf_dir):
     fold, one rejoin on gram, one per-doc combinable fold);
     dup_rate = round(dup/total, 6) is a cross-engine-exact rational."""
     return doc_duplication_rate(_dedup_docs(spark, sf_dir))
+
+
+# --- persisted inverted-index retrieval (registered late r12: the probe
+# measured the flat-at-100x claim the same day — SCALE.md round-12
+# addendum — and the oracle is the existing corpus-scan SQL, so the row
+# went under the gate immediately; bench capacity paid by the top_tokens
+# trim) -----------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.inverted import (  # noqa: E402
+    bm25_topk_indexed,
+    compact_inverted_index,
+    update_inverted_index,
+)
+
+_IDX_TERMS = ("table", "vector", "merge", "filter")
+_INVERTED_STORE_CACHE: dict[str, tuple] = runtime_cache({})
+
+
+def _inverted_store(spark, sf_dir) -> str:
+    """The persisted postings/stats store, built once per (session,
+    sf_dir) through the REAL maintenance path — two ingest batches +
+    a committed-batch compaction — so the query row measures
+    steady-state indexed retrieval (timed in ``build:ingest_state``
+    with the rest of the batch-maintained ingest state)."""
+    import os
+    import shutil
+
+    entry = _INVERTED_STORE_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    base = os.path.join(
+        _scratch_dir("inverted_store"),
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    update_inverted_index(docs.filter(k % 2 == 0), base, 0)
+    update_inverted_index(docs.filter(k % 2 == 1), base, 1)
+    compact_inverted_index(spark, base)
+    _INVERTED_STORE_CACHE[sf_dir] = (spark, base)
+    return base
+
+
+@query(
+    "bm25_topk_indexed",
+    bm25_topk_sql("SELECT doc_id, text FROM documents", _IDX_TERMS, k=25),
+)
+def q_bm25_topk_indexed(spark, sf_dir):
+    """Top-25 BM25 from the PERSISTED inverted index (round 12): the
+    postings read prunes to the 4 query terms' bucket partitions
+    (PartitionFilters on the 64-way md5 term bucket — pytest-pinned),
+    idf/avgdl come from the additive stats fold, and the exact
+    ``bm25_topk`` math runs on posting rows only — measured FLAT at
+    100x corpus growth (0.50s vs the corpus scan's 4.04s, SCALE.md
+    round-12 addendum), because query cost is O(query-term postings),
+    not O(corpus). The store is maintained per ingest batch with
+    replay-idempotent dynamic overwrites and ledger-style compaction
+    (indexed ≡ corpus-scan is pytest-pinned across replay and
+    compaction); the oracle is therefore simply the corpus-scan SQL
+    over the source table."""
+    return bm25_topk_indexed(spark, _inverted_store(spark, sf_dir),
+                             _IDX_TERMS, k=25)
