@@ -95,10 +95,13 @@ FAMS = {
         "bm25_topk", "vocab_growth", "linear_count_by",
         "update_components", "takedown_audit",
     ],
-    # round 12 additions (the registered six)
+    # round 12 additions (the registered seven; bm25_topk_indexed joined
+    # late — its first 100x rows were measured manually, SCALE.md
+    # round-12 addendum)
     "newcomers_r12": [
         "sq8_topk", "dsir_select", "weighted_sample",
         "token_fertility_by_lang", "phrase_match", "doc_duplication_rate",
+        "bm25_topk_indexed",
     ],
 }
 
