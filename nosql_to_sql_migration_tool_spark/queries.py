@@ -6526,6 +6526,9 @@ def _pw_dedup_text_memos(spark, sf_dir):
     _force(_dedup_docs(spark, sf_dir))
     _force(_dedup_shingles(spark, sf_dir))
     _force(_raw_shingles(spark, sf_dir))
+    # r12 fold: the simhash signature table is a dedup text memo too
+    # (was its own build:simhash_signatures row)
+    _force(_dedup_simhash(spark, sf_dir))
     with_fingerprints(
         load_table(spark, sf_dir, "documents"),
         shingles=_raw_shingles(spark, sf_dir),
@@ -6549,9 +6552,9 @@ def _pw_near_dup_graph(spark, sf_dir):
     _force(_dedup_components(spark, sf_dir))
 
 
-@_prewarm("build:simhash_signatures")
-def _pw_simhash(spark, sf_dir):
-    _force(_dedup_simhash(spark, sf_dir))
+# build:simhash_signatures folded into build:dedup_text_memos in r12
+# (same dedup-text-memo lineage, the r10 consolidation discipline) to
+# hold bench capacity for the bm25_batch_topk registration.
 
 
 @_prewarm("build:emb_near_dup_pairs")
@@ -8155,3 +8158,49 @@ def q_bm25_topk_indexed(spark, sf_dir):
     over the source table."""
     return bm25_topk_indexed(spark, _inverted_store(spark, sf_dir),
                              _IDX_TERMS, k=25)
+
+
+# --- batched BM25 (the last name on VERDICT r10's registration list) ----
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    bm25_batch_topk,
+    bm25_batch_topk_sql,
+)
+
+_BATCH_QUERIES = (
+    (1, ("hash", "join")),
+    (2, ("spark", "window", "table")),
+    (3, ("vector", "merge")),
+)
+_BATCH_QUERIES_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, terms in _BATCH_QUERIES
+        for t in terms
+    )
+    + ") AS t(query_id, term)"
+)
+
+
+@query(
+    "bm25_batch_topk",
+    bm25_batch_topk_sql(
+        "SELECT doc_id, text FROM documents", _BATCH_QUERIES_SQL, k=10
+    ),
+)
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batched BM25 retrieval (VERDICT r10 next #5, the last queued
+    name): top-10 documents for EVERY query of a 3-query batch — the
+    text twin of ``knn_batch``. Per-(doc, term) contributions are
+    computed ONCE over the union of the batch's terms (the IN-filter
+    still sits below the first shuffle), joined to the broadcast
+    (query, term) membership, and the grouped top-k runs the salted
+    two-phase cut so no window partition ever holds all of one query's
+    matches — exact for any salt count, deterministic ties."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BATCH_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    return bm25_batch_topk(docs, queries_df, k=10)
