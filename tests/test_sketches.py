@@ -397,3 +397,65 @@ def test_linear_count_by_sql_out_col_for_expressions():
     assert {r[0] for r in rows} == {"1", "2", "3"}
     with pytest.raises(ValueError, match="out_col"):
         linear_count_by_sql("SELECT 1 AS k", "CAST(k AS VARCHAR)", "k")
+
+
+def test_binned_quantiles_by_parity_and_semantics(spark):
+    """Round 12: grouped quantile estimates from per-group binned
+    sketches (the grouped member, completing the scalar->grouped
+    progression like linear_count -> linear_count_by). Whole relation
+    hash-matches DuckDB; per-group estimates sit within one bin width
+    of the group's exact quantiles; a constant group collapses to its
+    single value; an expression group key without out_col raises."""
+    import duckdb
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        binned_quantiles_by,
+        binned_quantiles_by_sql,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    mine = sorted(
+        tuple(r)
+        for r in binned_quantiles_by(
+            orders, "o_orderpriority", "o_totalprice"
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            binned_quantiles_by_sql(
+                f"'{SF_DIR_SMOKE}/orders.parquet'",
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        ).fetchall()
+    )
+    assert mine == want and len(mine) > 0
+
+    # accuracy: each estimate within one per-group bin width of exact
+    groups = {}
+    for r in con.execute(
+        f"SELECT o_orderpriority, min(o_totalprice), max(o_totalprice) "
+        f"FROM '{SF_DIR_SMOKE}/orders.parquet' GROUP BY 1"
+    ).fetchall():
+        groups[r[0]] = (r[1], r[2])
+    for grp, q, _bin, est in mine:
+        mn, mx = groups[grp]
+        width = (mx - mn) / 128.0
+        exact = con.execute(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM "
+            f"'{SF_DIR_SMOKE}/orders.parquet' WHERE o_orderpriority = '{grp}'"
+        ).fetchone()[0]
+        assert abs(est - exact) <= width + 1e-6, (grp, q, est, exact)
+    con.close()
+
+    # constant group: every q collapses to the single value (bin 0)
+    const = spark.createDataFrame([("g", 5.0)] * 4, ["k", "v"])
+    rows = binned_quantiles_by(const, "k", "v").collect()
+    assert all(r["bin"] == 0 for r in rows)
+
+    with pytest.raises(ValueError, match="out_col"):
+        binned_quantiles_by_sql("t", "CAST(x AS INT)", "v")
