@@ -101,7 +101,7 @@ FAMS = {
     "newcomers_r12": [
         "sq8_topk", "dsir_select", "weighted_sample",
         "token_fertility_by_lang", "phrase_match", "doc_duplication_rate",
-        "bm25_topk_indexed",
+        "bm25_topk_indexed", "bm25_batch_topk",
     ],
 }
 
