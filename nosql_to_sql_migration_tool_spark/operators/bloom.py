@@ -151,15 +151,18 @@ FROM n
 
 
 def bloom_might_contain(
-    key: Column, m: int = BLOOM_M, k: int = BLOOM_K
+    key: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    bits_col: str = "bits",
 ) -> Column:
-    """All-k-bits-set predicate against an in-scope ``bits`` array
+    """All-k-bits-set predicate against an in-scope ``bits_col`` array
     column (attach the one-row filter with a broadcast crossJoin, as
     ``bloom_probe`` does). NULL keys probe as false."""
     out = None
     for i in range(k):
         p = bloom_pos(key, i, m)
-        word = F.element_at(F.col("bits"), (p / _WORD).cast("int") + 1)
+        word = F.element_at(F.col(bits_col), (p / _WORD).cast("int") + 1)
         check = word.bitwiseAND(_bit(p)) != 0
         out = check if out is None else (out & check)
     return F.when(key.isNull(), F.lit(False)).otherwise(out)
@@ -187,12 +190,15 @@ def bloom_probe(
 ) -> DataFrame:
     """Probe rows + the membership flag — a pure map-side projection
     against the broadcast one-row bitmap (no shuffle at any probe-side
-    cardinality)."""
+    cardinality). The bitmap rides in under a reserved name so a probe
+    relation that itself has a ``bits`` column can't collide."""
     return probe.crossJoin(
-        F.broadcast(bloom_row.select("bits"))
+        F.broadcast(bloom_row.select(F.col("bits").alias("__bloom_bits")))
     ).select(
         *probe.columns,
-        bloom_might_contain(F.col(col), m, k).alias(flag_col),
+        bloom_might_contain(F.col(col), m, k, "__bloom_bits").alias(
+            flag_col
+        ),
     )
 
 

@@ -162,6 +162,8 @@ def bm25_topk_indexed(
     TakeOrdered top-k with id ties) runs on posting rows only. Output
     schema matches ``bm25_topk``: ``(doc_id, n_hit_terms,
     score_micro)``."""
+    if not terms:
+        raise ValueError("bm25_topk_indexed: empty term tuple")
     # bucket literals for partition pruning, derived driver-side with
     # the same md5 math as term_bucket (|terms| ints — metadata)
     import hashlib

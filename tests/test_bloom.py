@@ -136,3 +136,17 @@ def test_bloom_plan_invariants(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_survives_bits_column_collision(spark):
+    """A probe relation that itself has a 'bits' column must not
+    collide with the broadcast bitmap (it rides in under a reserved
+    name)."""
+    build = spark.range(0, 20).select(F.col("id").alias("key"))
+    row = bloom_build(build, "key", _M, _K)
+    probe = spark.range(0, 50).select(
+        F.col("id").alias("key"), F.lit(7).alias("bits")
+    )
+    out = bloom_probe(probe, row, "key", _M, _K).collect()
+    assert {r["bits"] for r in out} == {7}
+    assert all(r["might_contain"] for r in out if r["key"] < 20)
