@@ -41,6 +41,8 @@ __all__ = [
     "linkage_scores",
     "linkage_matches",
     "linkage_scores_sql",
+    "multi_pass_linkage_scores",
+    "blocking_recall",
 ]
 
 
@@ -161,3 +163,72 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
        CAST({' + '.join(score_terms)} AS BIGINT) AS score_micro
 FROM a JOIN b ON a.{block_col} = b.{block_col}
 """
+
+
+def multi_pass_linkage_scores(
+    a: DataFrame,
+    b: DataFrame,
+    block_cols: list[str],
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+) -> DataFrame:
+    """Multi-pass blocking — the standard ER answer to "one block key
+    misses pairs whose key field is itself dirty": candidates are the
+    UNION of each pass's equi-join (a pair found by several passes
+    dedupes to one row — the score is a pure function of the pair, so
+    distinct is exact). Splink's blocking_rules, expressed as passes.
+    Cost is additive in the passes, each still a blocked equi-join —
+    never a cross product."""
+    out = None
+    for col in block_cols:
+        scored = linkage_scores(a, b, col, params, id_col)
+        out = scored if out is None else out.unionByName(scored)
+    return out.distinct()
+
+
+def blocking_recall(
+    a: DataFrame,
+    b: DataFrame,
+    block_cols: list[str],
+    truth_pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """ONE row ``(n_truth, n_covered, recall)`` — the measured share of
+    ground-truth matches the blocking passes retain as candidates (the
+    dedup family's blocking_recall_audit discipline applied to ER: a
+    threshold can only decide on pairs the blocking produced, so
+    blocking recall bounds end-to-end recall). ``truth_pairs`` yields
+    (id_a, id_b)."""
+    cand = None
+    for col in block_cols:
+        left = a.select(
+            F.col(col).alias("__blk"), F.col(id_col).alias("id_a")
+        )
+        right = b.select(
+            F.col(col).alias("__blk"), F.col(id_col).alias("id_b")
+        )
+        pairs = left.join(right, "__blk").select("id_a", "id_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    truth = truth_pairs.select("id_a", "id_b").distinct()
+    covered = truth.join(cand, ["id_a", "id_b"], "semi")
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    ).crossJoin(
+        F.broadcast(
+            covered.agg(
+                F.count(F.lit(1)).cast("long").alias("n_covered")
+            )
+        )
+    ).select(
+        "n_truth",
+        "n_covered",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.col("n_truth").cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+    )

@@ -145,3 +145,55 @@ def test_linkage_plan_is_blocked_equi_join(spark):
     assert global_windows(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "c_nationkey" in plan
+
+
+def test_multi_pass_blocking_recovers_dirty_block_keys(spark):
+    """When the blocking field itself is dirty (some rows' nationkey
+    perturbed), single-pass nation blocking loses those true pairs; a
+    second pass on the name's first token recovers them — multi-pass
+    candidates = union, scores dedupe exactly, and blocking_recall
+    quantifies each configuration."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        blocking_recall,
+        multi_pass_linkage_scores,
+    )
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    # dirty copy: every 13th row lands in the WRONG nation block
+    dirty = customer.withColumn(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 13 == 0, (F.col("c_nationkey") + 1) % 25
+        ).otherwise(F.col("c_nationkey")),
+    )
+    blocks = ["c_nationkey", "__name_tok"]
+    a = customer.withColumn(
+        "__name_tok", F.split(F.col("c_name"), "#")[0]
+    )
+    b = dirty.withColumn("__name_tok", F.split(F.col("c_name"), "#")[0])
+    truth = customer.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_custkey").alias("id_b")
+    )
+    single = blocking_recall(a, b, ["c_nationkey"], truth, "c_custkey")
+    multi = blocking_recall(a, b, blocks, truth, "c_custkey")
+    s, m = single.collect()[0], multi.collect()[0]
+    assert s["recall"] < 1.0  # the dirty block key loses pairs
+    assert m["recall"] == 1.0  # the name pass recovers every one
+    assert m["n_truth"] == customer.count()
+
+    # multi-pass scores: every true pair present exactly once, and a
+    # pair found by both passes has ONE row (distinct is exact)
+    scored = multi_pass_linkage_scores(
+        a, b, blocks, _PARAMS, "c_custkey"
+    )
+    true_rows = scored.filter(F.col("id_a") == F.col("id_b"))
+    assert true_rows.count() == customer.count()
+    assert (
+        scored.groupBy("id_a", "id_b")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
