@@ -1,0 +1,140 @@
+"""WebDataset-style tar-shard ingestion (round 12) — the container
+format multimodal training corpora actually ship in: a dataset is a
+directory of .tar shards, each holding samples as adjacent members
+named ``<key>.<extension>`` (``0001.jpg`` + ``0001.txt`` +
+``0001.json`` = one sample). Shards are the unit of parallelism: one
+task parses one shard start-to-finish, so a 100 TB corpus of ~1 GB
+shards fans out across executors with zero coordination — exactly the
+property the format was designed for.
+
+Spark shape: ``binaryFile`` reads each shard as one row (path, bytes);
+the tar walk is a REAL parser — Python's stdlib ``tarfile`` over the
+in-memory buffer, inside Arrow-batched ``mapInPandas`` (the sanctioned
+Python-stage set: byte-level container/codec parsing, like the PPM/WAV
+decoders in ``operators/multimodal.py``). Member payloads surface as
+opaque ``binary`` columns with typed metadata (the multimodal column
+convention); ``webdataset_samples`` then folds members into one row
+per sample with an extension->payload map — a single combinable
+groupBy on (shard, key).
+
+Limits (documented, inherited from binaryFile): one shard must fit in
+a task (binaryFile caps at 2 GB; WebDataset convention is 100 MB-1 GB
+shards); members stream in archive order, so the parse is one linear
+pass per shard.
+
+Reference analogue: none (the migration tool reads Mongo collections);
+extends the SURVEY §2C multimodal/source surface.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import tarfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEMBER_SCHEMA = (
+    "shard string, member string, key string, ext string, "
+    "size long, payload binary"
+)
+
+
+def read_tar_members(
+    spark: SparkSession, path_glob: str
+) -> DataFrame:
+    """One row per regular tar member across every shard matched by
+    ``path_glob``: ``(shard, member, key, ext, size, payload)`` where
+    key/ext split the member name at its FIRST dot (the WebDataset
+    convention — ``0001.seg.png`` has key ``0001``, ext ``seg.png``).
+    Directories and other non-regular entries are skipped."""
+    import pandas as pd
+
+    shards = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                ) as tf:
+                    for info in tf:
+                        if not info.isreg():
+                            continue
+                        name = posixpath.basename(info.name)
+                        key, dot, ext = name.partition(".")
+                        payload = tf.extractfile(info).read()
+                        out.append(
+                            (
+                                path,
+                                info.name,
+                                key,
+                                ext if dot else "",
+                                len(payload),
+                                payload,
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "shard", "member", "key", "ext", "size", "payload",
+                ],
+            )
+
+    return shards.mapInPandas(gen, MEMBER_SCHEMA)
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Fold adjacent members into one row per sample:
+    ``(shard, key, n_parts, total_bytes, parts: map<string, binary>)``
+    — one combinable groupBy on (shard, key); the map carries each
+    extension's raw payload, ready for the multimodal decode UDFs."""
+    return (
+        members.groupBy("shard", "key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("ext", "payload"))
+                )
+            ).alias("parts"),
+        )
+    )
+
+
+def webdataset_text_table(
+    members: DataFrame,
+    text_ext: str = "txt",
+    id_from_key: bool = True,
+) -> DataFrame:
+    """The bridge into the text pipeline: every ``<key>.<text_ext>``
+    member decoded as UTF-8 -> ``(doc_id, text)`` (doc_id = the numeric
+    key when ``id_from_key``, else a dense md5 fold of shard+key), so a
+    tar-shipped corpus flows straight into dedup / quality / retrieval
+    operators."""
+    txt = members.where(F.col("ext") == text_ext).select(
+        "shard",
+        "key",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+    if id_from_key:
+        return txt.select(
+            F.col("key").cast("long").alias("doc_id"), "text"
+        )
+    return txt.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("/", "shard", "key")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+    )
