@@ -247,3 +247,69 @@ FROM emb e JOIN cand ON e.vec_id = cand.vec_id, q
 ORDER BY cos_sim DESC, e.vec_id
 LIMIT {k}
 """
+
+
+def sq_recall_audit(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+    param_row: DataFrame | None = None,
+) -> DataFrame:
+    """ONE row ``(k, n_hits, recall)`` — the measured share of the
+    EXACT cosine top-k that SQ8's two-phase retrieval returns (the
+    MinHash/hyperplane/blocking recall-audit discipline applied to the
+    scalar quantizer: approximation error is a number you watch, not
+    an assumption). Exact truth is the brute-force top-k over the raw
+    vectors (deterministic ties: cosine desc, id asc); both sides are
+    k-row relations, so the audit join is metadata-sized."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    approx = sq_topk(
+        df, query, k, refine, vec_col, id_col, codes, param_row
+    ).select(F.col(id_col).alias("__a"))
+    exact = cosine_topk(df, query, k=k).select(F.col(id_col).alias("__e"))
+    hits = exact.join(
+        approx, F.col("__e") == F.col("__a"), "semi"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return hits.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.lit(float(k)), 6
+        ).alias("recall"),
+    )
+
+
+def sq_recall_audit_sql(
+    emb_sql: str,
+    query_sql: str,
+    k: int = 10,
+    refine: int = 4,
+) -> str:
+    """DuckDB twin of ``sq_recall_audit``: the full SQ replay
+    (``sq_topk_sql``) intersected with the exact brute-force top-k."""
+    return f"""
+WITH approx AS ({sq_topk_sql(emb_sql, query_sql, k, refine)}),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM ({query_sql})),
+exact AS (
+  SELECT vec_id FROM ({emb_sql}) e, q
+  ORDER BY {cosine_sql(
+      "list_transform(e.embedding, x -> CAST(x AS DOUBLE))", "q.qv"
+  )} DESC, vec_id
+  LIMIT {k}
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)
+)
+SELECT CAST({k} AS BIGINT) AS k, n_hits,
+       round(CAST(n_hits AS DOUBLE) / {float(k)}, 6) AS recall
+FROM hits
+"""

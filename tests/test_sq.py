@@ -174,3 +174,48 @@ def test_r11_candidate_plan_invariants(spark):
                 name,
                 schema,
             )
+
+
+def test_sq_recall_audit_value_and_parity(spark):
+    """Round 12: the recall-audit discipline applied to SQ8 — the
+    measured exact-top-k coverage matches a hand intersection of the
+    two rankings, replays bit-identically in DuckDB, and accepts the
+    persisted artifacts."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.sq import (
+        sq_recall_audit,
+        sq_recall_audit_sql,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = _emb(spark)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    got = sq_recall_audit(emb, query, k=10).collect()[0]
+    approx_ids = {
+        r["vec_id"] for r in sq_topk(emb, query, k=10).collect()
+    }
+    exact_ids = {
+        r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()
+    }
+    assert got["n_hits"] == len(exact_ids & approx_ids)
+    assert got["recall"] == round(got["n_hits"] / 10.0, 6)
+    assert got["n_hits"] >= 8  # the pinned SQ8 quality bar
+
+    con = duckdb.connect()
+    src = f"SELECT vec_id, embedding FROM '{SF_DIR_SMOKE}/embeddings.parquet'"
+    want = con.execute(
+        sq_recall_audit_sql(src, src + " WHERE vec_id = 0", k=10)
+    ).fetchone()
+    con.close()
+    assert tuple(got) == want
+
+    row = sq_param_arrays(sq_params(emb)).localCheckpoint(eager=True)
+    codes = sq_encode(emb, row).localCheckpoint(eager=True)
+    via = sq_recall_audit(
+        emb, query, k=10, codes=codes, param_row=row
+    ).collect()[0]
+    assert tuple(via) == tuple(got)
