@@ -19,7 +19,11 @@ the same batch rewrites exactly its own partitions with identical rows
 into the reserved ``batch_id = -1`` exactly like
 ``compact_ingest_ledger`` (additive postings + additive stats, so the
 fold is a union-rewrite; the same crash-window gate applies: pass the
-last committed batch id while a stream is attached).
+last committed batch id while a stream is attached). Because the
+store is additive, a doc_id may live in AT MOST ONE batch — the store
+keeps a doc ledger and ``update_inverted_index`` raises on
+cross-batch re-ingest (VERDICT r12), so tf/df can never silently
+double-count.
 
 Scoring replays ``text.bm25_*``'s exact math — Robertson +1 idf with
 the ln pinned round(.,6) at the source, contributions folded to
@@ -65,6 +69,10 @@ def _stats_path(path: str) -> str:
     return path.rstrip("/") + "/stats"
 
 
+def _docs_path(path: str) -> str:
+    return path.rstrip("/") + "/docs"
+
+
 def _batch_postings(
     docs: DataFrame,
     text_col: str,
@@ -105,14 +113,53 @@ def update_inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = IDX_BUCKETS,
+    enforce_unique_docs: bool = True,
 ) -> None:
     """Fold one ingest batch into the store. Postings land under
     ``batch_id=<b>/bucket=<k>`` partitions, stats under
     ``batch_id=<b>`` — both dynamic-partition overwrites, so a replayed
     batch rewrites its own partitions with bit-identical rows (the
     CMS/LC/ledger replay discipline). Cost per batch: one token explode
-    + one combinable (doc, term) fold — O(batch), never O(index)."""
+    + one combinable (doc, term) fold — O(batch), never O(index).
+
+    APPEND CONTRACT (VERDICT/ADVICE r12): a ``doc_id`` may live in AT
+    MOST ONE batch — postings and stats are additive, so re-ingesting
+    an existing doc under a NEW batch_id would silently double-count
+    its tf/df and drift ``bm25_topk_indexed`` away from the corpus
+    scan. The store keeps its own doc ledger (``/docs``, one id row per
+    doc, partitioned by batch_id) and by default RAISES when an
+    incoming batch overlaps any OTHER batch's docs (same-batch replay
+    stays idempotent). The check is a column-pruned semi-join against
+    the id ledger — O(n_docs) ids, not O(postings); pass
+    ``enforce_unique_docs=False`` only when an upstream ingest gate
+    (streaming/ingest_stream.py) already guarantees disjointness. Doc
+    UPDATES are a rebuild/compaction concern, not an append."""
+    if int(batch_id) < 0:
+        raise ValueError(
+            "update_inverted_index: batch_id must be >= 0 (-1 is the "
+            "reserved compaction partition)"
+        )
     spark = docs.sparkSession
+    batch_doc_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    if enforce_unique_docs:
+        try:
+            ledger = spark.read.parquet(_docs_path(path))
+        except AnalysisException:
+            ledger = None
+        if ledger is not None:
+            clash = (
+                ledger.where(F.col("batch_id") != int(batch_id))
+                .join(batch_doc_ids, "doc_id", "semi")
+                .select("doc_id", "batch_id")
+                .head(1)
+            )
+            if clash:
+                raise ValueError(
+                    "update_inverted_index: doc_id "
+                    f"{clash[0]['doc_id']!r} already ingested under "
+                    f"batch_id={clash[0]['batch_id']} — one batch per "
+                    "doc_id (re-ingest would double-count tf/df)"
+                )
     postings = _batch_postings(docs, text_col, id_col, n_buckets)
     (
         postings.withColumn("batch_id", F.lit(int(batch_id)))
@@ -135,6 +182,15 @@ def update_inverted_index(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(_stats_path(path))
+    )
+    # the doc ledger backing the one-batch-per-doc contract — same
+    # replay-idempotent dynamic overwrite, O(batch) rows
+    (
+        batch_doc_ids.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_docs_path(path))
     )
 
 
@@ -250,11 +306,17 @@ def compact_inverted_index(
     partition — postings and stats are both additive, and a COMMITTED
     batch can never replay (the compact_ingest_ledger argument), so the
     fold preserves query results exactly while bounding the partition
-    count. Pass ``max_safe_batch_id`` while a stream is attached; None
-    folds everything (offline maintenance only)."""
+    count (the doc ledger folds with them, so the one-batch-per-doc
+    check keeps seeing every committed doc). Pass ``max_safe_batch_id``
+    while a stream is attached; None folds everything (offline
+    maintenance only). Precondition: the store obeys the append
+    contract (``update_inverted_index`` enforces it) — the fold keeps
+    postings rows as-is, it does not re-merge duplicate (term, doc_id)
+    pairs that a bypassed gate could have created."""
     for sub, part_cols in (
         (_postings_path(path), ["batch_id", "bucket"]),
         (_stats_path(path), ["batch_id"]),
+        (_docs_path(path), ["batch_id"]),
     ):
         try:
             cur = spark.read.parquet(sub)

@@ -273,7 +273,11 @@ def sq_recall_audit(
     approx = sq_topk(
         df, query, k, refine, vec_col, id_col, codes, param_row
     ).select(F.col(id_col).alias("__a"))
-    exact = cosine_topk(df, query, k=k).select(F.col(id_col).alias("__e"))
+    # ADVICE r12: the exact side must honor the same column names as the
+    # approximate side, or non-default vec/id columns break the audit.
+    exact = cosine_topk(
+        df, query, k=k, vec_col=vec_col, id_col=id_col
+    ).select(F.col(id_col).alias("__e"))
     hits = exact.join(
         approx, F.col("__e") == F.col("__a"), "semi"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))

@@ -948,7 +948,10 @@ def _plain_ident(expr: str, what: str, out_col: str | None) -> str:
     when it IS a plain column name."""
     if out_col is not None:
         return out_col
-    if not expr.replace("_", "").isalnum():
+    # ADVICE r12: isalnum() admitted digit-leading strings ('123'),
+    # which render as invalid ``expr AS 123`` — isidentifier() is the
+    # actual plain-column-name test.
+    if not expr.isidentifier():
         raise ValueError(
             f"{what} is not a plain column name; pass its out column "
             "explicitly"

@@ -36,8 +36,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MEMBER_SCHEMA = (
-    "shard string, member string, key string, ext string, "
-    "size long, payload binary"
+    "shard string, member string, member_idx long, key string, "
+    "ext string, size long, payload binary"
 )
 
 
@@ -45,9 +45,12 @@ def read_tar_members(
     spark: SparkSession, path_glob: str
 ) -> DataFrame:
     """One row per regular tar member across every shard matched by
-    ``path_glob``: ``(shard, member, key, ext, size, payload)`` where
-    key/ext split the member name at its FIRST dot (the WebDataset
-    convention — ``0001.seg.png`` has key ``0001``, ext ``seg.png``).
+    ``path_glob``: ``(shard, member, member_idx, key, ext, size,
+    payload)`` where key/ext split the member name at its FIRST dot
+    (the WebDataset convention — ``0001.seg.png`` has key ``0001``, ext
+    ``seg.png``) and ``member_idx`` is the member's ordinal in its
+    shard's archive order — the tie-breaker tar semantics demand when
+    an appended/replaced member repeats a name (later wins).
     Directories and other non-regular entries are skipped."""
     import pandas as pd
 
@@ -62,7 +65,7 @@ def read_tar_members(
                 with tarfile.open(
                     fileobj=io.BytesIO(bytes(content)), mode="r:*"
                 ) as tf:
-                    for info in tf:
+                    for idx, info in enumerate(tf):
                         if not info.isreg():
                             continue
                         name = posixpath.basename(info.name)
@@ -72,6 +75,7 @@ def read_tar_members(
                             (
                                 path,
                                 info.name,
+                                idx,
                                 key,
                                 ext if dot else "",
                                 len(payload),
@@ -81,7 +85,8 @@ def read_tar_members(
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "shard", "member", "key", "ext", "size", "payload",
+                    "shard", "member", "member_idx", "key", "ext",
+                    "size", "payload",
                 ],
             )
 
@@ -91,16 +96,27 @@ def read_tar_members(
 def webdataset_samples(members: DataFrame) -> DataFrame:
     """Fold adjacent members into one row per sample:
     ``(shard, key, n_parts, total_bytes, parts: map<string, binary>)``
-    — one combinable groupBy on (shard, key); the map carries each
-    extension's raw payload, ready for the multimodal decode UDFs."""
+    — the map carries each extension's raw payload, ready for the
+    multimodal decode UDFs. A repeated ``(shard, key, ext)`` (legal in
+    tar: an appended/replaced member) resolves LAST-member-wins by
+    archive order (ADVICE r12: a duplicate map key would otherwise be
+    a runtime DUPLICATED_MAP_KEY failure), so ``n_parts`` counts
+    distinct extensions and ``total_bytes`` sums the surviving
+    payloads — the bytes a tar extractor would leave on disk. Two
+    combinable groupBys on the same (shard, key) prefix."""
+    last = members.groupBy("shard", "key", "ext").agg(
+        F.max_by(
+            F.struct("size", "payload"), F.col("member_idx")
+        ).alias("__m"),
+    )
     return (
-        members.groupBy("shard", "key")
+        last.groupBy("shard", "key")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("size").cast("long").alias("total_bytes"),
+            F.sum("__m.size").cast("long").alias("total_bytes"),
             F.map_from_entries(
                 F.array_sort(
-                    F.collect_list(F.struct("ext", "payload"))
+                    F.collect_list(F.struct("ext", F.col("__m.payload")))
                 )
             ).alias("parts"),
         )
@@ -116,15 +132,43 @@ def webdataset_text_table(
     member decoded as UTF-8 -> ``(doc_id, text)`` (doc_id = the numeric
     key when ``id_from_key``, else a dense md5 fold of shard+key), so a
     tar-shipped corpus flows straight into dedup / quality / retrieval
-    operators."""
-    txt = members.where(F.col("ext") == text_ext).select(
-        "shard",
-        "key",
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    operators. With ``id_from_key`` a non-numeric key (e.g.
+    ``shard0-0001``) RAISES at execution instead of silently becoming a
+    NULL doc_id that collapses distinct docs downstream (ADVICE r12) —
+    pass ``id_from_key=False`` for such corpora."""
+    # same last-member-wins rule as webdataset_samples, so a replaced
+    # .txt member yields ONE row, not a duplicate doc
+    txt = (
+        members.where(F.col("ext") == text_ext)
+        .groupBy("shard", "key")
+        .agg(
+            F.max_by(F.col("payload"), F.col("member_idx")).alias("__p")
+        )
+        .select(
+            "shard",
+            "key",
+            F.decode(F.col("__p"), "UTF-8").alias("text"),
+        )
     )
     if id_from_key:
+        # try_cast (NULL on malformed, independent of the ANSI config)
+        # + a short-circuit coalesce into assert_true: a numeric key
+        # never evaluates the guard, a non-numeric key throws the
+        # contract message instead of silently becoming NULL.
+        cast_id = F.expr("try_cast(key AS BIGINT)")
+        guard = F.assert_true(
+            cast_id.isNotNull(),
+            F.concat(
+                F.lit(
+                    "webdataset_text_table: non-numeric sample key "
+                ),
+                F.col("key"),
+                F.lit(" — use id_from_key=False"),
+            ),
+        )
         return txt.select(
-            F.col("key").cast("long").alias("doc_id"), "text"
+            F.coalesce(cast_id, guard.cast("long")).alias("doc_id"),
+            "text",
         )
     return txt.select(
         F.conv(

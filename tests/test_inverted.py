@@ -154,3 +154,42 @@ def test_phrase_match_indexed_equals_scan(spark, tmp_path):
             )
         )
         assert got == want, phrase
+
+
+def test_cross_batch_reingest_raises(spark, tmp_path):
+    """The append contract (VERDICT/ADVICE r12): a doc_id may live in
+    at most one batch. Same-batch replay stays idempotent; a cross-batch
+    re-ingest raises BEFORE any write (tf/df can never inflate), the
+    guard survives compaction (ledger folds to batch_id=-1), and the
+    reserved batch_id=-1 is rejected as input."""
+    import pytest
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    update_inverted_index(even, path, 0)
+    update_inverted_index(even, path, 0)  # replay: no clash, idempotent
+    base = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=10).collect()
+    ]
+
+    with pytest.raises(ValueError, match="one batch per doc_id"):
+        update_inverted_index(even, path, 1)  # same docs, NEW batch
+    after = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=10).collect()
+    ]
+    assert after == base  # the rejected append wrote nothing
+
+    update_inverted_index(odd, path, 1)
+    compact_inverted_index(spark, path)
+    with pytest.raises(ValueError, match="one batch per doc_id"):
+        update_inverted_index(odd.limit(3), path, 2)  # folded docs guard
+    with pytest.raises(ValueError, match="batch_id must be >= 0"):
+        update_inverted_index(odd, path, -1)
+    # the explicit opt-out for upstream-gated pipelines still works
+    update_inverted_index(
+        odd.limit(0), path, 3, enforce_unique_docs=False
+    )

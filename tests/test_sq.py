@@ -219,3 +219,26 @@ def test_sq_recall_audit_value_and_parity(spark):
         emb, query, k=10, codes=codes, param_row=row
     ).collect()[0]
     assert tuple(via) == tuple(got)
+
+
+def test_sq_recall_audit_respects_column_names(spark):
+    """ADVICE r12: the exact side of the audit must honor vec_col/id_col
+    — renamed columns produce the identical audit row."""
+    from nosql_to_sql_migration_tool_spark.operators.sq import (
+        sq_recall_audit,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 7).select("embedding")
+    want = sq_recall_audit(emb, q, k=10).collect()
+
+    renamed = emb.select(
+        F.col("vec_id").alias("item_id"),
+        F.col("embedding").alias("vec"),
+    )
+    q2 = renamed.filter(F.col("item_id") == 7).select("vec")
+    got = sq_recall_audit(
+        renamed, q2, k=10, vec_col="vec", id_col="item_id"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["n_hits"] >= 1  # the query vector itself always hits

@@ -605,3 +605,21 @@ def test_weighted_sample_sql_expression_alias_guard(spark):
     ).fetchall()
     con.close()
     assert got == [tuple(r) for r in want]
+
+
+def test_plain_ident_rejects_digit_leading():
+    """ADVICE r12: isalnum() admitted '123' / '1col', which render as
+    invalid '<expr> AS 123' SQL — the guard must be isidentifier()."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.operators.traindata import (
+        _plain_ident,
+    )
+
+    for bad in ("123", "1col", "a-b", "a b", ""):
+        with pytest.raises(ValueError, match="plain column name"):
+            _plain_ident(bad, "guard", None)
+    assert _plain_ident("n_tokens", "guard", None) == "n_tokens"
+    assert _plain_ident("_hidden", "guard", None) == "_hidden"
+    # an explicit out column always wins, whatever the expression
+    assert _plain_ident("1 + 2", "guard", "s") == "s"

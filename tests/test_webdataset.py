@@ -86,3 +86,54 @@ def test_webdataset_plan_is_shard_parallel(spark, tmp_path):
     assert "Exchange" not in plan  # no shuffle before/inside the parse
     samples = webdataset_samples(members)
     assert python_stage_count(samples) == 1
+
+
+def test_replaced_member_last_wins(spark, tmp_path):
+    """A repeated (key, ext) in one shard (legal tar: appended/replaced
+    member) resolves last-by-archive-order everywhere — no
+    DUPLICATED_MAP_KEY failure (ADVICE r12), one text row, surviving
+    bytes only in the totals."""
+    path = str(tmp_path / "dup.tar")
+    with tarfile.open(path, "w") as tf:
+        for name, payload in (
+            ("0001.txt", b"old text"),
+            ("0001.cls", b"1"),
+            ("0001.txt", b"new text"),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+    members = read_tar_members(spark, path)
+    rows = members.orderBy("member_idx").collect()
+    assert [r["member_idx"] for r in rows] == [0, 1, 2]
+
+    samples = webdataset_samples(members).collect()
+    assert len(samples) == 1
+    s = samples[0]
+    assert bytes(s["parts"]["txt"]) == b"new text"
+    assert s["n_parts"] == 2  # distinct extensions
+    assert s["total_bytes"] == len(b"new text") + 1  # surviving bytes
+
+    txt = webdataset_text_table(members).collect()
+    assert [(r["doc_id"], r["text"]) for r in txt] == [(1, "new text")]
+
+
+def test_non_numeric_key_raises_not_null(spark, tmp_path):
+    """id_from_key over a non-numeric WebDataset key must RAISE at
+    execution, never silently emit NULL doc_id (ADVICE r12); the
+    md5-fold path is the documented alternative."""
+    import pytest
+
+    path = str(tmp_path / "named.tar")
+    with tarfile.open(path, "w") as tf:
+        info = tarfile.TarInfo(name="shard0-0001.txt")
+        info.size = 5
+        tf.addfile(info, io.BytesIO(b"hello"))
+
+    members = read_tar_members(spark, path)
+    bad = webdataset_text_table(members, id_from_key=True)
+    with pytest.raises(Exception, match="non-numeric sample key"):
+        bad.collect()
+    ok = webdataset_text_table(members, id_from_key=False).collect()
+    assert len(ok) == 1 and ok[0]["doc_id"] is not None
