@@ -8095,6 +8095,7 @@ def q_doc_duplication_rate(spark, sf_dir):
 from nosql_to_sql_migration_tool_spark.operators.inverted import (  # noqa: E402
     bm25_topk_indexed,
     compact_inverted_index,
+    phrase_match_indexed,
     update_inverted_index,
 )
 
@@ -8193,3 +8194,202 @@ def q_bm25_batch_topk(spark, sf_dir):
         "query_id long, terms array<string>",
     )
     return bm25_batch_topk(docs, queries_df, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 registrations (VERDICT r12 next #1-5): Fellegi-Sunter record
+# linkage, index-accelerated phrase search, the Bloom false-positive audit,
+# epoch-capped mixture planning, grouped sketch quantiles, and per-doc
+# token entropy. All six were built and pytest-proven in rounds 11-12;
+# this block puts them under the driver's oracle gate. Bench capacity was
+# freed by the r13 build-row folds (214 -> 208 rows).
+# ---------------------------------------------------------------------------
+
+from nosql_to_sql_migration_tool_spark.operators.linkage import (  # noqa: E402
+    linkage_scores,
+    linkage_scores_sql,
+)
+
+# Reviewed (m, u) model config (the charlm/NB pinned-table discipline):
+# m = P(field agrees | same entity), u = P(agrees | different entity).
+# ln weights fold to integer-micro PLAN LITERALS driver-side, so the
+# score is a pure integer sum on both engines.
+_LINKAGE_PARAMS = {
+    "c_name": (0.95, 0.001),      # highly discriminating
+    "c_acctbal": (0.9, 0.01),
+    "c_mktsegment": (0.95, 0.2),  # 5 segments -> weak evidence
+}
+
+
+@query(
+    "linkage_scores",
+    linkage_scores_sql(
+        "SELECT * FROM customer",
+        DIRTY_CUSTOMER_TARGET_SQL,
+        "c_nationkey",
+        _LINKAGE_PARAMS,
+        "c_custkey",
+    ),
+)
+def q_linkage_scores(spark, sf_dir):
+    """Fellegi-Sunter record linkage (round-12 build, VERDICT r12 next
+    #1): every blocked candidate pair between customer and its dirtied
+    migration copy (rows dropped, names suffixed, balances shifted —
+    the B4 fixture), scored by summed per-field log-likelihood ratios.
+    This is the reference's row-compare validation
+    (private/Migration_Validation.ps1:266-363) generalized to
+    keyless/dirty data — entity resolution. Plan: ONE equi-join shuffle
+    on the blocking key (never |A|x|B|), weights are integer-micro plan
+    literals, the score a single codegen projection; at 100 TB the only
+    knob is block-key cardinality (measured r12: the compound key is
+    30x faster at 10x — SCALE.md)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return linkage_scores(
+        customer,
+        dirty_customer_target(customer),
+        "c_nationkey",
+        _LINKAGE_PARAMS,
+        "c_custkey",
+    )
+
+
+@query(
+    "phrase_match_indexed",
+    phrase_match_sql("SELECT doc_id, text FROM documents", _PHRASE),
+)
+def q_phrase_match_indexed(spark, sf_dir):
+    """Index-accelerated exact phrase search (VERDICT r12 next #2,
+    completing the r12 flagship store): candidate docs come from the
+    persisted postings store — an intersection over the phrase words'
+    PRUNED bucket partitions — and the positional n-gram verify runs on
+    that sliver only, so the corpus text column is read for candidates,
+    never scanned whole (measured 4.1x/9.3x over the scan at 100x,
+    SCALE.md r12 addendum). A doc containing the phrase contains each
+    word, so the candidate set can never lose a match (the Bloom
+    no-false-negative argument; scan ≡ indexed pinned by pytest) — the
+    oracle is therefore the same corpus-scan SQL as ``phrase_match``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match_indexed(
+        spark, _inverted_store(spark, sf_dir), docs, _PHRASE
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.bloom import (  # noqa: E402
+    bloom_fp_audit,
+    bloom_fp_audit_sql,
+)
+
+_BLOOM_BUILD_SQL = (
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+)
+
+
+@query(
+    "bloom_fp_audit",
+    bloom_fp_audit_sql(
+        "SELECT * FROM customer",
+        _BLOOM_BUILD_SQL,
+        "c_custkey",
+        "o_custkey",
+    ),
+)
+def q_bloom_fp_audit(spark, sf_dir):
+    """Bloom semi-join pruning, audited (round-12 build, VERDICT r12
+    next #3): the urgent-order custkey set compressed to a 16 KiB
+    deterministic bitmap (md5 positions, bit_or word fold — the shuffle
+    carries at most m rows at ANY build cardinality), probed map-side
+    by every customer row, and the confusion counts measured against
+    the exact key set — n_false_neg MUST be 0 (the Bloom guarantee),
+    fp_rate is a number you watch, not an assumption (the MinHash/
+    hyperplane/blocking recall-audit discipline). This is the pruning
+    primitive for build sides past broadcast limits at 100 TB; probe
+    cost measured flat 1.3x at 100x (SCALE.md r12 addendum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    probe = load_table(spark, sf_dir, "customer")
+    return bloom_fp_audit(probe, build, "c_custkey", "o_custkey")
+
+
+from nosql_to_sql_migration_tool_spark.operators.traindata import (  # noqa: E402
+    data_recipe,
+    data_recipe_sql,
+)
+
+_RECIPE_TARGET_TOKENS = 2_000_000
+_RECIPE_MAX_EPOCHS = 2.0
+
+
+@query(
+    "data_recipe",
+    data_recipe_sql(
+        "SELECT lang, text FROM documents",
+        _RECIPE_TARGET_TOKENS,
+        _RECIPE_MAX_EPOCHS,
+    ),
+)
+def q_data_recipe(spark, sf_dir):
+    """Epoch-capped training-mixture planning (round-11 build, VERDICT
+    r12 next #4 — the traindata family capstone): per language domain,
+    available tokens, the sqrt-smoothed target share, the desired draw
+    at a 2M-token budget, and the planned draw under the 2-epoch
+    repetition cap — capped domains report their shortfall instead of
+    silently redistributing it, so the recipe a run trains on is
+    exactly the table reviewed. Plan: one combinable (domain, tokens)
+    aggregate; all arithmetic on a domains-sized relation — at 100 TB
+    the cost is the one linear token-count pass every corpus stat here
+    already pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    return data_recipe(
+        docs.select("lang", "text"),
+        _RECIPE_TARGET_TOKENS,
+        _RECIPE_MAX_EPOCHS,
+    )
+
+
+from nosql_to_sql_migration_tool_spark.operators.sketches import (  # noqa: E402
+    binned_quantiles_by,
+    binned_quantiles_by_sql,
+)
+
+
+@query(
+    "binned_quantiles_by",
+    binned_quantiles_by_sql("orders", "o_orderpriority", "o_totalprice"),
+)
+def q_binned_quantiles_by(spark, sf_dir):
+    """GROUPED sketch quantiles (round-12 build, VERDICT r12 next #5):
+    per order priority, the {p25, p50, p75, p90, p99} of o_totalprice
+    from 128-bin per-group histograms — completing the scalar->grouped
+    sketch progression exactly as linear_count -> linear_count_by. The
+    shuffle carries at most groups x bins rows (never the values) and
+    the cumulative pick is a window PARTITIONED BY GROUP over <= 128
+    rows per partition — no global window at any scale; error bounded
+    by one per-group bin width (audited for the scalar twin in
+    price_quantile_error_audit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return binned_quantiles_by(orders, "o_orderpriority", "o_totalprice")
+
+
+from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
+    token_entropy,
+    token_entropy_sql,
+)
+
+
+@query(
+    "token_entropy",
+    token_entropy_sql("SELECT doc_id, text FROM documents"),
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy in integer micros (round-12
+    build, VERDICT r12 next #5): the information-density quality signal
+    — 0 for single-type docs, ln(n_tokens) when every token is distinct
+    — computed with the house ln pin (6-dp at the source, integer-micro
+    folds; the BM25/DSIR discipline) so both engines replay the exact
+    integers. Plan: one token explode into a combinable (doc, token)
+    count + one per-doc fold — the two-shuffle skeleton every linear
+    text operator here walks, no per-doc sort or window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs.select("doc_id", "text"))

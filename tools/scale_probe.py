@@ -103,6 +103,17 @@ FAMS = {
         "token_fertility_by_lang", "phrase_match", "doc_duplication_rate",
         "bm25_topk_indexed", "bm25_batch_topk",
     ],
+    # round 13 additions (the registered six). linkage_scores runs on
+    # customer, which the replica keeps FIXED (dims are copied, not
+    # replicated), so its ratio here is trivially ~1 — its real scale
+    # evidence is the r12 blocking-cardinality study (SCALE.md: compound
+    # key 30x faster at 10x). bloom_fp_audit's BUILD side (orders)
+    # replicates while its probe (customer) stays fixed — exactly the
+    # shape the bitmap is for (shuffle <= m rows at any build size).
+    "newcomers_r13": [
+        "linkage_scores", "phrase_match_indexed", "bloom_fp_audit",
+        "data_recipe", "binned_quantiles_by", "token_entropy",
+    ],
 }
 
 
