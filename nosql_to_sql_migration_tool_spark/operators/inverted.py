@@ -355,6 +355,153 @@ def compact_inverted_index(
         )
 
 
+def takedown_from_inverted_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Right-to-be-forgotten removal from the retrieval store — the
+    last persisted store without a delete path (the ingest sinks/index
+    got theirs in ``streaming/ingest_stream.py:takedown_docs``; this
+    round's doc ledger makes the index's own sweep partition-scoped).
+
+    Removes every posting of the given ids, recomputes the affected
+    batches' stats (n_docs / total_tokens) and drops the ids from the
+    doc ledger, so ``bm25_topk_indexed`` afterwards equals the corpus
+    scan over the surviving documents EXACTLY (idf/avgdl shift with the
+    removed mass — pinned by pytest).
+
+    Scale shape: the doc ledger locates the hit batches (one pruned
+    metadata-sized read — the takedown's blast radius), and ONLY those
+    ``batch_id`` partitions rewrite; untouched batches never read. A
+    partition whose every row was removed is deleted explicitly
+    (dynamic overwrite writes nothing there — the takedown_docs
+    lesson). Crash-safe by idempotence: stats are RECOMPUTED from the
+    post-image (never decremented), and the ledger — which drives hit
+    detection — rewrites LAST, so a re-run of a crashed sweep completes
+    it; a re-run of a completed sweep is a no-op.
+
+    Contract note: this removes CONTENT from the index. Blocking
+    re-ingestion of a forgotten id is the ingest gate's job (its
+    ``batch_id = -2`` tombstones); after an index takedown the doc
+    ledger row is gone, so a NEW batch may legitimately re-ingest the
+    id (e.g. a corrected document)."""
+    ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    ids = ids.localCheckpoint(eager=True)
+    try:
+        ledger = spark.read.parquet(_docs_path(path))
+    except AnalysisException:
+        return {"docs_removed": 0, "postings_removed": 0}
+    hit = ledger.join(ids, "doc_id", "semi").localCheckpoint(eager=True)
+    batches = [r["batch_id"] for r in hit.select("batch_id").distinct().collect()]
+    n_docs_removed = hit.count()
+    if not batches:
+        return {"docs_removed": 0, "postings_removed": 0}
+
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import delete_paths
+
+    # 1) postings: rewrite only the hit batch partitions
+    posts = spark.read.parquet(_postings_path(path)).where(
+        F.col("batch_id").isin(batches)
+    )
+    # materialize everything derived from the PRE-image before the
+    # overwrite replaces its files (the takedown_docs discipline)
+    pre_parts = (
+        posts.select("batch_id", "bucket")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keep = posts.join(ids, "doc_id", "anti").localCheckpoint(eager=True)
+    n_removed = posts.count() - keep.count()
+    (
+        keep.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket")
+        .parquet(_postings_path(path))
+    )
+    emptied = pre_parts.join(
+        keep.select("batch_id", "bucket").distinct(),
+        ["batch_id", "bucket"],
+        "left_anti",
+    ).collect()
+    if emptied:
+        delete_paths(
+            spark,
+            [
+                f"{_postings_path(path)}/batch_id={r['batch_id']}"
+                f"/bucket={r['bucket']}"
+                for r in emptied
+            ],
+        )
+
+    # 2) stats: recompute the hit batches from the post-image (pure
+    # function of surviving rows — idempotent, crash-recoverable)
+    kept_ledger = (
+        ledger.where(F.col("batch_id").isin(batches))
+        .join(ids, "doc_id", "anti")
+        .localCheckpoint(eager=True)
+    )
+    batch_df = spark.createDataFrame(
+        [(int(b),) for b in batches], "batch_id long"
+    )
+    new_stats = (
+        batch_df.join(
+            kept_ledger.groupBy("batch_id").agg(
+                F.count(F.lit(1)).cast("long").alias("__nd")
+            ),
+            "batch_id",
+            "left",
+        )
+        .join(
+            keep.groupBy("batch_id", "doc_id")
+            .agg(F.max("doc_len").alias("__len"))
+            .groupBy("batch_id")
+            .agg(F.sum("__len").cast("long").alias("__tt")),
+            "batch_id",
+            "left",
+        )
+        .select(
+            F.coalesce("__nd", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("__tt", F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+            "batch_id",
+        )
+    )
+    (
+        new_stats.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_stats_path(path))
+    )
+
+    # 3) doc ledger LAST (it drives hit detection on a re-run)
+    (
+        kept_ledger.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_docs_path(path))
+    )
+    surviving = {
+        r["batch_id"]
+        for r in kept_ledger.select("batch_id").distinct().collect()
+    }
+    emptied_docs = [b for b in batches if b not in surviving]
+    if emptied_docs:
+        delete_paths(
+            spark,
+            [
+                f"{_docs_path(path)}/batch_id={b}"
+                for b in emptied_docs
+            ],
+        )
+    return {
+        "docs_removed": int(n_docs_removed),
+        "postings_removed": int(n_removed),
+    }
+
+
 def phrase_match_indexed(
     spark: SparkSession,
     path: str,

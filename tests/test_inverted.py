@@ -193,3 +193,73 @@ def test_cross_batch_reingest_raises(spark, tmp_path):
     update_inverted_index(
         odd.limit(0), path, 3, enforce_unique_docs=False
     )
+
+
+def test_takedown_from_inverted_index(spark, tmp_path):
+    """RTBF removal from the retrieval store: after the sweep the
+    indexed BM25 equals the corpus scan over SURVIVORS exactly (idf/
+    avgdl shift with the removed mass), stats are recomputed from the
+    post-image, a re-run is a no-op, the freed ids may re-ingest under
+    a new batch, and the sweep works on the compacted batch_id=-1
+    partition too."""
+    from nosql_to_sql_migration_tool_spark.operators.inverted import (
+        takedown_from_inverted_index,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import tokens
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    update_inverted_index(docs.filter(F.col("doc_id") % 2 == 0), path, 0)
+    update_inverted_index(docs.filter(F.col("doc_id") % 2 == 1), path, 1)
+
+    victims = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    n_victims = victims.count()
+    out = takedown_from_inverted_index(spark, path, victims)
+    assert out["docs_removed"] == n_victims > 0
+    assert out["postings_removed"] > 0
+
+    survivors = docs.join(victims, "doc_id", "anti")
+    want = [tuple(r) for r in bm25_topk(survivors, _TERMS, k=25).collect()]
+    got = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    assert got == want
+
+    st = read_index_stats(spark, path).collect()[0]
+    assert st["n_docs"] == survivors.count()
+    want_tokens = survivors.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("t")
+    ).collect()[0]["t"]
+    assert st["total_tokens"] == want_tokens
+
+    # idempotent: the same sweep again removes nothing, changes nothing
+    again = takedown_from_inverted_index(spark, path, victims)
+    assert again == {"docs_removed": 0, "postings_removed": 0}
+    got2 = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    assert got2 == want
+
+    # the ledger rows are gone, so a corrected re-ingest under a NEW
+    # batch is legal again — and restores corpus-scan equality
+    update_inverted_index(
+        docs.join(victims, "doc_id", "semi"), path, 2
+    )
+    full = [tuple(r) for r in bm25_topk(docs, _TERMS, k=25).collect()]
+    got3 = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    assert got3 == full
+
+    # compaction then takedown: the sweep rewrites the -1 partition
+    compact_inverted_index(spark, path)
+    out4 = takedown_from_inverted_index(spark, path, victims)
+    assert out4["docs_removed"] == n_victims
+    got4 = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
+    ]
+    assert got4 == want
