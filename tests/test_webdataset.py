@@ -137,3 +137,49 @@ def test_non_numeric_key_raises_not_null(spark, tmp_path):
         bad.collect()
     ok = webdataset_text_table(members, id_from_key=False).collect()
     assert len(ok) == 1 and ok[0]["doc_id"] is not None
+
+
+def test_write_webdataset_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Export -> ingest closes the loop: the text table read back from
+    the written shards equals the source rows exactly; manifests count
+    every sample/byte; and two exports are byte-identical (pinned tar
+    metadata, key-sorted members)."""
+    import hashlib
+
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        load_table,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    out1 = str(tmp_path / "wds1")
+    man = write_webdataset_shards(docs, out1, n_shards=4).collect()
+    assert len(man) == 4
+    assert sum(r["n_samples"] for r in man) == docs.count()
+
+    back = webdataset_text_table(
+        read_tar_members(spark, out1 + "/shard-*.tar")
+    )
+    want = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    assert got == want
+
+    out2 = str(tmp_path / "wds2")
+    write_webdataset_shards(docs, out2, n_shards=4).collect()
+
+    def digest(d):
+        import os
+
+        h = {}
+        for f in sorted(os.listdir(d)):
+            h[f] = hashlib.md5(
+                open(os.path.join(d, f), "rb").read()
+            ).hexdigest()
+        return h
+
+    assert digest(out1) == digest(out2)
