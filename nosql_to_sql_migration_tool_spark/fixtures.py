@@ -495,3 +495,66 @@ FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
 
 
 LINED_DOCUMENTS_SQL = _lined_documents_sql()
+
+
+def pii_documents(documents: DataFrame) -> DataFrame:
+    """PII-scrub fixture (round 13): the documents corpus with
+    deterministic planted PII — all pure functions of the key, so the
+    DuckDB twin replays the identical corpus.
+
+      email : doc_id % 13 == 0 -> ' contact user<id>@example.com'
+      ipv4  : doc_id % 11 == 0 -> ' from 10.<id%256>.0.1'
+      phone : doc_id % 7 == 0  -> ' call 555-<100+id%900>-<1000+id%9000>'
+
+    A doc hitting several conditions gains several plants (the chained
+    CASE order below IS the contract)."""
+    k = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(
+        k % 13 == 0,
+        F.concat(
+            t, F.lit(" contact user"), k.cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        k % 11 == 0,
+        F.concat(
+            t, F.lit(" from 10."), (k % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        k % 7 == 0,
+        F.concat(
+            t, F.lit(" call 555-"),
+            (k % 900 + 100).cast("string"),
+            F.lit("-"),
+            (k % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(t)
+    return documents.select("doc_id", t.alias("text"))
+
+
+PII_DOCUMENTS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN t2 || ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE t2 END AS text
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN t1 || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.1'
+              ELSE t1 END AS t2
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com'
+                ELSE text END AS t1
+    FROM documents
+  )
+)
+"""
