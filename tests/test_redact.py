@@ -104,3 +104,43 @@ def test_redact_plan_is_single_projection(spark):
     assert cartesian_products(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # shuffle-free narrow projection
+
+
+def test_redact_matches_python_re_on_fuzzed_text(spark):
+    """Third-engine check: the Java (Spark) and RE2 (DuckDB) parity
+    test above could share a blind spot, so the same chain replayed
+    with Python's ``re`` must agree on fuzzed ASCII text mixing PII
+    shards with near-misses."""
+    import random
+    import re
+
+    from nosql_to_sql_migration_tool_spark.operators.redact import (
+        PII_PATTERNS,
+    )
+
+    rng = random.Random(13)
+    frags = [
+        "plain word", "a@b.io", "x.y@mail.example.com", "not@@bad",
+        "10.0.0.1", "999.999.999.999", "1234.5.6.7", "555-123-4567",
+        "555.9.1", "call 555.987.6543 now", "v1.2.3", "a@b", ".com",
+        "user_%+x@ex-a.mple.org", "0.0.0.0", "12-34-5678",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+
+    def py_chain(t):
+        out = []
+        for _, pat, rep in PII_PATTERNS:
+            out.append(len(re.findall(pat, t)))
+            t = re.sub(pat, rep, t)
+        return (t, *out)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in redact_pii(df).collect()
+    }
+    for i, t in rows:
+        assert got[i] == py_chain(t), (i, t)
