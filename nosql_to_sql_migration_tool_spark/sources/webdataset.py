@@ -218,9 +218,23 @@ def write_webdataset_shards(
 
     os.makedirs(out_dir, exist_ok=True)
 
+    # keys must be non-negative longs: a NULL or negative key would
+    # produce an unreadable member name / negative shard id — raise at
+    # execution (the webdataset_text_table guard discipline) instead of
+    # writing a corrupt shard.
+    key = F.col(key_col).cast("long")
+    key_guard = F.assert_true(
+        key.isNotNull() & (key >= 0),
+        F.concat(
+            F.lit("write_webdataset_shards: key must be a non-negative "
+                  "long, got "),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+        ),
+    )
+    shard_ok = F.when(key.isNotNull() & (key >= 0), key % n_shards)
     rows = df.select(
-        (F.col(key_col).cast("long") % n_shards).alias("__shard"),
-        F.col(key_col).cast("long").alias("__key"),
+        F.coalesce(shard_ok, key_guard.cast("long")).alias("__shard"),
+        key.alias("__key"),
         F.col(text_col).alias("__text"),
     )
 

@@ -183,3 +183,22 @@ def test_write_webdataset_shards_roundtrip_and_determinism(spark, tmp_path):
         return h
 
     assert digest(out1) == digest(out2)
+
+
+def test_write_shards_rejects_null_and_negative_keys(spark, tmp_path):
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    bad_neg = spark.createDataFrame(
+        [(1, "ok"), (-2, "bad")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        write_webdataset_shards(bad_neg, str(tmp_path / "a"), n_shards=2)
+    bad_null = spark.createDataFrame(
+        [(1, "ok"), (None, "bad")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        write_webdataset_shards(bad_null, str(tmp_path / "b"), n_shards=2)
