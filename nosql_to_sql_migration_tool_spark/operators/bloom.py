@@ -103,18 +103,23 @@ def bloom_build(
         .agg(F.call_function("bit_or", F.col("b")).alias("v"))
     )
     n = keys.distinct().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Dense word array via a bounded left join (m/32 rows) — NOT a
+    # per-element map lookup: Catalyst re-evaluates a map_from_entries
+    # inside a transform lambda for EVERY element, which is O((m/32)^2)
+    # and took minutes at m=2^22 (found by the r13 1000x probe). The
+    # join touches each word exactly once, so sizing m up for a bigger
+    # build side stays linear in m.
+    spark = df.sparkSession
+    idx = spark.range(m // _WORD).select(F.col("id").alias("w"))
+    dense = idx.join(words, "w", "left").select(
+        "w", F.coalesce("v", F.lit(0).cast("long")).alias("v")
+    )
     return (
-        words.groupBy()
+        dense.groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("w", "v"))).alias("__a"))
         .crossJoin(F.broadcast(n))
         .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m // _WORD - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.map_from_entries(F.col("__a")), i),
-                    F.lit(0).cast("long"),
-                ),
-            ).alias("bits"),
+            F.transform(F.col("__a"), lambda s: s["v"]).alias("bits"),
             F.col("n").alias("n_keys"),
             F.lit(m).cast("long").alias("m_bits"),
             F.lit(k).cast("long").alias("k_hashes"),
