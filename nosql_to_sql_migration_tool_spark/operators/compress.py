@@ -1,0 +1,96 @@
+"""Compression-ratio quality signal — the classic corpus-filter
+complement to ``text.token_entropy`` (round 13): DEFLATE squeezes
+repeated structure, so a document whose bytes compress far below the
+corpus norm is boilerplate/template/looped text, and one that barely
+compresses is noise (random keys, base64 blobs). Quality pipelines
+(Gopher's repetition rules are the token-level cousin) cut both tails.
+
+Determinism contract: zlib level is PINNED (level 6, default strategy)
+and the ratio is round(.,6), so reruns and repartitionings agree
+byte-for-byte in one environment; zlib's output is not guaranteed
+stable across zlib library versions, so there is deliberately NO
+cross-engine SQL oracle — the operator is pytest-pinned (ordering
+properties + hand cases) instead, the documented weaker gate for
+non-SQL-expressible operators.
+
+Plan shape: Arrow-batched ``mapInPandas`` (the sanctioned byte-level
+codec set, same category as the PPM/WAV decoders and the tar walk) —
+one linear pass, no shuffle, so a 100 TB corpus scans at I/O speed and
+scales with cores.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+COMPRESS_LEVEL = 6
+
+RATIO_SCHEMA = (
+    "doc_id long, n_bytes long, n_compressed long, compress_ratio double"
+)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per document: ``(doc_id, n_bytes, n_compressed, compress_ratio)``
+    where ratio = compressed/raw UTF-8 bytes (round 6); empty/NULL text
+    yields n_bytes 0 and a NULL ratio."""
+    cols = (id_col, text_col)
+
+    def gen(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for k, t in zip(pdf[cols[0]], pdf[cols[1]]):
+                raw = ("" if t is None else str(t)).encode("utf-8")
+                comp = zlib.compress(raw, COMPRESS_LEVEL)
+                ids.append(None if k is None else int(k))
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compress_ratio": ratio,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, RATIO_SCHEMA)
+
+
+def compression_band_filter(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose compression ratio lies INSIDE [lo, hi] —
+    cutting the boilerplate tail (ratio < lo) and the noise tail
+    (ratio > hi). Returns the surviving (id, text) rows; the thresholds
+    are reviewed config, like every quality cutoff here."""
+    from pyspark.sql import functions as F
+
+    scored = compression_ratio(df, text_col, id_col).select(
+        "doc_id", "compress_ratio"
+    )
+    keep = scored.where(
+        F.col("compress_ratio").isNotNull()
+        & (F.col("compress_ratio") >= float(lo))
+        & (F.col("compress_ratio") <= float(hi))
+    ).select("doc_id")
+    return df.join(
+        keep.withColumnRenamed("doc_id", id_col), id_col, "semi"
+    )
