@@ -75,7 +75,9 @@ def redact_pii_sql(
     id_expr: str = "doc_id",
 ) -> str:
     """DuckDB twin of ``redact_pii`` — identical patterns, identical
-    chain (RE2 needs the explicit 'g' flag Spark implies)."""
+    chain (RE2 needs the explicit 'g' flag Spark implies). The output
+    id column is always named ``doc_id``; for oracle comparison the
+    Spark side's ``id_col`` must carry the same name (the default)."""
     stages = [f"SELECT {id_expr} AS doc_id, {text_expr} AS t0 FROM docs"]
     for i, (name, pat, rep) in enumerate(PII_PATTERNS):
         stages.append(
