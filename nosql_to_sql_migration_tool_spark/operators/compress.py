@@ -50,9 +50,12 @@ def compression_ratio(
         for pdf in batches:
             ids, nb, nc, ratio = [], [], [], []
             for k, t in zip(pdf[cols[0]], pdf[cols[1]]):
-                raw = ("" if t is None else str(t)).encode("utf-8")
+                # ADVICE r13: Arrow hands NULL longs to pandas as NaN
+                # floats, so `k is None` never fires and int(k) raised —
+                # pd.isna covers None AND NaN (same for absent text).
+                raw = ("" if pd.isna(t) else str(t)).encode("utf-8")
                 comp = zlib.compress(raw, COMPRESS_LEVEL)
-                ids.append(None if k is None else int(k))
+                ids.append(None if pd.isna(k) else int(k))
                 nb.append(len(raw))
                 nc.append(len(comp))
                 ratio.append(
@@ -80,7 +83,14 @@ def compression_band_filter(
     """Keep documents whose compression ratio lies INSIDE [lo, hi] —
     cutting the boilerplate tail (ratio < lo) and the noise tail
     (ratio > hi). Returns the surviving (id, text) rows; the thresholds
-    are reviewed config, like every quality cutoff here."""
+    are reviewed config, like every quality cutoff here.
+
+    Scale note (VERDICT r13): the semi-join back onto ``df`` makes the
+    corpus scan twice — the score pass and the keep pass — and Spark
+    cannot reuse the first's work across actions. At bench scale that
+    is fine; at 100 TB callers should ``persist()`` the scored frame
+    (or write it out) and join against that, paying the decompress
+    exactly once."""
     from pyspark.sql import functions as F
 
     scored = compression_ratio(df, text_col, id_col).select(

@@ -251,8 +251,22 @@ def write_webdataset_shards(
         for s, members in acc.items():
             name = os.path.join(out_dir, f"shard-{s:05d}.tar")
             total = 0
+            members = sorted(members)
+            # ADVICE r13: two rows sharing a key would write duplicate
+            # member names — the manifest would count both samples but
+            # read-back (last-member-wins tar semantics) keeps one:
+            # silent doc loss on the advertised round-trip. All rows of
+            # a key land in one shard (key % n_shards), so adjacent
+            # equality after the sort sees every duplicate — raise.
+            for (k1, _), (k2, _) in zip(members, members[1:]):
+                if k1 == k2:
+                    raise ValueError(
+                        f"write_webdataset_shards: duplicate key {k1} — "
+                        "member names must be unique per corpus; "
+                        "dedupe the frame before export"
+                    )
             with tarfile.open(name, "w") as tf:
-                for k, payload in sorted(members):
+                for k, payload in members:
                     info = tarfile.TarInfo(name=f"{k}.{text_ext}")
                     info.size = len(payload)
                     info.mtime = 0

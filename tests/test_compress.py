@@ -104,3 +104,21 @@ def test_ratio_plan_is_one_arrow_pass(spark):
     assert cartesian_products(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ratio_null_id_and_null_text_pass_through(spark):
+    """ADVICE r13 regression: Arrow hands NULL longs to pandas as NaN
+    floats, so the old `k is None` guard never fired and int(k) raised
+    — NULL ids (and NULL text) must pass through as the Int64 output
+    dtype always intended."""
+    rows = spark.createDataFrame(
+        [(None, "some text"), (2, None), (None, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_bytes"], r["compress_ratio"] is None)
+        for r in compression_ratio(rows).collect()
+    }
+    assert (None, len(b"some text"), False) in got
+    assert (2, 0, True) in got
+    assert (None, 0, True) in got

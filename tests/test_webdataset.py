@@ -202,3 +202,21 @@ def test_write_shards_rejects_null_and_negative_keys(spark, tmp_path):
     )
     with pytest.raises(Exception, match="non-negative"):
         write_webdataset_shards(bad_null, str(tmp_path / "b"), n_shards=2)
+
+
+def test_write_shards_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r13 regression: duplicate keys used to write duplicate tar
+    member names — the manifest counted both samples but read-back
+    (last-member-wins) kept one, silent doc loss on the advertised
+    round-trip. Now the export raises before writing a corrupt shard."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "first"), (5, "other"), (1, "second")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        write_webdataset_shards(dup, str(tmp_path / "dup"), n_shards=2)
