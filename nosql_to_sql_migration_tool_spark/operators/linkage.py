@@ -43,6 +43,7 @@ __all__ = [
     "linkage_scores_sql",
     "multi_pass_linkage_scores",
     "blocking_recall",
+    "blocking_recall_sql",
 ]
 
 
@@ -71,31 +72,55 @@ def _canon_sql(expr: str) -> str:
     return f"lower(trim(CAST({expr} AS VARCHAR)))"
 
 
+def _block_exprs(block_key) -> list[str]:
+    """Normalize a blocking-key spec to a list of SQL expression
+    strings: a plain column name, a derived expression
+    (``"c_custkey % 997"``), or a compound key as a sequence of either.
+    Compound keys are record linkage's one scale dial — the r12 probe
+    measured ``("c_nationkey", "c_custkey % 997")`` ~linear and 30x
+    faster at 10x than nation alone (SCALE.md), because block sizes
+    stay constant as the corpus grows."""
+    if isinstance(block_key, str):
+        return [block_key]
+    out = list(block_key)
+    if not out or not all(isinstance(e, str) for e in out):
+        raise ValueError(
+            f"block key must be an expression string or a non-empty "
+            f"sequence of them, got {block_key!r}"
+        )
+    return out
+
+
 def linkage_scores(
     a: DataFrame,
     b: DataFrame,
-    block_col: str,
+    block_col,
     params: dict[str, tuple[float, float]],
     id_col: str,
 ) -> DataFrame:
     """``(id_a, id_b, n_agree, score_micro)`` for every blocked
-    candidate pair (same ``block_col`` value, ``id_a`` from ``a``,
-    ``id_b`` from ``b``). ``params`` maps each compared field to its
-    (m, u); the blocking column itself should not be a compared field
-    (it agrees by construction and would add a constant)."""
+    candidate pair (same blocking-key value, ``id_a`` from ``a``,
+    ``id_b`` from ``b``). ``block_col`` is a column name, a derived
+    SQL expression, or a compound key as a sequence of either (the
+    scale-safe configuration — see ``_block_exprs``); ``params`` maps
+    each compared field to its (m, u); the blocking key itself should
+    not be a compared field (it agrees by construction and would add a
+    constant)."""
     w = field_weights_micro(params)
     fields = list(params)
+    exprs = _block_exprs(block_col)
+    blk = [f"__blk{i}" for i in range(len(exprs))]
     left = a.select(
-        F.col(block_col).alias("__blk"),
+        *[F.expr(e).alias(n) for e, n in zip(exprs, blk)],
         F.col(id_col).alias("id_a"),
         *[_canon(F.col(f)).alias(f"__a_{f}") for f in fields],
     )
     right = b.select(
-        F.col(block_col).alias("__blk"),
+        *[F.expr(e).alias(n) for e, n in zip(exprs, blk)],
         F.col(id_col).alias("id_b"),
         *[_canon(F.col(f)).alias(f"__b_{f}") for f in fields],
     )
-    pairs = left.join(right, "__blk")
+    pairs = left.join(right, blk)
     score = F.lit(0).cast("long")
     agree_n = F.lit(0).cast("long")
     for f in fields:
@@ -137,14 +162,24 @@ def linkage_matches(
 def linkage_scores_sql(
     a_sql: str,
     b_sql: str,
-    block_col: str,
+    block_col,
     params: dict[str, tuple[float, float]],
     id_col: str,
 ) -> str:
     """DuckDB twin of ``linkage_scores`` — identical integer weight
-    literals, canon, NULL treatment."""
+    literals, canon, NULL treatment; ``block_col`` accepts the same
+    name / expression / compound-sequence spec (derived expressions are
+    projected as ``__blk{i}`` inside each CTE, mirroring the Spark
+    side, so qualification never leaks into the caller's SQL)."""
     w = field_weights_micro(params)
     fields = list(params)
+    exprs = _block_exprs(block_col)
+    blk_proj = ", ".join(
+        f"({e}) AS __blk{i}" for i, e in enumerate(exprs)
+    )
+    on = " AND ".join(
+        f"a.__blk{i} = b.__blk{i}" for i in range(len(exprs))
+    )
     score_terms = []
     agree_terms = []
     for f in fields:
@@ -157,11 +192,12 @@ def linkage_scores_sql(
         )
         agree_terms.append(f"CASE WHEN {agree} THEN 1 ELSE 0 END")
     return f"""
-WITH a AS ({a_sql}), b AS ({b_sql})
+WITH a AS (SELECT *, {blk_proj} FROM ({a_sql})),
+b AS (SELECT *, {blk_proj} FROM ({b_sql}))
 SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
        CAST({' + '.join(agree_terms)} AS BIGINT) AS n_agree,
        CAST({' + '.join(score_terms)} AS BIGINT) AS score_micro
-FROM a JOIN b ON a.{block_col} = b.{block_col}
+FROM a JOIN b ON {on}
 """
 
 
@@ -176,9 +212,10 @@ def multi_pass_linkage_scores(
     misses pairs whose key field is itself dirty": candidates are the
     UNION of each pass's equi-join (a pair found by several passes
     dedupes to one row — the score is a pure function of the pair, so
-    distinct is exact). Splink's blocking_rules, expressed as passes.
-    Cost is additive in the passes, each still a blocked equi-join —
-    never a cross product."""
+    distinct is exact). Splink's blocking_rules, expressed as passes;
+    each pass is any ``linkage_scores`` block spec (column name,
+    expression, or compound sequence). Cost is additive in the passes,
+    each still a blocked equi-join — never a cross product."""
     out = None
     for col in block_cols:
         scored = linkage_scores(a, b, col, params, id_col)
@@ -198,16 +235,21 @@ def blocking_recall(
     dedup family's blocking_recall_audit discipline applied to ER: a
     threshold can only decide on pairs the blocking produced, so
     blocking recall bounds end-to-end recall). ``truth_pairs`` yields
-    (id_a, id_b)."""
+    (id_a, id_b); each pass in ``block_cols`` is any ``linkage_scores``
+    block spec (column name, expression, or compound sequence)."""
     cand = None
     for col in block_cols:
+        exprs = _block_exprs(col)
+        blk = [f"__blk{i}" for i in range(len(exprs))]
         left = a.select(
-            F.col(col).alias("__blk"), F.col(id_col).alias("id_a")
+            *[F.expr(e).alias(n) for e, n in zip(exprs, blk)],
+            F.col(id_col).alias("id_a"),
         )
         right = b.select(
-            F.col(col).alias("__blk"), F.col(id_col).alias("id_b")
+            *[F.expr(e).alias(n) for e, n in zip(exprs, blk)],
+            F.col(id_col).alias("id_b"),
         )
-        pairs = left.join(right, "__blk").select("id_a", "id_b")
+        pairs = left.join(right, blk).select("id_a", "id_b")
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()
     truth = truth_pairs.select("id_a", "id_b").distinct()
@@ -232,3 +274,46 @@ def blocking_recall(
             ),
         ).alias("recall"),
     )
+
+
+def blocking_recall_sql(
+    a_sql: str,
+    b_sql: str,
+    block_cols: list,
+    truth_sql: str,
+    id_col: str,
+) -> str:
+    """DuckDB twin of ``blocking_recall`` — each pass's candidate join
+    re-derived with the same ``__blk{i}`` projections, unioned,
+    de-duplicated, then intersected with the distinct truth pairs."""
+    passes = []
+    for col in block_cols:
+        exprs = _block_exprs(col)
+        proj = ", ".join(
+            f"({e}) AS __blk{i}" for i, e in enumerate(exprs)
+        )
+        on = " AND ".join(
+            f"a.__blk{i} = b.__blk{i}" for i in range(len(exprs))
+        )
+        passes.append(
+            f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b\n"
+            f"  FROM (SELECT *, {proj} FROM ({a_sql})) a\n"
+            f"  JOIN (SELECT *, {proj} FROM ({b_sql})) b ON {on}"
+        )
+    union = "\nUNION ALL\n".join(passes)
+    return f"""
+WITH cand AS (SELECT DISTINCT id_a, id_b FROM ({union})),
+truth AS (SELECT DISTINCT id_a, id_b FROM ({truth_sql})),
+counts AS (
+  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT count(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand c
+                             WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+              AS BIGINT) AS n_covered
+)
+SELECT n_truth, n_covered,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_covered AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+       END AS recall
+FROM counts
+"""

@@ -197,3 +197,62 @@ def test_multi_pass_blocking_recovers_dirty_block_keys(spark):
         .count()
         == 0
     )
+
+
+def test_compound_block_key_parity_and_plan(spark):
+    """r14: the registered configuration — compound blocking key
+    (c_nationkey, c_custkey % 997), the scale-safe shape SCALE.md r12
+    measured 30x faster at 10x. Cross-engine parity, candidate-set
+    semantics (a pair must agree on BOTH key parts), and the blocked
+    equi-join plan (no cartesian, no python, no global window)."""
+    compound = ("c_nationkey", "c_custkey % 997")
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    dirty = dirty_customer_target(customer)
+    got = linkage_scores(
+        customer, dirty, compound, _PARAMS, "c_custkey"
+    )
+    mine = sorted(map(tuple, got.collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            linkage_scores_sql(
+                "SELECT * FROM customer",
+                DIRTY_CUSTOMER_TARGET_SQL,
+                compound,
+                _PARAMS,
+                "c_custkey",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and len(mine) > 0
+    # the compound candidates are exactly the nation-blocked candidates
+    # that ALSO agree on custkey % 997 — a strict subset, every true
+    # (same-custkey) pair retained
+    coarse = {
+        (r["id_a"], r["id_b"])
+        for r in linkage_scores(
+            customer, dirty, "c_nationkey", _PARAMS, "c_custkey"
+        ).collect()
+    }
+    fine = {(a, b) for a, b, _, _ in mine}
+    assert fine <= coarse
+    surviving = {
+        r["c_custkey"] for r in dirty.select("c_custkey").collect()
+    }
+    assert {(k, k) for k in surviving} <= fine
+
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+    )
+
+    assert cartesian_products(got) == 0
+    assert python_stage_count(got) == 0
+    assert global_windows(got) == 0

@@ -39,8 +39,10 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 # vocabularies stay pairwise disjoint, each copy an independent shard.
 
 FAMS = {
+    # minhash_candidates was de-registered in r14 (bench trim) — the
+    # candidate stage stays probed through near_dup_pairs' shared memos
     "dedup": [
-        "exact_dup_groups", "minhash_candidates", "near_dup_pairs",
+        "exact_dup_groups", "near_dup_pairs",
         "containment_dup_pairs", "cross_doc_chunk_dups",
         "simhash_near_pairs", "jaccard_prefix_pairs", "ingest_near_dup",
     ],
@@ -91,16 +93,20 @@ FAMS = {
         "training_shard_export",
     ],
     # round 11 additions (the registered five)
+    # bm25_topk (scan form) was de-registered in r14 (bench trim) — the
+    # scan math stays probed via bm25_batch_topk + the indexed row
     "newcomers_r11": [
-        "bm25_topk", "vocab_growth", "linear_count_by",
+        "vocab_growth", "linear_count_by",
         "update_components", "takedown_audit",
     ],
     # round 12 additions (the registered seven; bm25_topk_indexed joined
     # late — its first 100x rows were measured manually, SCALE.md
     # round-12 addendum)
+    # phrase_match (scan form) was de-registered in r14 (bench trim) —
+    # the scan semantics are the indexed row's oracle
     "newcomers_r12": [
         "sq8_topk", "dsir_select", "weighted_sample",
-        "token_fertility_by_lang", "phrase_match", "doc_duplication_rate",
+        "token_fertility_by_lang", "doc_duplication_rate",
         "bm25_topk_indexed", "bm25_batch_topk",
     ],
     # round 13 additions (the registered six). linkage_scores runs on
