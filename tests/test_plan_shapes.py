@@ -81,6 +81,10 @@ def test_full_surface_plan_invariants(spark):
         "media_resize",
         "media_ppm_decode_stats",
         "media_wav_decode_stats",
+        # r14: the tar-shard walk (stdlib tarfile over binaryFile rows)
+        # is the same sanctioned byte-codec Arrow class as the media
+        # decoders — one linear pass per shard, no shuffle before it.
+        "webdataset_roundtrip",
     }
     offenders = []
     for name, fn in QUERIES.items():

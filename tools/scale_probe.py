@@ -120,6 +120,18 @@ FAMS = {
         "linkage_scores", "phrase_match_indexed", "bloom_fp_audit",
         "data_recipe", "binned_quantiles_by", "token_entropy",
     ],
+    # round 14 additions (the registered six). linkage_blocking_recall
+    # runs on the fixed customer dim (same caveat as linkage_scores —
+    # its real scale evidence is the r12 blocking-cardinality study);
+    # sq_recall_audit / hard_negatives run on the REPLICATED embeddings;
+    # webdataset_roundtrip / bm25_after_takedown probe the replicated
+    # corpus through their build:-hosted stores (training_shards /
+    # ingest_state).
+    "newcomers_r14": [
+        "redact_pii", "sq_recall_audit", "hard_negatives",
+        "linkage_blocking_recall", "webdataset_roundtrip",
+        "bm25_after_takedown",
+    ],
 }
 
 
