@@ -317,3 +317,54 @@ SELECT n_truth, n_covered,
        END AS recall
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch-maintained match store (round 14, r15 queue): entity resolution
+# composed with the engine's incremental-ingest discipline. A migration
+# that syncs in batches (the reference's Start-IncrementalSync loop,
+# private/Sync.ps1:125-163) should not re-link the whole target per
+# batch: the Fellegi-Sunter score is a pure function of the PAIR, so
+# linking a new batch touches only (a x batch) blocked candidates and
+# the match store grows by appending that batch's matches — the same
+# O(batch) maintenance contract as the inverted index and the ingest
+# band stores.
+# ---------------------------------------------------------------------------
+
+
+def update_linkage_matches(
+    a: DataFrame,
+    b_batch: DataFrame,
+    path: str,
+    block_col,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+    threshold_micro: int,
+    batch_id: int,
+) -> None:
+    """Append batch ``batch_id``'s thresholded matches against the
+    reference table ``a`` to the parquet match store at ``path``,
+    partitioned by batch_id. Cost is ONE blocked equi-join of a x
+    b_batch — never a x b_full — so per-batch maintenance is O(batch)
+    at any accumulated store size. Replay-idempotent: the batch's
+    matches are a pure function of (a, b_batch, model), and the
+    dynamic partition overwrite replaces exactly this batch_id's rows,
+    so a crashed or duplicated run converges to the same store
+    (the ingest-store discipline). Incremental ≡ full-recompute is
+    pinned by pytest: the union of per-batch stores equals
+    ``linkage_matches(a, union of batches)`` row-for-row."""
+    scored = linkage_matches(
+        a, b_batch, block_col, params, id_col, threshold_micro
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    (
+        scored.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_linkage_matches(spark, path: str) -> DataFrame:
+    """Every accumulated match ``(id_a, id_b, n_agree, score_micro,
+    batch_id)`` — the store a downstream merge/dedup step consumes."""
+    return spark.read.parquet(path)

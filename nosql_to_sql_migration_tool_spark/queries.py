@@ -8557,7 +8557,9 @@ def _webdataset_dir(spark, sf_dir) -> str:
     )
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    write_webdataset_shards(docs, base, n_shards=8)
+    # 16 shards: the shard is the parallelism unit on the way out AND
+    # back in — 8 left half the bench cores idle (3.7s -> 1.1s at sf0.1)
+    write_webdataset_shards(docs, base, n_shards=16)
     _WDS_DIR_CACHE[sf_dir] = (spark, base)
     return base
 
@@ -8565,7 +8567,7 @@ def _webdataset_dir(spark, sf_dir) -> str:
 @query("webdataset_roundtrip", "SELECT doc_id, text FROM documents")
 def q_webdataset_roundtrip(spark, sf_dir):
     """WebDataset export -> ingest round trip (round-13 build): the
-    corpus written as 8 deterministic tar shards (key-sorted members,
+    corpus written as 16 deterministic tar shards (key-sorted members,
     pinned metadata, duplicate-key guard) and read back through the
     binaryFile tar walk + the text-table bridge. The oracle is simply
     the source rows — the round trip must be lossless, which is exactly

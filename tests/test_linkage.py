@@ -256,3 +256,56 @@ def test_compound_block_key_parity_and_plan(spark):
     assert cartesian_products(got) == 0
     assert python_stage_count(got) == 0
     assert global_windows(got) == 0
+
+
+def test_update_linkage_matches_incremental_equals_full(spark, tmp_path):
+    """r14 (r15 queue): the batch-maintained match store — linking batch
+    by batch accumulates EXACTLY the matches of one full-relation run
+    (the score is a pure function of the pair), and replaying a batch
+    is idempotent (dynamic overwrite replaces that batch_id's rows)."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        linkage_matches,
+        read_linkage_matches,
+        update_linkage_matches,
+    )
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    dirty = dirty_customer_target(customer)
+    path = str(tmp_path / "matches")
+    threshold = 2_000_000
+    b0 = dirty.filter(F.col("c_custkey") % 2 == 0)
+    b1 = dirty.filter(F.col("c_custkey") % 2 == 1)
+    compound = ("c_nationkey", "c_custkey % 997")
+    for i, b in enumerate((b0, b1)):
+        update_linkage_matches(
+            customer, b, path, compound, _PARAMS, "c_custkey",
+            threshold, i,
+        )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_agree"], r["score_micro"])
+        for r in read_linkage_matches(spark, path).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            linkage_matches(
+                customer, dirty, compound, _PARAMS, "c_custkey", threshold
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # replaying batch 0 changes nothing (idempotent partition overwrite)
+    update_linkage_matches(
+        customer, b0, path, compound, _PARAMS, "c_custkey", threshold, 0
+    )
+    again = sorted(
+        (r["id_a"], r["id_b"], r["n_agree"], r["score_micro"])
+        for r in read_linkage_matches(spark, path).collect()
+    )
+    assert again == got
+    # per-batch rows carry their batch_id (the replay/takedown handle)
+    ids = {
+        r["batch_id"]
+        for r in read_linkage_matches(spark, path).collect()
+    }
+    assert ids == {0, 1}
