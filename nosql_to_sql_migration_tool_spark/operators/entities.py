@@ -1,0 +1,83 @@
+"""Entity-lite mining — capitalized-span extraction (round 14, r15
+queue): multi-word TitleCase spans ("New York", "Apache Spark") are
+the cheapest useful proxy for named entities a 100 TB corpus pass can
+afford — no model, no Python, one regex projection + one combinable
+count. Training-data pipelines use the resulting entity table for
+corpus profiling (what is this corpus ABOUT), dedup blocking keys,
+and targeted decontamination (scrub every doc mentioning a benchmark
+entity).
+
+Determinism contract: the span pattern uses the Java-regex/RE2 common
+subset (character classes, a non-capturing group, no lookaround); the
+top-k orders by (count DESC, entity ASC) — fully deterministic ties.
+
+Scale shape: ``entity_spans`` is a narrow shuffle-free projection;
+``entity_counts`` adds ONE combinable groupBy on the span (map-side
+partial counts) and plans its top-k as TakeOrdered — the corpus-scan
+floor, like token_frequencies.
+
+Reference analogue: none (the migration tool moves values verbatim);
+extends the SURVEY §2C text-analysis family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Two or more adjacent TitleCase words. Single capitalized words are
+# deliberately excluded — they are dominated by sentence starts.
+ENTITY_RE = r"[A-Z][a-z]+(?: [A-Z][a-z]+)+"
+
+
+def entity_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, entity)`` — one row per extracted span occurrence
+    (duplicates within a doc preserved: occurrence counts are signal).
+    A shuffle-free extract + explode projection."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(ENTITY_RE), F.lit(0))
+        ).alias("entity"),
+    )
+
+
+def entity_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus entities ``(entity, n_docs, n_occurrences)`` —
+    n_docs is the distinct-doc reach (the decontamination blast
+    radius), n_occurrences the raw count. One combinable groupBy on the
+    span; the top-k plans as TakeOrdered (count DESC, entity ASC)."""
+    spans = entity_spans(df, text_col, id_col)
+    counts = spans.groupBy("entity").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("entity")
+    ).limit(int(k))
+
+
+def entity_counts_sql(docs_sql: str, k: int = 50) -> str:
+    """DuckDB twin of ``entity_counts`` — same pattern, same tie order."""
+    return f"""
+WITH docs AS ({docs_sql}),
+spans AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{ENTITY_RE}')) AS entity
+  FROM docs
+)
+SELECT entity,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM spans
+GROUP BY entity
+ORDER BY n_occurrences DESC, entity
+LIMIT {int(k)}
+"""

@@ -42,6 +42,7 @@ __all__ = [
     "linkage_matches",
     "linkage_scores_sql",
     "multi_pass_linkage_scores",
+    "multi_pass_linkage_scores_sql",
     "blocking_recall",
     "blocking_recall_sql",
 ]
@@ -368,3 +369,21 @@ def read_linkage_matches(spark, path: str) -> DataFrame:
     """Every accumulated match ``(id_a, id_b, n_agree, score_micro,
     batch_id)`` — the store a downstream merge/dedup step consumes."""
     return spark.read.parquet(path)
+
+
+def multi_pass_linkage_scores_sql(
+    a_sql: str,
+    b_sql: str,
+    block_cols: list,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+) -> str:
+    """DuckDB twin of ``multi_pass_linkage_scores`` — each pass's
+    blocked scoring re-derived via ``linkage_scores_sql``, unioned,
+    DISTINCT (the score is a pure function of the pair, so the dedupe
+    is exact)."""
+    passes = "\nUNION ALL\n".join(
+        f"SELECT * FROM ({linkage_scores_sql(a_sql, b_sql, col, params, id_col)})"
+        for col in block_cols
+    )
+    return f"SELECT DISTINCT id_a, id_b, n_agree, score_micro FROM ({passes})"

@@ -1,0 +1,76 @@
+"""Entity-lite mining (round 14, r15 queue): span-extraction hand
+semantics, top-k determinism, cross-engine parity over the documents
+corpus, and the shuffle-minimal plan."""
+
+from __future__ import annotations
+
+import duckdb
+
+from nosql_to_sql_migration_tool_spark.operators.entities import (
+    entity_counts,
+    entity_counts_sql,
+    entity_spans,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_entity_spans_hand_semantics(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "We moved New York data to Apache Spark at New York."),
+            (2, "lowercase only, no entities here"),
+            (3, "Singleton Capitals Are fine but Lone ones are not X Y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r["doc_id"], r["entity"]) for r in entity_spans(rows).collect()]
+    # duplicates within a doc preserved; single capitalized words never
+    # extracted; adjacent TitleCase runs fold into ONE maximal span
+    assert got.count((1, "New York")) == 2
+    assert (1, "Apache Spark") in got
+    assert all(d != 2 for d, _ in got)
+    assert (3, "Singleton Capitals Are") in got
+    assert all(" " in e for _, e in got)  # no single-word spans
+
+
+def test_entity_counts_topk_and_parity(spark):
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    mine = [tuple(r) for r in entity_counts(docs, k=20).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            entity_counts_sql("SELECT doc_id, text FROM documents", k=20)
+        ).fetchall()
+    ]
+    con.close()
+    assert mine == want
+    # ordered by occurrences desc then entity asc, counts sane
+    occ = [n for _, _, n in mine]
+    assert occ == sorted(occ, reverse=True)
+    assert all(nd <= n for _, nd, n in mine)
+
+
+def test_entity_counts_plan_is_takeordered_scan(spark):
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    df = entity_counts(docs, k=50)
+    assert cartesian_products(df) == 0
+    assert python_stage_count(df) == 0
+    assert global_windows(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan

@@ -309,3 +309,43 @@ def test_update_linkage_matches_incremental_equals_full(spark, tmp_path):
         for r in read_linkage_matches(spark, path).collect()
     }
     assert ids == {0, 1}
+
+
+def test_multi_pass_sql_twin_parity(spark):
+    """r14 (r15 queue): multi_pass_linkage_scores' DuckDB twin — the
+    UNION-of-passes dedupe replays exactly, including a compound pass."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        multi_pass_linkage_scores,
+        multi_pass_linkage_scores_sql,
+    )
+
+    blocks = ["c_mktsegment", ("c_nationkey", "c_custkey % 997")]
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    dirty = dirty_customer_target(customer)
+    mine = sorted(
+        map(
+            tuple,
+            multi_pass_linkage_scores(
+                customer, dirty, blocks, _PARAMS, "c_custkey"
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            multi_pass_linkage_scores_sql(
+                "SELECT * FROM customer",
+                DIRTY_CUSTOMER_TARGET_SQL,
+                blocks,
+                _PARAMS,
+                "c_custkey",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and len(mine) > 0

@@ -61,7 +61,10 @@ def test_queries_reuse_memo_not_rebuild(spark):
     dedup_mod.minhash_candidates = boom
     pq_mod.pq_encode = boom
     try:
-        assert q.QUERIES["minhash_candidates"](spark, sf).count() > 0
+        # minhash_candidates was de-registered in r14 (bench trim); the
+        # pair row consumes the same candidate memo, so the break-the-
+        # builder probe moves one stage downstream
+        assert q.QUERIES["near_dup_pairs"](spark, sf).count() > 0
         # pq_topk was de-registered in r12 (bench trim); the rerank row
         # shares the same encoded-corpus memo
         assert q.QUERIES["pq_topk_rerank"](spark, sf).count() > 0
