@@ -412,7 +412,16 @@ def takedown_from_inverted_index(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    keep = posts.join(ids, "doc_id", "anti").localCheckpoint(eager=True)
+    # The kept post-image is STAGED TO DISK, not localCheckpoint'ed:
+    # a broad takedown's post-image is O(hit partitions) rows, and
+    # pinning that in the block manager blew executor memory at the
+    # 1000x probe (5M-doc store, 10% victims — SparkOutOfMemoryError,
+    # measured r14). A parquet stage bounds memory at ANY blast radius
+    # for one extra sequential write; the sibling suffix keeps it
+    # invisible to postings readers, and a crashed run simply restages.
+    stage = _postings_path(path).rstrip("/") + ".__takedown_stage"
+    posts.join(ids, "doc_id", "anti").write.mode("overwrite").parquet(stage)
+    keep = spark.read.parquet(stage)
     n_removed = posts.count() - keep.count()
     (
         keep.write.mode("overwrite")
@@ -496,6 +505,9 @@ def takedown_from_inverted_index(
                 for b in emptied_docs
             ],
         )
+    # drop the disk stage LAST — every consumer of the post-image
+    # (overwrite, stats, emptied detection) has executed by now
+    delete_paths(spark, [stage])
     return {
         "docs_removed": int(n_docs_removed),
         "postings_removed": int(n_removed),

@@ -263,3 +263,10 @@ def test_takedown_from_inverted_index(spark, tmp_path):
         for r in bm25_topk_indexed(spark, path, _TERMS, k=25).collect()
     ]
     assert got4 == want
+
+    # r14: the disk-staged post-image (the bounded-memory fix the 1000x
+    # broad-takedown probe forced — localCheckpoint of O(hit partitions)
+    # rows blew executor memory) is cleaned up after every sweep
+    import os
+
+    assert not os.path.exists(str(tmp_path / "idx" / "postings.__takedown_stage"))
