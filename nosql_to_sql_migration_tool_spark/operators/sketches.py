@@ -762,3 +762,157 @@ SELECT p.grp AS {out_col}, q, bin,
        round(mn + ((bin + 1) / {nb}) * (mx - mn), 6) AS est
 FROM __pick p JOIN __mm m ON p.grp = m.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch (round 14, r15
+# queue): the MERGEABLE approximate-distinct the family was missing.
+# linear_count's bitmap must grow with cardinality (the measured
+# saturation bound); HLL was de-registered in r3 because engine
+# estimates differ. KMV closes both gaps: the sketch is the k smallest
+# DISTINCT 48-bit md5 hashes of the values — a pure function of the
+# value SET — so two sketches merge by union+re-cut (set semantics,
+# order-free, replay-safe) and the classic estimator
+# (k-1) * 2^48 DIV h_k is exact INTEGER math both engines replay
+# bit-identically (Beyer et al., SIGMOD'07). 48 bits (12 md5 hex
+# chars) keeps (k-1) * 2^48 inside BIGINT for k <= 32768.
+#
+# Scale shape: phase 1 folds each input partition to its own bottom-k
+# distinct hashes map-side (one row per partition, never the values);
+# the single exchange carries <= k rows per partition; phase 2 re-cuts
+# the <= k*P candidates with a TakeOrdered. The global bottom-k of a
+# SET is always contained in the union of per-partition bottom-ks, so
+# the two-phase cut is exact, and the result is partition-layout
+# invariant (pytest-pinned).
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024
+KMV_SPACE = 1 << 48
+
+
+def kmv_hash(item):
+    """48-bit md5 hash of a value — the house md5 integer convention
+    (12 hex chars so estimator arithmetic stays in BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_hash_sql(expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 12))"
+        f" AS BIGINT)"
+    )
+
+
+def kmv_bottomk(items: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest distinct hashes as rows ``(h)`` — the sketch's
+    relational form (callers aggregate or persist it; it is at most k
+    rows). Phase 1: per input partition, that partition's bottom-k
+    distinct hashes (map-side collect_set + sort + slice — one row per
+    partition crosses the wire). Phase 2: TakeOrdered over the <= k*P
+    candidates."""
+    per_part = (
+        items.select(kmv_hash(F.col(col)).alias("h"))
+        .groupBy(F.spark_partition_id().alias("__p"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, int(k)).alias("__hs"))
+    )
+    cand = per_part.select(F.explode("__hs").alias("h")).distinct()
+    return cand.orderBy("h").limit(int(k))
+
+
+def _kmv_estimate(n_kept_col: str, kth_col: str, k: int):
+    """BIGINT estimator: exact count while the sketch is not full,
+    (k-1)*2^48 DIV h_k once it is (integer division — both engines
+    truncate identically for positive BIGINTs)."""
+    num = (k - 1) * KMV_SPACE
+    return F.when(
+        F.col(n_kept_col) < k, F.col(n_kept_col).cast("long")
+    ).otherwise(
+        F.expr(f"{num}L DIV greatest({kth_col}, 1L)").cast("long")
+    )
+
+
+def kmv_distinct(items: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """ONE row ``(n_kept, k, estimate)`` — the sketch summary. While
+    fewer than k distinct hashes exist the estimate IS the exact
+    distinct-hash count; at k it switches to the bottom-k estimator."""
+    agg = kmv_bottomk(items, col, k).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("__kth"),
+    )
+    return agg.select(
+        "n_kept",
+        F.lit(int(k)).cast("long").alias("k"),
+        _kmv_estimate("n_kept", "__kth", int(k)).alias("estimate"),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union two sketches' rows and re-cut to bottom-k — the mergeable
+    contract: merge(sketch(A), sketch(B)) == sketch(A union B) exactly
+    (set semantics; pytest-pinned)."""
+    return (
+        a.select("h")
+        .unionByName(b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+    )
+
+
+def kmv_distinct_sql(items_sql: str, expr: str, k: int = KMV_K) -> str:
+    """DuckDB twin of ``kmv_distinct`` — bit-identical hashes, cut and
+    integer estimator (no partition trick needed: the global DISTINCT
+    ORDER BY LIMIT k is definitionally the same set)."""
+    num = (int(k) - 1) * KMV_SPACE
+    return f"""
+WITH items AS ({items_sql}),
+bottom AS (
+  SELECT DISTINCT {kmv_hash_sql(expr)} AS h FROM items
+  ORDER BY h LIMIT {int(k)}
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth FROM bottom
+)
+SELECT n_kept, CAST({int(k)} AS BIGINT) AS k,
+       CASE WHEN n_kept < {int(k)} THEN n_kept
+            ELSE {num} // greatest(kth, 1) END AS estimate
+FROM agg
+"""
+
+
+def kmv_error_audit(
+    items: DataFrame, col: str, k: int = KMV_K
+) -> DataFrame:
+    """ONE row ``(estimate, exact, rel_err)`` — the sketch graded
+    against the exact distinct count (the price_quantile_error_audit
+    discipline: approximation error is a measured number). Expected
+    relative error ~1/sqrt(k-2) (~3% at k=1024)."""
+    est = kmv_distinct(items, col, k).select("estimate")
+    exact = items.agg(
+        F.count_distinct(F.col(col)).cast("long").alias("exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "estimate",
+        "exact",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact")).cast("double")
+            / F.col("exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def kmv_error_audit_sql(items_sql: str, expr: str, k: int = KMV_K) -> str:
+    return f"""
+WITH est AS ({kmv_distinct_sql(items_sql, expr, k)}),
+ex AS (
+  SELECT CAST(count(DISTINCT {expr}) AS BIGINT) AS exact
+  FROM ({items_sql})
+)
+SELECT est.estimate, ex.exact,
+       round(CAST(abs(est.estimate - ex.exact) AS DOUBLE)
+             / CAST(ex.exact AS DOUBLE), 6) AS rel_err
+FROM est, ex
+"""
