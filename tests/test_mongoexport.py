@@ -1,0 +1,138 @@
+"""mongoexport Extended JSON ingestion (round 14): wrapper unwrapping
+for every v2 type form, nesting through structs/arrays, pass-through of
+plain values, and the shuffle-free projection plan."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from nosql_to_sql_migration_tool_spark.sources.mongoexport import (
+    read_mongoexport,
+)
+
+
+def _write_dump(tmp_path, lines):
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+    return str(p)
+
+
+def test_all_wrapper_forms_unwrap(spark, tmp_path):
+    path = _write_dump(
+        tmp_path,
+        [
+            {
+                "_id": {"$oid": "64b2f0c8e4b0a1b2c3d4e5f6"},
+                "created": {"$date": "2023-07-15T12:30:00Z"},
+                "updated": {"$date": {"$numberLong": "1689424200123"}},
+                "count": {"$numberLong": "9007199254740993"},
+                "small": {"$numberInt": "42"},
+                "ratio": {"$numberDouble": "2.5"},
+                "price": {"$numberDecimal": "19.99"},
+                "name": "alice",
+                "plain": 7,
+            }
+        ],
+    )
+    row = read_mongoexport(spark, path).collect()[0]
+    assert row["_id"] == "64b2f0c8e4b0a1b2c3d4e5f6"
+    assert row["created"] == datetime.datetime(2023, 7, 15, 12, 30)
+    assert row["updated"] == datetime.datetime(
+        2023, 7, 15, 12, 30, 0, 123000
+    )
+    assert row["count"] == 9007199254740993  # > 2^53: long, not double
+    assert row["small"] == 42
+    assert row["ratio"] == 2.5
+    assert float(row["price"]) == 19.99
+    assert row["name"] == "alice" and row["plain"] == 7
+
+
+def test_nested_structs_and_arrays_unwrap(spark, tmp_path):
+    path = _write_dump(
+        tmp_path,
+        [
+            {
+                "meta": {
+                    "owner": {"$oid": "aaaaaaaaaaaaaaaaaaaaaaaa"},
+                    "tags": ["x", "y"],
+                    "weights": [{"$numberLong": "1"}, {"$numberLong": "2"}],
+                },
+                "refs": [
+                    {"rid": {"$oid": "bbbbbbbbbbbbbbbbbbbbbbbb"}, "n": 1},
+                ],
+            }
+        ],
+    )
+    row = read_mongoexport(spark, path).collect()[0]
+    assert row["meta"]["owner"] == "aaaaaaaaaaaaaaaaaaaaaaaa"
+    assert row["meta"]["tags"] == ["x", "y"]
+    assert row["meta"]["weights"] == [1, 2]
+    assert row["refs"][0]["rid"] == "bbbbbbbbbbbbbbbbbbbbbbbb"
+    assert row["refs"][0]["n"] == 1
+
+
+def test_plain_structs_pass_through(spark, tmp_path):
+    """A user struct that is NOT a wrapper (two fields, or one field
+    not in the wrapper set) must survive untouched."""
+    path = _write_dump(
+        tmp_path,
+        [
+            {
+                "addr": {"city": "x", "zip": "9"},
+                "single": {"note": "keep"},
+            }
+        ],
+    )
+    row = read_mongoexport(spark, path).collect()[0]
+    assert row["addr"]["city"] == "x" and row["addr"]["zip"] == "9"
+    assert row["single"]["note"] == "keep"
+
+
+def test_unwrap_plan_is_projection_only(spark, tmp_path):
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        python_stage_count,
+    )
+
+    path = _write_dump(
+        tmp_path,
+        [
+            {"_id": {"$oid": "cc" * 12}, "n": {"$numberLong": str(i)}}
+            for i in range(50)
+        ],
+    )
+    df = read_mongoexport(spark, path)
+    assert cartesian_products(df) == 0
+    assert python_stage_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_feeds_the_normalize_pipeline(spark, tmp_path):
+    """The promise of the module: an exported collection flows into the
+    SAME schema-inference machinery a live collection would."""
+    from nosql_to_sql_migration_tool_spark.operators.infer import (
+        infer_schema,
+    )
+
+    path = _write_dump(
+        tmp_path,
+        [
+            {"_id": {"$oid": "ab" * 12}, "qty": {"$numberLong": "5"},
+             "name": "n1"},
+            {"_id": {"$oid": "cd" * 12}, "qty": {"$numberLong": "7"},
+             "name": "n2"},
+        ],
+    )
+    from pyspark.sql import functions as F
+
+    df = read_mongoexport(spark, path)
+    json_form = df.select(
+        F.crc32(F.col("_id")).cast("long").alias("id"),
+        F.to_json(F.struct(*df.columns)).alias("doc"),
+    )
+    inferred = {
+        r["path"]: r for r in infer_schema(json_form, "doc", "id").collect()
+    }
+    assert "_id" in inferred and "qty" in inferred and "name" in inferred
