@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_mongoexport", "unwrap_extended_json", "decode_ext_column"]
+__all__ = [
+    "read_mongoexport",
+    "unwrap_extended_json",
+    "decode_ext_column",
+    "write_mongoexport_dump",
+]
 
 
 def _is_wrapper(schema: T.StructType) -> str | None:
@@ -97,3 +102,48 @@ def read_mongoexport(spark: SparkSession, path: str) -> DataFrame:
     """A mongoexport JSONL dump as a typed DataFrame: distributed
     line-split JSON read, then the Extended JSON unwrap projection."""
     return unwrap_extended_json(spark.read.json(path))
+
+
+def write_mongoexport_dump(
+    df: DataFrame,
+    path: str,
+    oid_col: str,
+    long_cols: tuple[str, ...] = (),
+    date_cols: tuple[str, ...] = (),
+) -> None:
+    """Write a frame AS a mongoexport-style Extended JSON dump — the
+    export twin of ``read_mongoexport`` (and the test/benchmark fixture
+    generator: a round trip through the dump must reproduce the source
+    rows). ``oid_col`` becomes ``_id: {"$oid": md5-derived 24-hex}``
+    (deterministic — a pure function of the key, so an oracle can
+    re-derive it); ``long_cols`` wrap as ``{"$numberLong": "..."}``,
+    ``date_cols`` as ISO ``{"$date": ...}``; everything else stays a
+    plain JSON value. One narrow projection + a text write — shard
+    parallel, no shuffle."""
+    wrapped = [
+        F.struct(
+            F.substring(F.md5(F.col(oid_col).cast("string")), 1, 24).alias(
+                "$oid"
+            )
+        ).alias("_id")
+    ]
+    for c in df.columns:
+        if c == oid_col:
+            wrapped.append(
+                F.struct(F.col(c).cast("string").alias("$numberLong")).alias(c)
+            )
+        elif c in long_cols:
+            wrapped.append(
+                F.struct(F.col(c).cast("string").alias("$numberLong")).alias(c)
+            )
+        elif c in date_cols:
+            wrapped.append(
+                F.struct(
+                    F.date_format(
+                        F.col(c), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                    ).alias("$date")
+                ).alias(c)
+            )
+        else:
+            wrapped.append(F.col(c).alias(c))
+    df.select(*wrapped).write.mode("overwrite").json(path)

@@ -136,3 +136,43 @@ def test_feeds_the_normalize_pipeline(spark, tmp_path):
         r["path"]: r for r in infer_schema(json_form, "doc", "id").collect()
     }
     assert "_id" in inferred and "qty" in inferred and "name" in inferred
+
+
+def test_dump_roundtrip_on_customer_fixture(spark, tmp_path):
+    """The r15-queue registration shape: customer written as an
+    Extended JSON dump (deterministic md5 $oid, $numberLong keys,
+    plain values), read back through the unwrap — the round trip
+    reproduces the source rows exactly, and _id is re-derivable by an
+    oracle (md5 prefix of the key)."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.sources.mongoexport import (
+        write_mongoexport_dump,
+    )
+    from nosql_to_sql_migration_tool_spark.sources.registry import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = str(tmp_path / "customer_dump")
+    write_mongoexport_dump(
+        customer, path, oid_col="c_custkey", long_cols=()
+    )
+    back = read_mongoexport(spark, path)
+    got = {
+        (r["c_custkey"], r["c_name"], r["c_acctbal"], r["c_mktsegment"])
+        for r in back.collect()
+    }
+    want = {tuple(r) for r in customer.collect()}
+    assert got == want and len(got) > 0
+    # the $oid is the documented pure function of the key
+    one = back.select(
+        "_id",
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string")), 1, 24
+        ).alias("expect"),
+    ).collect()
+    assert all(r["_id"] == r["expect"] for r in one)
