@@ -916,3 +916,53 @@ SELECT est.estimate, ex.exact,
              / CAST(ex.exact AS DOUBLE), 6) AS rel_err
 FROM est, ex
 """
+
+
+def update_kmv_sketch(
+    items: DataFrame,
+    store_path: str,
+    batch_id: int = 0,
+    col: str = "token",
+    k: int = KMV_K,
+) -> None:
+    """Fold one batch into a persisted bottom-k store — the mergeable
+    form (sketch rows union by SET semantics, so the reader's re-cut
+    of all batch partitions EQUALS the one-shot whole-stream sketch —
+    the update_lc_index discipline). batch_id-keyed dynamic-partition
+    overwrite: a replayed batch rewrites its own partition with
+    identical rows; duplicate hashes across batches are harmless (the
+    read is DISTINCT before the cut). Each batch partition holds at
+    most k longs — the store stays metadata-sized forever."""
+    (
+        kmv_bottomk(items, col, k)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def read_kmv(
+    spark: SparkSession, store_path: str, k: int = KMV_K
+) -> DataFrame:
+    """Current sketch summary of everything ever folded: distinct
+    hashes across all batch partitions, re-cut to bottom-k -> the same
+    one-row shape as ``kmv_distinct`` (bit-equal to the one-shot
+    whole-stream sketch — pytest-pinned)."""
+    agg = (
+        spark.read.parquet(store_path)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").alias("__kth"),
+        )
+    )
+    return agg.select(
+        "n_kept",
+        F.lit(int(k)).cast("long").alias("k"),
+        _kmv_estimate("n_kept", "__kth", int(k)).alias("estimate"),
+    )

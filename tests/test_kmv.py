@@ -121,3 +121,29 @@ def test_plan_is_bounded_two_phase(spark):
     assert global_windows(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+
+
+def test_persisted_store_equals_one_shot(spark, tmp_path):
+    """The mergeable contract in its persisted form: fold three batches
+    into a store, and the read-back summary is BIT-EQUAL to the
+    one-shot whole-stream sketch; replaying a batch changes nothing."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        read_kmv,
+        update_kmv_sketch,
+    )
+
+    rows = spark.createDataFrame([(i,) for i in range(900)], ["v"])
+    path = str(tmp_path / "kmv_store")
+    k = 128
+    for b in range(3):
+        update_kmv_sketch(
+            rows.filter(F.col("v") % 3 == b), path, batch_id=b,
+            col="v", k=k,
+        )
+    got = tuple(read_kmv(spark, path, k).collect()[0])
+    want = tuple(kmv_distinct(rows, "v", k).collect()[0])
+    assert got == want
+    update_kmv_sketch(  # replay batch 1 — idempotent
+        rows.filter(F.col("v") % 3 == 1), path, batch_id=1, col="v", k=k
+    )
+    assert tuple(read_kmv(spark, path, k).collect()[0]) == want
