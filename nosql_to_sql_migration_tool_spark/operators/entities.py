@@ -11,10 +11,16 @@ Determinism contract: the span pattern uses the Java-regex/RE2 common
 subset (character classes, a non-capturing group, no lookaround); the
 top-k orders by (count DESC, entity ASC) — fully deterministic ties.
 
-Scale shape: ``entity_spans`` is a narrow shuffle-free projection;
-``entity_counts`` adds ONE combinable groupBy on the span (map-side
-partial counts) and plans its top-k as TakeOrdered — the corpus-scan
-floor, like token_frequencies.
+Scale shape (stated precisely — ADVICE r14): ``entity_spans`` is a
+narrow shuffle-free projection; ``entity_counts`` groups by the span,
+and because it reports ``n_docs = count_distinct(doc_id)`` the
+aggregate plans as the standard TWO-shuffle partial-distinct expansion
+(expand on (entity, doc_id), then fold to entity) — one shuffle more
+than token_frequencies' pure-count floor, the honest price of the
+distinct-doc reach column. Both shuffles are combinable map-side and
+key on the span; the top-k plans as TakeOrdered. Approximating n_docs
+(e.g. a KMV per entity) would buy back the shuffle if the single-pass
+shape ever matters.
 
 Reference analogue: none (the migration tool moves values verbatim);
 extends the SURVEY §2C text-analysis family.
@@ -53,8 +59,10 @@ def entity_counts(
 ) -> DataFrame:
     """Top-k corpus entities ``(entity, n_docs, n_occurrences)`` —
     n_docs is the distinct-doc reach (the decontamination blast
-    radius), n_occurrences the raw count. One combinable groupBy on the
-    span; the top-k plans as TakeOrdered (count DESC, entity ASC)."""
+    radius), n_occurrences the raw count. Plans as the two-shuffle
+    partial-distinct expansion (see module header — the cost of the
+    exact n_docs column); the top-k plans as TakeOrdered (count DESC,
+    entity ASC)."""
     spans = entity_spans(df, text_col, id_col)
     counts = spans.groupBy("entity").agg(
         F.count_distinct("doc_id").cast("long").alias("n_docs"),

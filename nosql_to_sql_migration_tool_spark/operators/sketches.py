@@ -13,6 +13,7 @@ union == whole-dataset sketch (the property that makes them scale).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
@@ -777,13 +778,28 @@ FROM __pick p JOIN __mm m ON p.grp = m.grp
 # bit-identically (Beyer et al., SIGMOD'07). 48 bits (12 md5 hex
 # chars) keeps (k-1) * 2^48 inside BIGINT for k <= 32768.
 #
-# Scale shape: phase 1 folds each input partition to its own bottom-k
-# distinct hashes map-side (one row per partition, never the values);
-# the single exchange carries <= k rows per partition; phase 2 re-cuts
-# the <= k*P candidates with a TakeOrdered. The global bottom-k of a
-# SET is always contained in the union of per-partition bottom-ks, so
-# the two-phase cut is exact, and the result is partition-layout
-# invariant (pytest-pinned).
+# Scale shape (corrected per ADVICE r14 — the earlier
+# groupBy(spark_partition_id).collect_set form shipped each partition's
+# FULL distinct set inside ONE unspillable array buffer): the cut is now
+# hash DISTINCT -> TakeOrdered. The distinct's partial hash aggregate
+# dedupes map-side with PER-KEY-bounded, spill-to-disk buffers (the
+# standard exact-distinct shape — never an O(partition-distinct) array
+# in memory), and its one exchange carries each partition's distinct
+# hashes as plain spillable rows — O(distinct), not bounded by k; that
+# is the honest cost of an exact distinct cut without a Python stage.
+# The final bottom-k then plans as TakeOrdered, whose map-side cut
+# ships only k rows per post-shuffle partition. Executor memory is
+# bounded at any cardinality; shuffle volume is one long per distinct
+# value (8 bytes/key — ~100x smaller than the count_distinct the
+# sketch replaces runs on raw values).
+#
+# Cross-engine hash parity (ADVICE r14): kmv_hash feeds the value
+# through CAST(x AS STRING/VARCHAR), which renders identically across
+# Spark and DuckDB for strings, integers, booleans and dates but NOT
+# for doubles (scientific notation), decimals (trailing zeros) or
+# timestamps (fraction rendering) — kmv_bottomk therefore REJECTS
+# those types; canonicalize to string/long first (linkage's _canon
+# pattern) when sketching them.
 # ---------------------------------------------------------------------------
 
 KMV_K = 1024
@@ -792,10 +808,38 @@ KMV_SPACE = 1 << 48
 
 def kmv_hash(item):
     """48-bit md5 hash of a value — the house md5 integer convention
-    (12 hex chars so estimator arithmetic stays in BIGINT)."""
+    (12 hex chars so estimator arithmetic stays in BIGINT). Bit-equal
+    across engines ONLY for types whose string rendering matches
+    (string / integral / boolean / date — enforced by the
+    ``kmv_bottomk`` type gate); see the header's parity note."""
     return F.conv(
         F.substring(F.md5(item.cast("string")), 1, 12), 16, 10
     ).cast("long")
+
+
+# Types whose CAST-to-string renders identically in Spark and DuckDB —
+# the precondition for the cross-engine sketch contract (ADVICE r14).
+_KMV_SAFE_TYPES = (
+    T.StringType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.BooleanType,
+    T.DateType,
+)
+
+
+def _require_kmv_safe(items: DataFrame, col: str) -> None:
+    dt = items.schema[col].dataType
+    if not isinstance(dt, _KMV_SAFE_TYPES):
+        raise TypeError(
+            f"kmv: column {col!r} has type {dt.simpleString()}, whose "
+            "string rendering is not bit-stable across engines "
+            "(doubles render scientific notation, decimals/timestamps "
+            "differ in fraction form) — cast/canonicalize it to "
+            "string or long first"
+        )
 
 
 def kmv_hash_sql(expr: str) -> str:
@@ -808,16 +852,14 @@ def kmv_hash_sql(expr: str) -> str:
 def kmv_bottomk(items: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
     """The k smallest distinct hashes as rows ``(h)`` — the sketch's
     relational form (callers aggregate or persist it; it is at most k
-    rows). Phase 1: per input partition, that partition's bottom-k
-    distinct hashes (map-side collect_set + sort + slice — one row per
-    partition crosses the wire). Phase 2: TakeOrdered over the <= k*P
-    candidates."""
-    per_part = (
-        items.select(kmv_hash(F.col(col)).alias("h"))
-        .groupBy(F.spark_partition_id().alias("__p"))
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, int(k)).alias("__hs"))
-    )
-    cand = per_part.select(F.explode("__hs").alias("h")).distinct()
+    rows). Plan (ADVICE r14 rewrite): hash DISTINCT on the 8-byte hash
+    (partial aggregate dedupes map-side with per-key-bounded spillable
+    buffers; its ONE exchange carries each partition's distinct hashes
+    as plain rows), then the bottom-k plans as TakeOrdered — a map-side
+    cut shipping only k rows per post-shuffle partition. Input type is
+    gated to the cross-engine-stable renderings (see header)."""
+    _require_kmv_safe(items, col)
+    cand = items.select(kmv_hash(F.col(col)).alias("h")).distinct()
     return cand.orderBy("h").limit(int(k))
 
 

@@ -117,9 +117,14 @@ def write_mongoexport_dump(
     rows). ``oid_col`` becomes ``_id: {"$oid": md5-derived 24-hex}``
     (deterministic — a pure function of the key, so an oracle can
     re-derive it); ``long_cols`` wrap as ``{"$numberLong": "..."}``,
-    ``date_cols`` as ISO ``{"$date": ...}``; everything else stays a
-    plain JSON value. One narrow projection + a text write — shard
-    parallel, no shuffle."""
+    ``date_cols`` as ISO ``{"$date": ...}`` with millisecond precision
+    (``.SSS`` — ADVICE r14: the second-granular form silently truncated
+    sub-second timestamps the read path supports); everything else
+    stays a plain JSON value. The hardcoded ``'Z'`` suffix is correct
+    because session.py pins ``spark.sql.session.timeZone=UTC`` — a
+    non-UTC session would render local wall-clock digits under a Z
+    label (documented dependency, pytest-pinned). One narrow projection
+    + a text write — shard parallel, no shuffle."""
     wrapped = [
         F.struct(
             F.substring(F.md5(F.col(oid_col).cast("string")), 1, 24).alias(
@@ -140,7 +145,7 @@ def write_mongoexport_dump(
             wrapped.append(
                 F.struct(
                     F.date_format(
-                        F.col(c), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                        F.col(c), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
                     ).alias("$date")
                 ).alias(c)
             )

@@ -74,3 +74,8 @@ def test_entity_counts_plan_is_takeordered_scan(spark):
     assert global_windows(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+    # ADVICE r14: the exact count_distinct(doc_id) column costs the
+    # standard TWO-shuffle partial-distinct expansion — pin it so the
+    # docstring's stated shape stays honest (a third shuffle would be
+    # a regression; one would mean the distinct silently vanished).
+    assert plan.count("Exchange hashpartitioning") == 2

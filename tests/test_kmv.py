@@ -121,6 +121,28 @@ def test_plan_is_bounded_two_phase(spark):
     assert global_windows(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+    # ADVICE r14 regression: the cut must be a spillable hash DISTINCT
+    # + TakeOrdered — never a collect_set whose single array buffer
+    # (and exchange row) grows with the partition's distinct count.
+    assert "collect_set" not in plan
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_type_gate_rejects_unstable_renderings(spark):
+    """ADVICE r14: double/decimal/timestamp string renderings differ
+    across engines — the sketch must refuse them loudly."""
+    import pytest
+
+    ok = spark.createDataFrame([(1, "a", True)], "i long, s string, b boolean")
+    for c in ("i", "s", "b"):
+        assert kmv_distinct(ok, c, k=8).collect()[0]["estimate"] == 1
+    bad = spark.sql(
+        "SELECT CAST(1.5 AS DOUBLE) AS d, CAST(1.5 AS DECIMAL(10,2)) AS dec, "
+        "CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS ts"
+    )
+    for c in ("d", "dec", "ts"):
+        with pytest.raises(TypeError, match="not bit-stable"):
+            kmv_bottomk(bad, c, k=8)
 
 
 def test_persisted_store_equals_one_shot(spark, tmp_path):

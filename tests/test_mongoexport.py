@@ -176,3 +176,26 @@ def test_dump_roundtrip_on_customer_fixture(spark, tmp_path):
         ).alias("expect"),
     ).collect()
     assert all(r["_id"] == r["expect"] for r in one)
+
+
+def test_dump_roundtrip_preserves_timestamp_millis(spark, tmp_path):
+    """ADVICE r14 regression: $date must carry sub-second precision —
+    the second-granular format silently truncated millis the read path
+    supports. (UTC rendering is the session.py pin; asserted here so a
+    config drift fails loudly.)"""
+    import datetime
+
+    from nosql_to_sql_migration_tool_spark.sources.mongoexport import (
+        write_mongoexport_dump,
+    )
+
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    ts = datetime.datetime(2023, 7, 15, 12, 30, 5, 123000)
+    df = spark.createDataFrame([(1, ts)], "k long, created timestamp")
+    path = str(tmp_path / "ts_dump")
+    write_mongoexport_dump(df, path, oid_col="k", date_cols=("created",))
+    row = read_mongoexport(spark, path).collect()[0]
+    assert row["created"] == ts  # millis survive the round trip
+    raw = spark.read.text(path).collect()
+    assert any('"$date":"2023-07-15T12:30:05.123Z"' in r["value"]
+               for r in raw)
