@@ -24,7 +24,6 @@ trigger) lives in ``streaming/cdc_stream.py``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.utils import AnalysisException
 
 from nosql_to_sql_migration_tool_spark.functions.hashing import row_hash, scalar_columns
 
@@ -41,10 +40,9 @@ def load_state(spark: SparkSession, path: str) -> DataFrame | None:
     """Load persisted sync state; ``None`` (missing/unreadable state)
     means the caller falls back to a full sync — the reference's
     corrupt-state fallback (Get-SyncState, Sync.ps1:296-329)."""
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
+
+    return try_read_parquet(spark, path)
 
 
 def with_row_hash(

@@ -541,11 +541,10 @@ def compact_lc_index(
     """Fold committed batches' buckets into the reserved ``batch_id=-1``
     partition, bounding the store at <= m rows (+ preserved unsafe
     batches) — same crash-window gate as the rollup/CMS compactions."""
-    from pyspark.sql.utils import AnalysisException
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
 
-    try:
-        parts = spark.read.parquet(index_path)
-    except AnalysisException:
+    parts = try_read_parquet(spark, index_path)
+    if parts is None:
         return
     if max_safe_batch_id is not None:
         safe_pred = (F.col("batch_id") == -1) | (

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
-from pyspark.sql.utils import AnalysisException
+from nosql_to_sql_migration_tool_spark.hadoop_fs import path_exists
 
 from nosql_to_sql_migration_tool_spark.operators.cdc import (
     apply_changes_to_path,
@@ -57,11 +57,7 @@ def stream_sync(
         diff, new_state = sync(batch_df, state, key)
         # materialize before overwriting the paths these plans read
         new_state_rows = new_state.localCheckpoint(eager=True)
-        try:
-            spark.read.parquet(target_path)
-            target_exists = True
-        except AnalysisException:
-            target_exists = False
+        target_exists = path_exists(spark, target_path)
         if target_exists:
             apply_changes_to_path(
                 spark, target_path, diff, key, partition_col

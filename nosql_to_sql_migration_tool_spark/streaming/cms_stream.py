@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
+from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
 
 from nosql_to_sql_migration_tool_spark.operators.sketches import (
     CMS_DEPTH,
@@ -90,9 +90,8 @@ def compact_cms_partials(
     stream. Static overwrite per the rollup's compaction lesson — under
     a session-level dynamic mode, a plain overwrite would leave folded
     batches' old partitions alive and double-count every fold."""
-    try:
-        parts = spark.read.parquet(cms_path)
-    except AnalysisException:
+    parts = try_read_parquet(spark, cms_path)
+    if parts is None:
         return
     if max_safe_batch_id is not None:
         safe_pred = (F.col("batch_id") == -1) | (

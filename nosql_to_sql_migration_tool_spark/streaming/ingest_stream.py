@@ -48,7 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
+from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
 
 from nosql_to_sql_migration_tool_spark.operators.dedup import (
     ingest_near_dup_flags,
@@ -173,10 +173,10 @@ def _bootstrap_ledger(
     prior = None
     for path in sink_paths:
         _migrate_legacy_sink(spark, path)
-        try:
-            part = spark.read.parquet(path).select(id_col, "batch_id")
-        except AnalysisException:
+        part = try_read_parquet(spark, path)
+        if part is None:
             continue
+        part = part.select(id_col, "batch_id")
         prior = part if prior is None else prior.unionByName(part)
     if prior is not None:
         prior = prior.distinct().localCheckpoint(eager=True)
@@ -226,10 +226,10 @@ def _replay_partition(
       replayed probe sees the corpus exactly as the first delivery
       did."""
     spark = batch_df.sparkSession
-    prior = None
-    try:
-        prior = spark.read.parquet(ledger_path).select(id_col, "batch_id")
-    except AnalysisException:
+    prior = try_read_parquet(spark, ledger_path)
+    if prior is not None:
+        prior = prior.select(id_col, "batch_id")
+    else:
         # bootstrap from pre-ledger sinks (upgrade path), persisted so
         # this full scan happens at most once per deployment; the same
         # branch migrates any legacy UNPARTITIONED sink to the
@@ -280,9 +280,8 @@ def compact_ingest_ledger(
     path = ledger_path if ledger_path is not None else _ledger_path(
         accepted_path
     )
-    try:
-        parts = spark.read.parquet(path)
-    except AnalysisException:
+    parts = try_read_parquet(spark, path)
+    if parts is None:
         return
     if max_safe_batch_id is not None:
         safe_pred = (F.col("batch_id") == -1) | (
@@ -354,27 +353,22 @@ def gate_batch(
     # exclusions are no-ops against not-yet-mutated state — verdicts
     # replay bit-identically from any crash point
     _ledger_append(batch_df.select(id_col), ledger, batch_id)
-    try:
-        buckets = spark.read.parquet(index_path).select(
-            "band_idx", "band_hash", id_col
-        )
+    buckets = try_read_parquet(spark, index_path)
+    if buckets is not None:
+        buckets = buckets.select("band_idx", "band_hash", id_col)
         if replayed_ids is not None:
             buckets = buckets.join(replayed_ids, id_col, "left_anti")
-    except AnalysisException:
-        buckets = None
     # corpus text for the verify step = original corpus + every
     # previously ACCEPTED doc (their buckets are in the index, so
     # their text must be joinable for candidates) — minus TRUE-replay
     # ids only (their text is already in accepted_path from the
     # crashed first delivery)
     verify_side = corpus.select(id_col, text_col)
-    try:
-        accepted_prior = spark.read.parquet(accepted_path).select(
-            id_col, text_col
+    accepted_prior = try_read_parquet(spark, accepted_path)
+    if accepted_prior is not None:
+        verify_side = verify_side.unionByName(
+            accepted_prior.select(id_col, text_col)
         )
-        verify_side = verify_side.unionByName(accepted_prior)
-    except AnalysisException:
-        pass
     # dropDuplicates: replayed appends leave duplicate accepted rows,
     # which would double-count n_cand through the verify join
     if replayed_ids is not None:
@@ -440,22 +434,17 @@ def gate_embedding_batch(
     if batch_df.isEmpty():
         return
     _ledger_append(batch_df.select(id_col), ledger, batch_id)
-    try:
-        bands = spark.read.parquet(index_path).select(
-            "band_idx", "band_val", id_col
-        )
+    bands = try_read_parquet(spark, index_path)
+    if bands is not None:
+        bands = bands.select("band_idx", "band_val", id_col)
         if replayed_ids is not None:
             bands = bands.join(replayed_ids, id_col, "left_anti")
-    except AnalysisException:
-        bands = None
     verify_side = corpus.select(id_col, vec_col)
-    try:
-        accepted_prior = spark.read.parquet(accepted_path).select(
-            id_col, vec_col
+    accepted_prior = try_read_parquet(spark, accepted_path)
+    if accepted_prior is not None:
+        verify_side = verify_side.unionByName(
+            accepted_prior.select(id_col, vec_col)
         )
-        verify_side = verify_side.unionByName(accepted_prior)
-    except AnalysisException:
-        pass
     if replayed_ids is not None:
         verify_side = verify_side.join(replayed_ids, id_col, "left_anti")
     verify_side = verify_side.dropDuplicates([id_col])
@@ -534,9 +523,8 @@ def _takedown_sink(
     are read in full, anti-joined and dynamically overwritten — the
     rest of the sink is untouched bytes. Returns the number of rows
     removed."""
-    try:
-        sink = spark.read.parquet(sink_path)
-    except AnalysisException:
+    sink = try_read_parquet(spark, sink_path)
+    if sink is None:
         return 0
     # hit partitions stay a DataFrame (VERDICT r10 #7): an isin over a
     # collected literal list grew with the number of touched batches;
@@ -647,25 +635,20 @@ def takedown_docs(
     old root-level files while adding partition dirs."""
     ids = ids.select(id_col).distinct().localCheckpoint(eager=True)
     ledger = _ledger_path(accepted_path)
-    try:
-        spark.read.parquet(ledger)
-    except AnalysisException:
+    if try_read_parquet(spark, ledger) is None:
         _bootstrap_ledger(
             spark, (accepted_path, quarantine_path), id_col, ledger
         )
     if not purge_ledger:
         tombs = ids.withColumn("batch_id", F.lit(-2))
-        try:
-            prior = (
-                spark.read.parquet(ledger)
-                .filter(F.col("batch_id") == -2)
-                .select(id_col, "batch_id")
+        ledger_rows = try_read_parquet(spark, ledger)
+        if ledger_rows is not None:
+            prior = ledger_rows.filter(F.col("batch_id") == -2).select(
+                id_col, "batch_id"
             )
             tombs = tombs.unionByName(prior).distinct().localCheckpoint(
                 eager=True
             )
-        except AnalysisException:
-            pass
         (
             tombs.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -679,9 +662,8 @@ def takedown_docs(
     }
     if purge_ledger:
         out["ledger"] = _takedown_sink(spark, ledger, ids, id_col)
-    try:
-        index = spark.read.parquet(index_path)
-    except AnalysisException:
+    index = try_read_parquet(spark, index_path)
+    if index is None:
         return out
     kept = index.join(ids, id_col, "left_anti").localCheckpoint(eager=True)
     out["index"] = index.count() - kept.count()
@@ -746,10 +728,8 @@ def takedown_audit(
     ids = ids.select(id_col).distinct()
 
     def _read(path: str, *cols: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(path).select(*cols)
-        except AnalysisException:
-            return None
+        df = try_read_parquet(spark, path)
+        return None if df is None else df.select(*cols)
 
     def _row(name: str, df: DataFrame | None, agg=None) -> DataFrame:
         if df is None:
@@ -851,9 +831,8 @@ def _compact_store(
     """Shared compaction body: distinct over ALL columns, static
     partition-preserving overwrite. Returns before/after row counts
     ({'before': 0, 'after': 0} when the store does not exist)."""
-    try:
-        rows = spark.read.parquet(path)
-    except AnalysisException:
+    rows = try_read_parquet(spark, path)
+    if rows is None:
         return {"before": 0, "after": 0}
     before = rows.count()
     deduped = rows.distinct().localCheckpoint(eager=True)

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import DecimalType
-from pyspark.sql.utils import AnalysisException
+from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
 
 HOUR_FMT = "yyyy-MM-dd-HH"
 PARTIALS_DIR = ".__partials"
@@ -172,9 +172,8 @@ def compact_partials(
     is only safe when no stream is attached or the stream is known
     cleanly stopped (no pending replay)."""
     ppath = _partials_path(rollup_path)
-    try:
-        parts = spark.read.parquet(ppath)
-    except AnalysisException:
+    parts = try_read_parquet(spark, ppath)
+    if parts is None:
         return
     if hours is not None:
         parts = parts.filter(F.col("hour_key").isin(hours))

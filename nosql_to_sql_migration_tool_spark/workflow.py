@@ -22,7 +22,6 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.utils import AnalysisException
 
 from nosql_to_sql_migration_tool_spark.operators.cdc import (
     apply_changes_to_path,
@@ -210,11 +209,9 @@ def incremental_migration(
     target_path = os.path.join(output_dir, f"{table_name}.parquet")
     state_path = os.path.join(output_dir, f"sync_state_{table_name}")
 
-    try:
-        spark.read.parquet(target_path)
-        target_exists = True
-    except AnalysisException:
-        target_exists = False
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import path_exists
+
+    target_exists = path_exists(spark, target_path)
 
     if not target_exists:
         report = MigrationReport(table_name, "InitialLoad")
