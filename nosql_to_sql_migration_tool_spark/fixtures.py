@@ -558,3 +558,39 @@ FROM (
   )
 )
 """
+
+
+# Hex digits whose presence as md5(token)[0] TitleCases the token — a
+# per-TYPE (not per-position) rule, so both engines case the exact same
+# words and adjacent cased words form deterministic multi-word spans.
+TITLECASE_HEX = ("0", "1", "2", "3", "4", "5")
+
+
+def titlecased_documents(documents: DataFrame) -> DataFrame:
+    """Entity-mining fixture: the documents corpus with a deterministic
+    ~37% of token TYPES TitleCased (md5(token) first hex in
+    ``TITLECASE_HEX``). The driver corpus is all-lowercase by
+    construction, so capitalized-span extraction over it is vacuous;
+    this per-type rule is engine-replayable (same md5, same casing) and
+    produces genuine multi-word spans wherever two cased types are
+    adjacent. Pure per-row expression — no shuffle, no explode."""
+    cased = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.when(
+            F.substring(F.md5(t), 1, 1).isin(*TITLECASE_HEX),
+            F.concat(F.upper(t.substr(1, 1)), t.substr(F.lit(2), F.length(t))),
+        ).otherwise(t),
+    )
+    return documents.select(
+        "doc_id", F.array_join(cased, " ").alias("text")
+    )
+
+
+TITLECASED_DOCUMENTS_SQL = f"""
+SELECT doc_id,
+       array_to_string(list_transform(string_split(text, ' '),
+         t -> CASE WHEN substr(md5(t), 1, 1) IN {TITLECASE_HEX!r}
+                   THEN upper(substr(t, 1, 1)) || substr(t, 2)
+                   ELSE t END), ' ') AS text
+FROM documents
+"""

@@ -35,8 +35,17 @@ def test_entity_spans_hand_semantics(spark):
 
 
 def test_entity_counts_topk_and_parity(spark):
-    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
-        "doc_id", "text"
+    """Parity over the TitleCase fixture — the registered
+    configuration. The raw driver corpus is all-lowercase, so parity
+    over it would pass vacuously on two empty lists (the r15 lesson:
+    entity_counts over raw documents returned 0 rows)."""
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        TITLECASED_DOCUMENTS_SQL,
+        titlecased_documents,
+    )
+
+    docs = titlecased_documents(
+        load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
     )
     mine = [tuple(r) for r in entity_counts(docs, k=20).collect()]
     con = duckdb.connect()
@@ -47,11 +56,12 @@ def test_entity_counts_topk_and_parity(spark):
     want = [
         tuple(r)
         for r in con.execute(
-            entity_counts_sql("SELECT doc_id, text FROM documents", k=20)
+            entity_counts_sql(f"({TITLECASED_DOCUMENTS_SQL})", k=20)
         ).fetchall()
     ]
     con.close()
     assert mine == want
+    assert len(mine) == 20  # NON-vacuous: the fixture produces spans
     # ordered by occurrences desc then entity asc, counts sane
     occ = [n for _, _, n in mine]
     assert occ == sorted(occ, reverse=True)

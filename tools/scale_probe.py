@@ -132,6 +132,20 @@ FAMS = {
         "linkage_blocking_recall", "webdataset_roundtrip",
         "bm25_after_takedown",
     ],
+    # round 15 additions (the registered six). kmv_* re-probed on the
+    # ADVICE-r14 rewritten plan (hash DISTINCT + TakeOrdered) — the
+    # replica keeps o_custkey cardinality fixed, so the sketch cut is
+    # constant and the ratio measures the scan+distinct. The linkage
+    # rows and mongoexport_roundtrip run on the FIXED customer dim
+    # (the r13 linkage caveat: real scale evidence is the r12
+    # blocking-cardinality study + the O(batch) store argument);
+    # entity_counts runs on the replicated corpus through the
+    # TitleCase fixture projection.
+    "newcomers_r15": [
+        "kmv_distinct", "kmv_error_audit", "entity_counts",
+        "multi_pass_linkage_scores", "update_linkage_matches",
+        "mongoexport_roundtrip",
+    ],
 }
 
 
