@@ -1007,3 +1007,149 @@ def read_kmv(
         F.lit(int(k)).cast("long").alias("k"),
         _kmv_estimate("n_kept", "__kth", int(k)).alias("estimate"),
     )
+
+
+def kmv_distinct_by(
+    items: DataFrame, group_col: str, col: str, k: int = KMV_K
+) -> DataFrame:
+    """Grouped KMV — ``(group, n_kept, k, estimate)`` per group value,
+    the bottom-k sibling of ``linear_count_by`` (round 15, r16 queue):
+    per-group approximate-distinct where the LC bitmap would need m
+    rows PER GROUP regardless of group size, the KMV sketch holds
+    min(k, group distinct) rows and keeps the exact-below-k branch per
+    group. Plan: one spillable hash DISTINCT on (group, h), then the
+    per-group bottom-k as a window PARTITIONED BY GROUP (never global
+    — the partitioned-window shape every grouped top-k in the repo
+    uses), then one combinable per-group fold. Input type gated like
+    the scalar form."""
+    _require_kmv_safe(items, col)
+    from pyspark.sql import Window
+
+    pairs = items.select(
+        F.col(group_col).alias("grp"),
+        kmv_hash(F.col(col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = pairs.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= int(k)
+    )
+    agg = kept.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("__kth"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        F.lit(int(k)).cast("long").alias("k"),
+        _kmv_estimate("n_kept", "__kth", int(k)).alias("estimate"),
+    )
+
+
+def kmv_distinct_by_sql(
+    items_sql: str, group_expr: str, expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of ``kmv_distinct_by`` — identical hash, per-group
+    cut and integer estimator."""
+    num = (int(k) - 1) * KMV_SPACE
+    return f"""
+WITH items AS ({items_sql}),
+pairs AS (
+  SELECT DISTINCT {group_expr} AS grp, {kmv_hash_sql(expr)} AS h FROM items
+),
+kept AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM pairs
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+  FROM kept WHERE rn <= {int(k)} GROUP BY grp
+)
+SELECT grp AS {group_expr}, n_kept, CAST({int(k)} AS BIGINT) AS k,
+       CASE WHEN n_kept < {int(k)} THEN n_kept
+            ELSE {num} // greatest(kth, 1) END AS estimate
+FROM agg
+"""
+
+
+def kmv_intersection(
+    a: DataFrame, b: DataFrame, col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV set-operation estimation (Beyer et al., SIGMOD'07 §4 — the
+    reason bottom-k beats HLL for planning): from the two column
+    sketches alone, estimate |A ∪ B| and |A ∩ B| WITHOUT running the
+    join — the join-cardinality / selectivity primitive a 100 TB
+    planner consults before committing to a shuffle. ONE row
+    ``(n_union_kept, rho, union_estimate, intersection_estimate)``:
+    K = bottom-k(sketch(A) ∪ sketch(B)) is definitionally the sketch
+    of A ∪ B; rho = |K ∩ sketch(A) ∩ sketch(B)| is a Binomial(k,
+    |A∩B|/|A∪B|) draw, so intersection ≈ rho * union_est / k — kept
+    INTEGER (rho * est DIV k) so both engines replay bit-identically.
+    While the union holds < k distinct hashes, K is the whole union
+    set, rho IS the exact intersection count, and both estimates are
+    exact. Cost beyond the two input scans: sketch frames are <= k
+    rows — every downstream join broadcasts."""
+    sa = kmv_bottomk(a, col, k)
+    sb = kmv_bottomk(b, col, k)
+    union_k = kmv_merge(sa, sb, k)
+    both = sa.join(sb, "h", "semi")
+    marked = union_k.join(
+        F.broadcast(both.withColumn("__both", F.lit(1))), "h", "left"
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_kept"),
+        F.max("h").alias("__kth"),
+        F.sum(F.coalesce(F.col("__both"), F.lit(0))).cast("long").alias("rho"),
+    )
+    num = (int(k) - 1) * KMV_SPACE
+    return agg.select(
+        "n_union_kept",
+        "rho",
+        _kmv_estimate("n_union_kept", "__kth", int(k)).alias(
+            "union_estimate"
+        ),
+        F.when(
+            F.col("n_union_kept") < int(k), F.col("rho")
+        ).otherwise(
+            F.expr(
+                f"(rho * ({num}L DIV greatest(__kth, 1L))) DIV {int(k)}L"
+            )
+        ).cast("long").alias("intersection_estimate"),
+    )
+
+
+def kmv_intersection_sql(
+    a_sql: str, b_sql: str, expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of ``kmv_intersection`` — identical sketches, cut,
+    rho and integer estimators."""
+    num = (int(k) - 1) * KMV_SPACE
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {kmv_hash_sql(expr)} AS h FROM ({a_sql})
+  ORDER BY h LIMIT {int(k)}
+),
+sb AS (
+  SELECT DISTINCT {kmv_hash_sql(expr)} AS h FROM ({b_sql})
+  ORDER BY h LIMIT {int(k)}
+),
+uk AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT {int(k)}
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
+         max(h) AS kth,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM sa)
+                        AND h IN (SELECT h FROM sb)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS rho
+  FROM uk
+)
+SELECT n_union_kept, rho,
+       CASE WHEN n_union_kept < {int(k)} THEN n_union_kept
+            ELSE {num} // greatest(kth, 1) END AS union_estimate,
+       CASE WHEN n_union_kept < {int(k)} THEN rho
+            ELSE (rho * ({num} // greatest(kth, 1))) // {int(k)}
+       END AS intersection_estimate
+FROM agg
+"""

@@ -169,3 +169,125 @@ def test_persisted_store_equals_one_shot(spark, tmp_path):
         rows.filter(F.col("v") % 3 == 1), path, batch_id=1, col="v", k=k
     )
     assert tuple(read_kmv(spark, path, k).collect()[0]) == want
+
+
+def test_grouped_kmv_parity_and_branches(spark):
+    """r15 (r16 queue): kmv_distinct_by — per-group sketches, exact
+    below k per group, estimator branch at small k, cross-engine
+    parity on orders grouped by priority."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_distinct_by,
+        kmv_distinct_by_sql,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    for k in (32, 4096):
+        mine = sorted(
+            tuple(r)
+            for r in kmv_distinct_by(
+                orders, "o_orderpriority", "o_custkey", k
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{SF_DIR_SMOKE}/orders.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                kmv_distinct_by_sql(
+                    "SELECT * FROM orders", "o_orderpriority",
+                    "o_custkey", k,
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert mine == want and len(mine) > 1
+    # big k: every group below k -> estimate IS the exact per-group count
+    exact = {
+        (r["o_orderpriority"], r["n"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["o_orderpriority"], r["estimate"])
+        for r in kmv_distinct_by(
+            orders, "o_orderpriority", "o_custkey", 4096
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_grouped_kmv_plan_has_no_global_window(spark):
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_distinct_by,
+    )
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    df = kmv_distinct_by(orders, "o_orderpriority", "o_custkey", 1024)
+    assert cartesian_products(df) == 0
+    assert python_stage_count(df) == 0
+    assert global_windows(df) == 0  # the window is PARTITIONED by group
+
+
+def test_intersection_exact_below_k_and_estimator(spark):
+    """r15 (r16 queue): kmv_intersection — while the union fits in k the
+    estimates are EXACT; past k the Binomial estimator lands within the
+    sketch's error envelope. Join-cardinality estimation from sketches
+    alone (the two inputs are never joined)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_intersection,
+    )
+
+    a = spark.range(0, 1000).selectExpr("id AS v")
+    b = spark.range(500, 1500).selectExpr("id AS v")
+    # union 1500 < k=4096 -> exact branch
+    got = kmv_intersection(a, b, "v", 4096).collect()[0]
+    assert (got["union_estimate"], got["intersection_estimate"]) == (1500, 500)
+    assert got["rho"] == 500 and got["n_union_kept"] == 1500
+    # k=256 << union -> estimator branch, loose deterministic envelope
+    est = kmv_intersection(a, b, "v", 256).collect()[0]
+    assert est["n_union_kept"] == 256
+    assert abs(est["union_estimate"] - 1500) / 1500 < 0.5
+    assert abs(est["intersection_estimate"] - 500) / 500 < 0.6
+
+
+def test_intersection_cross_engine_parity(spark):
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_intersection,
+        kmv_intersection_sql,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b = orders.filter(F.col("o_orderkey") % 2 != 0)
+    for k in (64, 8192):
+        mine = [
+            tuple(r)
+            for r in kmv_intersection(a, b, "o_custkey", k).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{SF_DIR_SMOKE}/orders.parquet'"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(
+                kmv_intersection_sql(
+                    "SELECT * FROM orders WHERE o_orderkey % 3 <> 0",
+                    "SELECT * FROM orders WHERE o_orderkey % 2 <> 0",
+                    "o_custkey",
+                    k,
+                )
+            ).fetchall()
+        ]
+        con.close()
+        assert mine == want
