@@ -430,3 +430,160 @@ def pq_topk_rerank_sql(
         "FROM __e e JOIN __cand USING (id), __q\n"
         f"ORDER BY ip DESC, {id_col} LIMIT {k}"
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    cents: list[tuple[int, list[float], float]],
+    k: int = 10,
+    n_probe: int = 2,
+    n_candidates: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    enc: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (round 15, r16 queue) — the composed FAISS-IVFADC shape
+    the family's two halves were built for: the k-means coarse
+    quantizer prunes the corpus to ``n_probe`` cells (at scale: a
+    partition-pruned scan, the ivf_topk contract), PQ ADC scores ONLY
+    those cells' 4-byte codes (no raw vectors touched — the pq_topk
+    contract), and only the ``n_candidates`` ADC winners fetch raw
+    vectors for the exact re-rank. Per-query cost at 100 TB:
+    (n_probe / n_clusters) of the CODE store + a k-bounded raw fetch —
+    neither term scans the corpus. ``cents``/``books`` are the
+    train-once quantizers (codebooks trained on the md5-ranked
+    whole-corpus sample — training is NOT per-probe); pass ``enc`` /
+    ``assigned`` to reuse persisted codes and cell assignments (the
+    production layout: enc partitioned by the assignment's cell).
+    Output ``(id, ip)`` exactly like pq_topk_rerank."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        block_assignments,
+        dot,
+    )
+
+    spark = df.sparkSession
+    if enc is None:
+        enc = pq_encode(df, books, vec_col, id_col)
+    if assigned is None:
+        assigned = block_assignments(df, cents, vec_col, id_col)
+    cents_df = spark.createDataFrame(
+        [(cid, c, cn) for cid, c, cn in cents],
+        "cluster int, centroid array<double>, cn double",
+    )
+    q = F.broadcast(
+        query_df.select(as_double(F.col(vec_col)).alias("__qv")).withColumn(
+            "__qn",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"), F.col("__qv"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    probed = F.broadcast(
+        cents_df.crossJoin(q)
+        .select(
+            "cluster",
+            F.round(
+                dot(F.col("centroid"), F.col("__qv"))
+                / (F.col("cn") * F.col("__qn")),
+                6,
+            ).alias("__cc"),
+        )
+        .orderBy(F.col("__cc").desc(), "cluster")
+        .limit(int(n_probe))
+        .select("cluster"),
+    )
+    probe_ids = assigned.join(probed, "cluster", "left_semi").select(id_col)
+    enc_probed = enc.join(probe_ids, id_col, "left_semi")
+    cands = pq_topk(
+        df, query_df, books, k=int(n_candidates), vec_col=vec_col,
+        id_col=id_col, enc=enc_probed,
+    ).select(id_col)
+    return (
+        df.join(cands, id_col, "left_semi")
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(as_double(F.col(vec_col)), F.col("__qv")), 6
+            ).alias("ip"),
+        )
+        .orderBy(F.col("ip").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def ivfpq_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id = 0",
+    dim: int = 64,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    n_iter: int = PQ_ITER,
+    train_limit: int = PQ_TRAIN,
+    n_clusters: int = 8,
+    ivf_iter: int = 3,
+    ivf_train_limit: int | None = None,
+    n_probe: int = 2,
+    n_candidates: int = 100,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of ``ivfpq_topk`` — the coarse quantizer's unrolled
+    Lloyd's chain (similarity._kmeans_ctes) concatenated with the PQ
+    codebook/encode chain (_pq_ctes); candidate generation is the ADC
+    score restricted to the probed cells' ids, then the exact-dot
+    re-rank. An independent reconstruction of BOTH quantizers, not a
+    result dump."""
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        _kmeans_assign_sql,
+        _kmeans_ctes,
+        _kmeans_norm_sql,
+        _kmeans_score_sql,
+    )
+
+    norm, score = _kmeans_norm_sql, _kmeans_score_sql
+    kctes, last = _kmeans_ctes(
+        table, id_col, vec_col, n_clusters, ivf_iter, ivf_train_limit
+    )
+    kctes.insert(
+        2,
+        f"kq AS (SELECT qv AS kqv, {norm('qv')} AS kqn FROM ("
+        f"SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) "
+        f"AS qv FROM {table} WHERE {query_pred}))",
+    )
+    kctes.append(
+        f"probed AS (SELECT cid FROM {last}, kq "
+        f"ORDER BY {score('centroid', 'cn', 'kqv', 'kqn')} DESC, cid "
+        f"LIMIT {n_probe})"
+    )
+    kctes.append(_kmeans_assign_sql(last, "final"))
+    kctes.append(
+        "__ivf AS (SELECT f.id FROM final f JOIN probed USING (cid))"
+    )
+    pctes, joins, total = _pq_ctes(
+        table, id_col, vec_col, query_pred, dim, m, n_codes, n_iter,
+        train_limit,
+    )
+    pctes.append(
+        "__cand AS (SELECT id, "
+        f"round(CAST({total} AS DOUBLE), 6) AS approx_score "
+        f"FROM {joins} JOIN __ivf USING (id) "
+        f"ORDER BY approx_score DESC, id LIMIT {n_candidates})"
+    )
+    return (
+        "WITH " + ",\n".join(kctes + pctes) + "\n"
+        f"SELECT e.id AS {id_col}, "
+        f"round({_dot_sql('e.v', 'qv')}, 6) AS ip\n"
+        "FROM __e e JOIN __cand USING (id), __q\n"
+        f"ORDER BY ip DESC, {id_col} LIMIT {k}"
+    )

@@ -394,3 +394,96 @@ def test_label_centroid_similarity_shape(spark):
     assert len(rows) == n_labels * (n_labels - 1) // 2
     assert all(r["label_a"] < r["label_b"] for r in rows)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_ivfpq_composes_probe_adc_rerank(spark):
+    """r15 (r16 queue): IVF-PQ — the composed FAISS-IVFADC shape.
+    (a) the query's own cell is always probed, so the query ranks
+    itself first; (b) probing EVERY cell degrades exactly to
+    pq_topk_rerank (the pruning loses nothing when nothing is pruned);
+    (c) bounded-plan audit."""
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        ivfpq_topk,
+        pq_topk_rerank,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb, books = _pq_setup(spark)
+    cents = kmeans_centroids(emb, n_clusters=8, n_iter=3)
+    q = emb.filter(F.col("vec_id") == 0)
+    got = ivfpq_topk(
+        emb, q, books, cents, k=5, n_probe=2, n_candidates=50
+    ).collect()
+    assert got[0]["vec_id"] == 0
+
+    full = [
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, q, books, cents, k=10, n_probe=8, n_candidates=100
+        ).collect()
+    ]
+    plain = [
+        tuple(r)
+        for r in pq_topk_rerank(
+            emb, q, books, k=10, n_candidates=100
+        ).collect()
+    ]
+    assert full == plain
+
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        global_windows,
+        python_stage_count,
+    )
+
+    df = ivfpq_topk(emb, q, books, cents, k=5, n_probe=2, n_candidates=50)
+    assert cartesian_products(df) == 0
+    assert python_stage_count(df) == 0
+    assert global_windows(df) == 0
+
+
+def test_ivfpq_cross_engine_parity(spark):
+    """The DuckDB twin re-derives BOTH quantizers (coarse Lloyd's chain
+    + per-subspace PQ codebooks), the probe, the cell-restricted ADC
+    and the exact re-rank — row-for-row equality."""
+    import duckdb
+
+    from nosql_to_sql_migration_tool_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_sql,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb, books = _pq_setup(spark)
+    cents = kmeans_centroids(emb, n_clusters=8, n_iter=3)
+    q = emb.filter(F.col("vec_id") == 0)
+    mine = [
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, q, books, cents, k=10, n_probe=2, n_candidates=50
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/embeddings.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            ivfpq_topk_sql(
+                "embeddings",
+                n_clusters=8,
+                ivf_iter=3,
+                n_probe=2,
+                n_candidates=50,
+                k=10,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert mine == want and len(mine) == 10
