@@ -89,3 +89,73 @@ GROUP BY entity
 ORDER BY n_occurrences DESC, entity
 LIMIT {int(k)}
 """
+
+
+# Characters an entity literal may contain for the cross-engine scrub
+# contract to hold with NO escaping layer (Java regex and RE2 would
+# need engine-specific escapes for anything else; capitalized-span
+# entities are [A-Za-z ]+ by construction, so this costs nothing).
+_SCRUB_SAFE = r"^[A-Za-z0-9 _-]+$"
+
+
+def _entity_alternation(entities: list[str]) -> str:
+    """One word-bounded alternation of the entity literals,
+    longest-first (alternation is leftmost-preference in BOTH Java
+    regex and RE2, so longest-first ordering gives maximal-munch in
+    both — 'New York City' wins over 'New York' when both are listed).
+    Raises on characters outside the no-escaping-needed set."""
+    import re as _re
+
+    if not entities:
+        raise ValueError("scrub_entities: empty entity list")
+    for e in entities:
+        if not _re.match(_SCRUB_SAFE, e):
+            raise ValueError(
+                f"scrub_entities: entity {e!r} contains characters "
+                "outside [A-Za-z0-9 _-] — the cross-engine pattern "
+                "contract covers plain span literals only"
+            )
+    parts = sorted(entities, key=len, reverse=True)
+    return r"\b(?:" + "|".join(parts) + r")\b"
+
+
+def scrub_entities(
+    df: DataFrame,
+    entities: list[str],
+    replacement: str = "<ENTITY>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, text, n_entity)`` — every mention of the listed
+    entities replaced by the placeholder, with the per-document hit
+    count alongside (the redact_pii audit-handle discipline). THE
+    decontamination action for ``entity_counts``'s blast-radius table:
+    mine the benchmark/forbidden entities, then scrub their mentions
+    corpus-wide. The entity list is a PLAN LITERAL (one alternation
+    pattern — metadata-sized, like the broadcast model tables), so the
+    scrub is a single narrow codegen projection: no shuffle, no
+    Python, the cheapest operator class at 100 TB."""
+    pat = _entity_alternation(entities)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.col(text_col), pat, replacement).alias(text_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long").alias("n_entity"),
+    )
+
+
+def scrub_entities_sql(
+    docs_sql: str,
+    entities: list[str],
+    replacement: str = "<ENTITY>",
+) -> str:
+    """DuckDB twin of ``scrub_entities`` — identical alternation
+    (RE2 takes the explicit 'g' flag Spark implies)."""
+    pat = _entity_alternation(entities)
+    return f"""
+SELECT doc_id,
+       regexp_replace(text, '{pat}', '{replacement}', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_entity
+FROM ({docs_sql})
+"""

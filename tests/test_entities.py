@@ -89,3 +89,93 @@ def test_entity_counts_plan_is_takeordered_scan(spark):
     # docstring's stated shape stays honest (a third shuffle would be
     # a regression; one would mean the distinct silently vanished).
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_scrub_entities_hand_semantics_and_parity(spark):
+    """r15 (r16 queue): scrub_entities — the decontamination action for
+    the blast-radius table. Hand case: longest-first maximal munch,
+    word boundaries, per-doc hit counts; then whole-corpus cross-engine
+    parity over the TitleCase fixture using entity_counts' own top
+    entities; then the end-to-end invariant: after the scrub, the
+    scrubbed entities mine to ZERO mentions."""
+    import pytest
+
+    from nosql_to_sql_migration_tool_spark.fixtures import (
+        TITLECASED_DOCUMENTS_SQL,
+        titlecased_documents,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.entities import (
+        scrub_entities,
+        scrub_entities_sql,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "We like New York City and New York and york."),
+            (2, "Nothing to scrub here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_entity"])
+        for r in scrub_entities(
+            rows, ["New York", "New York City"]
+        ).collect()
+    }
+    # maximal munch: the CITY span is one hit, not "New York" + "City";
+    # the bare lowercase "york" is boundary-safe and untouched
+    assert got[1] == ("We like <ENTITY> and <ENTITY> and york.", 2)
+    assert got[2] == ("Nothing to scrub here.", 0)
+
+    with pytest.raises(ValueError, match="outside"):
+        scrub_entities(rows, ["bad(regex"])
+    with pytest.raises(ValueError, match="empty"):
+        scrub_entities(rows, [])
+
+    # corpus parity on the registered fixture, entities from the miner
+    docs = titlecased_documents(
+        load_table(spark, SF_DIR_SMOKE, "documents").select("doc_id", "text")
+    )
+    ents = [r["entity"] for r in entity_counts(docs, k=10).collect()]
+    mine = sorted(
+        tuple(r) for r in scrub_entities(docs, ents).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            scrub_entities_sql(TITLECASED_DOCUMENTS_SQL, ents)
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and any(n > 0 for _, _, n in mine)
+
+    # decontamination invariant: scrubbed entities mine to zero
+    scrubbed = scrub_entities(docs, ents).select("doc_id", "text")
+    remaining = {
+        r["entity"] for r in entity_counts(scrubbed, k=50).collect()
+    }
+    assert not (set(ents) & remaining)
+
+
+def test_scrub_entities_plan_is_projection_only(spark):
+    from nosql_to_sql_migration_tool_spark.operators.entities import (
+        scrub_entities,
+    )
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        cartesian_products,
+        python_stage_count,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    df = scrub_entities(docs, ["Alpha Beta", "Gamma"])
+    assert cartesian_products(df) == 0
+    assert python_stage_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
