@@ -1153,3 +1153,79 @@ SELECT n_union_kept, rho,
        END AS intersection_estimate
 FROM agg
 """
+
+
+def kmv_intersection_error_audit(
+    a: DataFrame, b: DataFrame, col: str, k: int = KMV_K
+) -> DataFrame:
+    """``kmv_intersection`` GRADED against the exact set sizes — one
+    row (union_estimate, union_exact, intersection_estimate,
+    intersection_exact, rel_err_union, rel_err_intersection), the
+    kmv_error_audit discipline applied to the set-operation estimators:
+    a planner trusting these numbers should know their measured error,
+    not the paper bound. The exact side pays the distinct + semi-join
+    the sketch exists to avoid — audits compare against truth by
+    definition."""
+    est = kmv_intersection(a, b, col, k).select(
+        "union_estimate", "intersection_estimate"
+    )
+    da = a.select(F.col(col).alias("__v")).distinct()
+    db = b.select(F.col(col).alias("__v")).distinct()
+    exact = (
+        da.unionByName(db)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("union_exact"))
+        .crossJoin(
+            F.broadcast(
+                da.join(db, "__v", "semi").agg(
+                    F.count(F.lit(1)).cast("long").alias(
+                        "intersection_exact"
+                    )
+                )
+            )
+        )
+    )
+    rel = lambda e, x: F.round(  # noqa: E731
+        F.abs(F.col(e) - F.col(x)).cast("double")
+        / F.greatest(F.col(x).cast("double"), F.lit(1.0)),
+        6,
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "union_estimate",
+        "union_exact",
+        "intersection_estimate",
+        "intersection_exact",
+        rel("union_estimate", "union_exact").alias("rel_err_union"),
+        rel("intersection_estimate", "intersection_exact").alias(
+            "rel_err_intersection"
+        ),
+    )
+
+
+def kmv_intersection_error_audit_sql(
+    a_sql: str, b_sql: str, expr: str, k: int = KMV_K
+) -> str:
+    return f"""
+WITH est AS ({kmv_intersection_sql(a_sql, b_sql, expr, k)}),
+ex AS (
+  SELECT
+    CAST((SELECT count(DISTINCT v) FROM (
+      SELECT {expr} AS v FROM ({a_sql})
+      UNION ALL SELECT {expr} FROM ({b_sql})
+    )) AS BIGINT) AS union_exact,
+    CAST((SELECT count(*) FROM
+      (SELECT DISTINCT {expr} AS v FROM ({a_sql})) da
+      WHERE v IN (SELECT {expr} FROM ({b_sql}))
+    ) AS BIGINT) AS intersection_exact
+)
+SELECT est.union_estimate, ex.union_exact,
+       est.intersection_estimate, ex.intersection_exact,
+       round(CAST(abs(est.union_estimate - ex.union_exact) AS DOUBLE)
+             / greatest(CAST(ex.union_exact AS DOUBLE), 1.0), 6)
+         AS rel_err_union,
+       round(CAST(abs(est.intersection_estimate - ex.intersection_exact)
+                  AS DOUBLE)
+             / greatest(CAST(ex.intersection_exact AS DOUBLE), 1.0), 6)
+         AS rel_err_intersection
+FROM est, ex
+"""

@@ -291,3 +291,44 @@ def test_intersection_cross_engine_parity(spark):
         ]
         con.close()
         assert mine == want
+
+
+def test_intersection_audit_parity_and_envelope(spark):
+    """r15 (r16 queue): the set-operation estimators ship with their
+    measured error — cross-engine parity of the whole audit row, and
+    the k=256 envelope on real columns."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_intersection_error_audit,
+        kmv_intersection_error_audit_sql,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b = orders.filter(F.col("o_orderkey") % 2 != 0)
+    mine = [
+        tuple(r)
+        for r in kmv_intersection_error_audit(
+            a, b, "o_custkey", 256
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR_SMOKE}/orders.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            kmv_intersection_error_audit_sql(
+                "SELECT * FROM orders WHERE o_orderkey % 3 <> 0",
+                "SELECT * FROM orders WHERE o_orderkey % 2 <> 0",
+                "o_custkey",
+                256,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert mine == want
+    row = mine[0]
+    # loose deterministic envelopes (fixed hash set — never flakes)
+    assert row[4] < 4.0 / (254.0 ** 0.5)   # union rel err
+    assert row[5] < 0.6                     # intersection rel err
