@@ -594,3 +594,32 @@ SELECT doc_id,
                    ELSE t END), ' ') AS text
 FROM documents
 """
+
+
+def messy_customers(customer: DataFrame) -> DataFrame:
+    """The self-ER fixture (round 15): ONE table holding both the clean
+    customers and the dirty migration copy (``dirty_customer_target``,
+    B4) RE-KEYED by +1_000_000 — the state a target lands in after a
+    botched migration ran twice handing out fresh surrogate keys.
+    Duplicate pairs share NO key, so entity resolution must find them
+    from natural fields alone; B4's deterministic corruptions give
+    every outcome class: twins reachable by an exact-name blocking pass
+    (acctbal dirty at %23), twins reachable only by a balance pass
+    (name dirty at %17), and %391 twins (both dirty) that stay
+    unresolved singletons."""
+    cols = [
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    ]
+    rekeyed = dirty_customer_target(customer).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+    )
+    return customer.select(*cols).unionByName(rekeyed.select(*cols))
+
+
+MESSY_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+       c_mktsegment
+FROM ({DIRTY_CUSTOMER_TARGET_SQL})
+"""

@@ -45,6 +45,12 @@ __all__ = [
     "multi_pass_linkage_scores_sql",
     "blocking_recall",
     "blocking_recall_sql",
+    "er_matches",
+    "er_matches_sql",
+    "er_clusters",
+    "er_clusters_sql",
+    "er_golden_records",
+    "er_golden_records_sql",
 ]
 
 
@@ -387,3 +393,248 @@ def multi_pass_linkage_scores_sql(
         for col in block_cols
     )
     return f"SELECT DISTINCT id_a, id_b, n_agree, score_micro FROM ({passes})"
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution completion (round 15): match relation -> transitive
+# CLUSTERS -> one GOLDEN RECORD per cluster. The reference's end state
+# is one clean SQL row per real-world entity (classify:
+# private/Sync.ps1:125-163; apply: private/Data_Migration.ps1 upsert);
+# for keyless/dirty data that takes two steps past the thresholded
+# match relation — the cluster closure and per-field survivorship.
+# ---------------------------------------------------------------------------
+
+
+def er_matches(
+    entities: DataFrame,
+    block_cols: list,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+    threshold_micro: int,
+) -> DataFrame:
+    """Self-ER match relation over ONE messy table: multi-pass scores
+    of the table against itself, kept in canonical orientation
+    (``id_a < id_b`` — drops self-pairs and mirror duplicates) and
+    thresholded. Blocking MUST use natural fields: duplicate rows share
+    no surrogate key by definition, so a key-derived block
+    (``c_custkey % 997``) can never pair a record with its duplicate.
+    Cost: the same additive blocked equi-joins as
+    ``multi_pass_linkage_scores`` — never |T|x|T| — with per-pass block
+    size the one scale dial."""
+    scored = multi_pass_linkage_scores(
+        entities, entities, block_cols, params, id_col
+    )
+    return scored.filter(F.col("id_a") < F.col("id_b")).filter(
+        F.col("score_micro") >= int(threshold_micro)
+    )
+
+
+def er_matches_sql(
+    entities_sql: str,
+    block_cols: list,
+    params: dict[str, tuple[float, float]],
+    id_col: str,
+    threshold_micro: int,
+) -> str:
+    """DuckDB twin of ``er_matches`` — same union-of-passes scoring,
+    orientation and threshold filter."""
+    inner = multi_pass_linkage_scores_sql(
+        entities_sql, entities_sql, block_cols, params, id_col
+    )
+    return (
+        f"SELECT * FROM ({inner}) "
+        f"WHERE id_a < id_b AND score_micro >= {int(threshold_micro)}"
+    )
+
+
+def er_clusters(
+    entities: DataFrame, matches: DataFrame, id_col: str
+) -> DataFrame:
+    """``(id_col, entity_id)`` — the transitive closure of the match
+    relation: records reachable through any match chain share one
+    entity_id = min member id (which doubles as the canonical surrogate
+    key downstream). Unmatched records are singleton entities labelled
+    by their own id.
+
+    Reuses the alternating large-star/small-star contraction
+    (``dedup.near_dup_components_twostar``, Kiveris et al. SoCC'14):
+    O(log² n) shuffle rounds over the EDGE set only — at 100 TB the
+    edge set is bounded by the blocking passes, and contraction rounds
+    never touch the entity table; the one full-table step is the final
+    left join that labels singletons."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        near_dup_components_twostar,
+    )
+
+    labels = near_dup_components_twostar(
+        entities, id_col=id_col, pairs=matches.select("id_a", "id_b")
+    )
+    return labels.select(
+        F.col(id_col), F.col("component_id").alias("entity_id")
+    )
+
+
+def er_clusters_sql(
+    entities_sql: str, matches_sql: str, id_col: str
+) -> str:
+    """DuckDB twin of ``er_clusters`` — the recursive-CTE reachability
+    closure (the dedup components-oracle pattern), min label per
+    source."""
+    return f"""
+WITH RECURSIVE ents AS ({entities_sql}),
+m AS (SELECT DISTINCT id_a, id_b FROM ({matches_sql})),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM m
+  UNION ALL
+  SELECT id_b, id_a FROM m
+),
+reach(src, dst) AS (
+  SELECT {id_col}, {id_col} FROM ents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS {id_col}, min(dst) AS entity_id FROM reach GROUP BY src
+"""
+
+
+_GOLDEN_POLICIES = ("canonical", "min", "max", "mode")
+
+
+def er_golden_records(
+    entities: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """One consolidated row per entity cluster — survivorship:
+    ``(entity_id, n_members, <one column per rules field>)``. Policies:
+
+      canonical — the value from the min-id member (the cluster label's
+                  own record; in a clean-plus-rekeyed-dirty merge the
+                  clean record wins when it holds the lower id)
+      min / max — field extremes across members
+      mode      — most frequent non-NULL value, ties to the smallest
+                  value (deterministic in both engines); NULL when the
+                  field is NULL across the whole cluster
+
+    Plan: ONE groupBy(entity_id) covers every scalar policy (min_by
+    rides the same combinable shuffle), plus one entity-partitioned
+    count + row_number window per mode field — no global window, no
+    second pass over the entity table; after the first shuffle every
+    frame is bounded by cluster count."""
+    if not rules:
+        raise ValueError("er_golden_records: rules must be non-empty")
+    bad = {f: p for f, p in rules.items() if p not in _GOLDEN_POLICIES}
+    if bad:
+        raise ValueError(
+            f"unknown survivorship policy {bad}; pick from "
+            f"{_GOLDEN_POLICIES}"
+        )
+    joined = entities.join(clusters, id_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    for f, p in rules.items():
+        if p == "canonical":
+            aggs.append(F.min_by(F.col(f), F.col(id_col)).alias(f))
+        elif p == "max":
+            aggs.append(F.max(f).alias(f))
+        elif p == "min":
+            aggs.append(F.min(f).alias(f))
+    out = joined.groupBy("entity_id").agg(*aggs)
+    from pyspark.sql import Window
+
+    for f, p in rules.items():
+        if p != "mode":
+            continue
+        counts = (
+            joined.filter(F.col(f).isNotNull())
+            .groupBy("entity_id", f)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("entity_id").orderBy(
+            F.col("__n").desc(), F.col(f).asc()
+        )
+        top = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("entity_id", f)
+        )
+        out = out.join(top, "entity_id", "left")
+    return out.select("entity_id", "n_members", *rules)
+
+
+def er_golden_records_sql(
+    entities_sql: str,
+    matches_sql: str,
+    id_col: str,
+    rules: dict[str, str],
+) -> str:
+    """DuckDB twin of ``er_clusters`` + ``er_golden_records`` composed:
+    the recursive closure, then identical survivorship aggregates
+    (min_by / min / max in one GROUP BY; per-mode-field windows with
+    the same count-DESC, value-ASC tie-break over non-NULL values)."""
+    if not rules:
+        raise ValueError("er_golden_records_sql: rules must be non-empty")
+    bad = {f: p for f, p in rules.items() if p not in _GOLDEN_POLICIES}
+    if bad:
+        raise ValueError(
+            f"unknown survivorship policy {bad}; pick from "
+            f"{_GOLDEN_POLICIES}"
+        )
+    scalar = []
+    for f, p in rules.items():
+        if p == "canonical":
+            scalar.append(f"min_by({f}, {id_col}) AS {f}")
+        elif p == "max":
+            scalar.append(f"max({f}) AS {f}")
+        elif p == "min":
+            scalar.append(f"min({f}) AS {f}")
+    scalar_sql = (", " + ", ".join(scalar)) if scalar else ""
+    mode_ctes = []
+    mode_joins = []
+    for f, p in rules.items():
+        if p != "mode":
+            continue
+        mode_ctes.append(
+            f"""mode_{f} AS (
+  SELECT entity_id, {f} FROM (
+    SELECT entity_id, {f},
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY __n DESC, {f} ASC) AS __rn
+    FROM (SELECT entity_id, {f}, count(*) AS __n
+          FROM j WHERE {f} IS NOT NULL GROUP BY entity_id, {f})
+  ) WHERE __rn = 1
+)"""
+        )
+        mode_joins.append(f"LEFT JOIN mode_{f} USING (entity_id)")
+    sel = ", ".join(
+        f"mode_{f}.{f}" if rules[f] == "mode" else f"base.{f}"
+        for f in rules
+    )
+    mode_cte_sql = (",\n" + ",\n".join(mode_ctes)) if mode_ctes else ""
+    return f"""
+WITH RECURSIVE ents AS ({entities_sql}),
+m AS (SELECT DISTINCT id_a, id_b FROM ({matches_sql})),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM m
+  UNION ALL
+  SELECT id_b, id_a FROM m
+),
+reach(src, dst) AS (
+  SELECT {id_col}, {id_col} FROM ents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (
+  SELECT src AS {id_col}, min(dst) AS entity_id FROM reach GROUP BY src
+),
+j AS (
+  SELECT e.*, c.entity_id FROM ents e
+  JOIN clusters c ON e.{id_col} = c.{id_col}
+),
+base AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members{scalar_sql}
+  FROM j GROUP BY entity_id
+){mode_cte_sql}
+SELECT base.entity_id, base.n_members, {sel}
+FROM base {' '.join(mode_joins)}
+"""

@@ -1,0 +1,237 @@
+"""Entity-resolution completion (round 15 build, r17 queue): the match
+relation's transitive CLUSTER closure and per-cluster GOLDEN-RECORD
+survivorship.
+
+The linkage family (round 12-15) ends at the thresholded match store;
+a migration that consolidates duplicate entities (the reference's end
+goal — one clean SQL row per real-world entity, reference
+``private/Sync.ps1:125-163`` classify + ``private/Data_Migration.ps1``
+upsert generalized to keyless data) needs two more steps:
+
+  er_matches   -> self-ER match relation over ONE messy table
+  er_clusters  -> connected components over matches (two-star reuse)
+  er_golden_records -> one consolidated row per cluster under
+                       reviewable per-field survivorship policies
+
+Covered here: closure semantics on hand chains, each survivorship
+policy's exact semantics (canonical/min/max/mode incl. NULL and
+tie-break), rule validation, and cross-engine parity of both outputs
+against the DuckDB recursive-CTE / window twins on the
+``messy_customers`` self-ER fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_to_sql_migration_tool_spark.fixtures import (
+    MESSY_CUSTOMERS_SQL,
+    messy_customers,
+)
+from nosql_to_sql_migration_tool_spark.operators.linkage import (
+    er_clusters,
+    er_clusters_sql,
+    er_golden_records,
+    er_golden_records_sql,
+    er_matches,
+    er_matches_sql,
+)
+from nosql_to_sql_migration_tool_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+# The self-ER model: block on natural fields (the surrogate key differs
+# between duplicate rows BY DEFINITION, so key-derived blocks like
+# `custkey % 997` can never pair a record with its duplicate); score on
+# the same three fields the linkage family uses.
+_PARAMS = {
+    "c_name": (0.95, 0.001),
+    "c_acctbal": (0.9, 0.01),
+    "c_mktsegment": (0.95, 0.2),
+}
+_PASSES = [
+    ("c_nationkey", "c_name"),       # exact-name pass (near-unique names)
+    ("c_mktsegment", "c_acctbal"),   # catches name-corrupted duplicates
+]
+_THRESHOLD = 2_000_000
+
+
+def test_er_clusters_transitive_chain(spark):
+    """A match CHAIN a~b~c collapses to one entity labelled by the min
+    member id; unmatched records are singleton entities labelled by
+    their own id."""
+    ents = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11)], ["id"]
+    )
+    matches = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["entity_id"]
+        for r in er_clusters(ents, matches, "id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10}
+
+
+def test_er_golden_records_policies(spark):
+    """canonical = value from the min-id member; min/max = field
+    extremes; mode = most frequent non-NULL value, ties to the smallest
+    value; a mode field with no non-NULL values in a cluster yields
+    NULL (left join, cluster is kept)."""
+    ents = spark.createDataFrame(
+        [
+            # cluster 1: ids 1,2,3
+            (1, "alpha", 5.0, "B"),
+            (2, "beta", 9.0, "A"),
+            (3, "gamma", 1.0, "A"),
+            # cluster 10: ids 10,11 — mode tie (one X, one W) -> "W"
+            (10, "delta", 2.0, "X"),
+            (11, "epsilon", 4.0, "W"),
+            # singleton 20 with NULL mode field
+            (20, "zeta", 7.0, None),
+        ],
+        ["id", "name", "bal", "seg"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        ["id", "entity_id"],
+    )
+    rules = {"name": "canonical", "bal": "max", "seg": "mode"}
+    got = {
+        r["entity_id"]: (r["n_members"], r["name"], r["bal"], r["seg"])
+        for r in er_golden_records(ents, clusters, "id", rules).collect()
+    }
+    assert got == {
+        1: (3, "alpha", 9.0, "A"),
+        10: (2, "delta", 4.0, "W"),
+        20: (1, "zeta", 7.0, None),
+    }
+    # min policy on the same frame
+    got_min = {
+        r["entity_id"]: r["bal"]
+        for r in er_golden_records(
+            ents, clusters, "id", {"bal": "min"}
+        ).collect()
+    }
+    assert got_min == {1: 1.0, 10: 2.0, 20: 7.0}
+
+
+def test_er_golden_records_rejects_unknown_policy(spark):
+    ents = spark.createDataFrame([(1, "a")], ["id", "name"])
+    clusters = spark.createDataFrame([(1, 1)], ["id", "entity_id"])
+    with pytest.raises(ValueError, match="policy"):
+        er_golden_records(ents, clusters, "id", {"name": "latest"})
+
+
+def test_er_matches_recovers_rekeyed_duplicates(spark):
+    """On the messy fixture every re-keyed dirty twin whose name OR
+    acctbal survived corruption matches its clean original (pass 1
+    blocks clean-name twins, pass 2 blocks clean-balance twins); a twin
+    with BOTH fields corrupted (custkey % 391 == 0) is unreachable by
+    either pass and stays a singleton — the documented multi-pass
+    residue."""
+    m = messy_customers(load_table(spark, SF_DIR_SMOKE, "customer"))
+    matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    got = {(r["id_a"], r["id_b"]) for r in matches.collect()}
+    surviving = {
+        r["c_custkey"] - 1_000_000
+        for r in m.filter(F.col("c_custkey") > 1_000_000)
+        .select("c_custkey")
+        .collect()
+    }
+    want = {
+        (k, k + 1_000_000)
+        for k in surviving
+        if not (k % 17 == 0 and k % 23 == 0)
+    }
+    missing = want - got
+    assert not missing, sorted(missing)[:5]
+    # both-fields-corrupted twins never match their original
+    assert all(
+        not (a % 17 == 0 and a % 23 == 0 and b == a + 1_000_000)
+        for a, b in got
+    )
+
+
+def test_er_clusters_parity_on_messy_fixture(spark):
+    m = messy_customers(load_table(spark, SF_DIR_SMOKE, "customer"))
+    matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    mine = sorted(
+        map(tuple, er_clusters(m, matches, "c_custkey").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            er_clusters_sql(
+                MESSY_CUSTOMERS_SQL,
+                er_matches_sql(
+                    MESSY_CUSTOMERS_SQL,
+                    _PASSES,
+                    _PARAMS,
+                    "c_custkey",
+                    _THRESHOLD,
+                ),
+                "c_custkey",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want
+    # non-vacuous: real multi-member clusters exist
+    assert len(mine) > len({e for _, e in mine}) > 0
+
+
+def test_er_golden_records_parity_on_messy_fixture(spark):
+    """End-to-end survivorship parity: canonical name (min-id member =
+    the clean record, so ' X' corruption never survives), max acctbal
+    (keeps the +0.5 drift — deliberately visible), mode segment."""
+    rules = {
+        "c_name": "canonical",
+        "c_acctbal": "max",
+        "c_mktsegment": "mode",
+    }
+    m = messy_customers(load_table(spark, SF_DIR_SMOKE, "customer"))
+    matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    clusters = er_clusters(m, matches, "c_custkey")
+    mine = sorted(
+        map(
+            tuple,
+            er_golden_records(m, clusters, "c_custkey", rules).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            er_golden_records_sql(
+                MESSY_CUSTOMERS_SQL,
+                er_matches_sql(
+                    MESSY_CUSTOMERS_SQL,
+                    _PASSES,
+                    _PARAMS,
+                    "c_custkey",
+                    _THRESHOLD,
+                ),
+                "c_custkey",
+                rules,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and len(mine) > 0
+    # the ' X' name corruption never survives consolidation: canonical
+    # takes the min-id member, and clean originals have the lower id
+    assert not any(
+        name.endswith(" X")
+        for _, n, name, _, _ in mine
+        if n > 1
+    )
