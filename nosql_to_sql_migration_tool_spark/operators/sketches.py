@@ -1229,3 +1229,250 @@ SELECT est.union_estimate, ex.union_exact,
          AS rel_err_intersection
 FROM est, ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bound binned quantiles + maintained store (round 15): the
+# mergeable member of the quantile family. ``binned_quantiles`` derives
+# its bin edges from the data's min/max, which is the right one-shot
+# shape but does NOT merge — a later batch can extend the range and
+# silently re-mean every earlier bin. The batch-maintained form
+# therefore pins the bounds as CALLER config (reviewable, like the CMS
+# width/depth and the linkage m/u tables): histograms over fixed edges
+# are ADDITIVE cells, so per-batch folds are O(n_bins) rows, reads
+# never touch raw data, and read-of-store == one-shot-over-everything
+# bit-for-bit. Out-of-range values clamp to the edge bins (visible
+# mass, never dropped) — the documented trade for mergeability.
+# ---------------------------------------------------------------------------
+
+
+def fixed_bin(col, lo: float, hi: float, n_bins: int):
+    """Bin index over caller-pinned ``[lo, hi)`` edges: values at or
+    below lo -> bin 0, at or above hi -> bin n_bins-1, else
+    floor((v-lo)/(hi-lo)*n_bins). All literals double — the family's
+    cross-engine IEEE discipline."""
+    if not (float(hi) > float(lo)):
+        raise ValueError("fixed_bin: hi must be > lo")
+    v = col.cast("double")
+    rel = (v - F.lit(float(lo))) / (F.lit(float(hi)) - F.lit(float(lo)))
+    return (
+        F.when(v <= F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins - 1))
+        .otherwise(
+            F.least(
+                F.floor(rel * F.lit(float(n_bins))), F.lit(n_bins - 1)
+            )
+        )
+        .cast("long")
+    )
+
+
+def fixed_bin_sql(expr: str, lo: float, hi: float, n_bins: int) -> str:
+    if not (float(hi) > float(lo)):
+        raise ValueError("fixed_bin_sql: hi must be > lo")
+    v = f"CAST({expr} AS DOUBLE)"
+    lo_l = f"CAST({float(lo)} AS DOUBLE)"
+    hi_l = f"CAST({float(hi)} AS DOUBLE)"
+    nb = f"CAST({n_bins} AS DOUBLE)"
+    return (
+        f"CASE WHEN {v} <= {lo_l} THEN 0 "
+        f"WHEN {v} >= {hi_l} THEN {n_bins - 1} "
+        f"ELSE CAST(least(floor((({v} - {lo_l}) / ({hi_l} - {lo_l})) "
+        f"* {nb}), {n_bins - 1}) AS BIGINT) END"
+    )
+
+
+def _fixed_pick(h: DataFrame, lo: float, hi: float, qs, n_bins: int):
+    """(q, bin, est) from a fixed-edge histogram ``(bin, n_rows)`` —
+    cumulative count via the broadcast triangular self-join over
+    <= n_bins rows (the family keeps ZERO partition-less windows),
+    est = upper bin edge, rounded 6 dp."""
+    h2 = h.select(F.col("bin").alias("__b2"), F.col("n_rows").alias("__n2"))
+    cum = (
+        h.join(F.broadcast(h2), F.col("__b2") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.sum("__n2").alias("__cum"))
+    )
+    total = h.agg(F.sum("n_rows").alias("__n"))
+    qrows = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    pick = (
+        cum.select("bin", "__cum", qrows)
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__cum").cast("double")
+            >= F.col("q") * F.col("__n").cast("double")
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.round(
+        F.lit(float(lo))
+        + ((F.col("bin") + F.lit(1)) / F.lit(float(n_bins)))
+        * (F.lit(float(hi)) - F.lit(float(lo))),
+        6,
+    )
+    return pick.select("q", "bin", est.alias("est"))
+
+
+def fixed_binned_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """One-shot quantile estimates over caller-pinned bin edges —
+    ``(q, bin, est)``, error bounded by one bin width PLUS whatever
+    mass clamps into the edge bins (pick bounds from domain knowledge
+    or a prior ``exact_quantiles`` sample; grade with the audit
+    discipline). Pass a pre-merged ``sketch`` (bin, n_rows) to answer
+    without touching raw data — this is what ``read_quantile_bins``
+    does."""
+    if sketch is None:
+        vals = df.select(F.col(col).cast("double").alias("__v")).where(
+            F.col("__v").isNotNull()
+        )
+        sketch = (
+            vals.select(
+                fixed_bin(F.col("__v"), lo, hi, n_bins).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+    return _fixed_pick(sketch, lo, hi, qs, n_bins)
+
+
+def fixed_binned_quantiles_sql(
+    items_sql: str,
+    expr: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+) -> str:
+    """DuckDB twin of ``fixed_binned_quantiles`` — identical fixed-edge
+    binning, cumulative count, pick and rounded upper-edge estimate."""
+    qlist = ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+    nb = f"CAST({n_bins} AS DOUBLE)"
+    lo_l = f"CAST({float(lo)} AS DOUBLE)"
+    hi_l = f"CAST({float(hi)} AS DOUBLE)"
+    return f"""
+WITH __vals AS (
+  SELECT CAST({expr} AS DOUBLE) AS v FROM ({items_sql})
+  WHERE {expr} IS NOT NULL
+),
+__h AS (
+  SELECT {fixed_bin_sql('v', lo, hi, n_bins)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM __vals GROUP BY 1
+),
+__c AS (
+  SELECT a.bin, sum(b.n_rows) AS cum
+  FROM __h a JOIN __h b ON b.bin <= a.bin
+  GROUP BY a.bin
+),
+__n AS (SELECT sum(n_rows) AS n FROM __h),
+__q AS (SELECT unnest([{qlist}]) AS q),
+__pick AS (
+  SELECT q, min(bin) AS bin
+  FROM __q, __c, __n
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+  GROUP BY q
+)
+SELECT q, bin,
+       round({lo_l} + ((bin + 1) / {nb}) * ({hi_l} - {lo_l}), 6) AS est
+FROM __pick
+"""
+
+
+def update_quantile_bins(
+    items: DataFrame,
+    col: str,
+    index_path: str,
+    lo: float,
+    hi: float,
+    batch_id: int = 0,
+    n_bins: int = 128,
+) -> None:
+    """Fold one batch's fixed-edge histogram into the persisted store —
+    additive cells like the CMS (each batch contributes <= n_bins
+    ``(bin, n_rows)`` rows), batch_id-keyed dynamic-partition
+    overwrite: a replayed batch rewrites its own partition with
+    identical counts, so crash/duplicate delivery converges (the
+    ingest-store discipline). The (lo, hi, n_bins) config must be held
+    constant across the store's life — it defines the cell space, as
+    width/depth do for the CMS."""
+    vals = items.select(F.col(col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    (
+        vals.select(fixed_bin(F.col("__v"), lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def read_quantile_bins(
+    spark: SparkSession,
+    index_path: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+) -> DataFrame:
+    """Quantiles of everything ever folded, WITHOUT rescanning any
+    batch: sum the additive cells by bin (<= batches x n_bins rows
+    read, <= n_bins after the fold) and pick — EQUALS the one-shot
+    ``fixed_binned_quantiles`` over the concatenated batches
+    bit-for-bit (integer cells, identical pick expression)."""
+    merged = (
+        spark.read.parquet(index_path)
+        .groupBy("bin")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    )
+    return _fixed_pick(merged, lo, hi, qs, n_bins)
+
+
+def compact_quantile_bins(
+    spark: SparkSession,
+    index_path: str,
+    max_safe_batch_id: int | None = None,
+) -> None:
+    """Fold committed batches' cells into the reserved ``batch_id=-1``
+    partition, bounding the store at <= n_bins rows (+ preserved
+    unsafe batches) — additive cells sum associatively, so the fold is
+    exact; same crash-window gate as the LC/CMS compactions."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
+
+    parts = try_read_parquet(spark, index_path)
+    if parts is None:
+        return
+    if max_safe_batch_id is not None:
+        safe_pred = (F.col("batch_id") == -1) | (
+            F.col("batch_id") <= int(max_safe_batch_id)
+        )
+    else:
+        safe_pred = F.lit(True)
+    folded = (
+        parts.filter(safe_pred)
+        .groupBy("bin")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        .withColumn("batch_id", F.lit(-1))
+        .unionByName(parts.filter(~safe_pred))
+        .localCheckpoint(eager=True)
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
