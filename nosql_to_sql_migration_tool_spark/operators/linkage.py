@@ -51,6 +51,7 @@ __all__ = [
     "er_clusters_sql",
     "er_golden_records",
     "er_golden_records_sql",
+    "update_er_clusters",
 ]
 
 
@@ -638,3 +639,38 @@ base AS (
 SELECT base.entity_id, base.n_members, {sel}
 FROM base {' '.join(mode_joins)}
 """
+
+
+def update_er_clusters(
+    labels: DataFrame,
+    new_matches: DataFrame,
+    id_col: str,
+    new_entities: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ER cluster maintenance: given the existing
+    ``(id, entity_id)`` labels and the matches a new ingest batch
+    produced (one ``update_linkage_matches`` fold), return updated
+    labels for the whole entity set WITHOUT re-running contraction over
+    it — ``dedup.update_components``' churn-bounded IVM applied to the
+    ER family, so the full incremental pipeline is O(batch) match folds
+    plus O(churn) cluster repair: only components a new match touches
+    are re-labelled; a match bridging two old entities merges them to
+    the smaller label exactly as a recompute would. ``new_entities``
+    adds unmatched newcomers as singletons. Incremental ≡ full
+    recompute is pinned by pytest on the messy fixture."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        update_components,
+    )
+
+    relabeled = labels.select(
+        F.col(id_col), F.col("entity_id").alias("component_id")
+    )
+    out = update_components(
+        relabeled,
+        new_matches.select("id_a", "id_b"),
+        id_col=id_col,
+        new_docs=new_entities,
+    )
+    return out.select(
+        F.col(id_col), F.col("component_id").alias("entity_id")
+    )

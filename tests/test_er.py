@@ -235,3 +235,36 @@ def test_er_golden_records_parity_on_messy_fixture(spark):
         for _, n, name, _, _ in mine
         if n > 1
     )
+
+
+def test_update_er_clusters_incremental_equals_full(spark):
+    """The churn-bounded IVM contract applied to ER: start from the
+    clean customers as all-singleton labels, fold in the re-keyed dirty
+    copy as one ingest batch (its matches + its new entities) — the
+    incrementally maintained labels must equal the full ``er_clusters``
+    recompute over the whole messy table, row for row."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        update_er_clusters,
+    )
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    m = messy_customers(customer)
+    clean = m.filter(F.col("c_custkey") < 1_000_000)
+    dirty = m.filter(F.col("c_custkey") >= 1_000_000)
+    # initial state: clean entities only, no matches -> all singletons
+    initial = clean.select(
+        "c_custkey", F.col("c_custkey").alias("entity_id")
+    )
+    all_matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    got = sorted(
+        map(
+            tuple,
+            update_er_clusters(
+                initial, all_matches, "c_custkey", new_entities=dirty
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, er_clusters(m, all_matches, "c_custkey").collect())
+    )
+    assert got == want and len(got) > 0
