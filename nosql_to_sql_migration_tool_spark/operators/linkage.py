@@ -656,8 +656,15 @@ def update_er_clusters(
     plus O(churn) cluster repair: only components a new match touches
     are re-labelled; a match bridging two old entities merges them to
     the smaller label exactly as a recompute would. ``new_entities``
-    adds unmatched newcomers as singletons. Incremental ≡ full
-    recompute is pinned by pytest on the messy fixture."""
+    adds unmatched newcomers as singletons.
+
+    Completeness contract: ``new_matches`` must cover BOTH directions a
+    batch can introduce duplication — base x batch (the
+    ``update_linkage_matches`` fold) AND batch-internal pairs
+    (``er_matches`` over the batch alone; an ingest batch can carry its
+    own duplicates). Both sides are O(batch)-bounded blocked joins.
+    Incremental ≡ full recompute under that recipe is pinned by pytest
+    on the messy fixture, including a batch-internal-duplicate case."""
     from nosql_to_sql_migration_tool_spark.operators.dedup import (
         update_components,
     )

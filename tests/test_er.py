@@ -268,3 +268,52 @@ def test_update_er_clusters_incremental_equals_full(spark):
         map(tuple, er_clusters(m, all_matches, "c_custkey").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_update_er_clusters_covers_batch_internal_duplicates(spark):
+    """The completeness contract: a batch carrying its OWN duplicate
+    pair must fold correctly when the caller supplies base x batch
+    matches UNION batch-internal matches (and would be missed by the
+    base x batch side alone)."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        multi_pass_linkage_scores,
+        update_er_clusters,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 0, "alice", "A"), (2, 0, "bob", "B")],
+        ["id", "blk", "name", "seg"],
+    )
+    # ids 10/11 duplicate EACH OTHER (names agree) and nothing in base
+    batch = spark.createDataFrame(
+        [(10, 0, "carol", "A"), (11, 0, "carol", "B")],
+        ["id", "blk", "name", "seg"],
+    )
+    params = {"name": (0.95, 0.001), "seg": (0.9, 0.2)}
+    thresh = 2_000_000
+    labels = base.select("id", F.col("id").alias("entity_id"))
+    cross = multi_pass_linkage_scores(
+        base, batch, ["blk"], params, "id"
+    ).filter(F.col("score_micro") >= thresh)
+    internal = er_matches(batch, ["blk"], params, "id", thresh)
+    got = {
+        r["id"]: r["entity_id"]
+        for r in update_er_clusters(
+            labels,
+            cross.unionByName(internal),
+            "id",
+            new_entities=batch,
+        ).collect()
+    }
+    want = {
+        r["id"]: r["entity_id"]
+        for r in er_clusters(
+            base.unionByName(batch),
+            er_matches(
+                base.unionByName(batch), ["blk"], params, "id", thresh
+            ),
+            "id",
+        ).collect()
+    }
+    assert got == want
+    assert got[10] == got[11] == 10  # the batch-internal pair merged
