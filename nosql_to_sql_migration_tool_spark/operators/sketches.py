@@ -1476,3 +1476,220 @@ def compact_quantile_bins(
         .partitionBy("batch_id")
         .parquet(index_path)
     )
+
+
+def _fixed_pick_by(h: DataFrame, lo: float, hi: float, qs, n_bins: int):
+    """Per-group ``(grp, q, bin, est)`` from a fixed-edge grouped
+    histogram ``(grp, bin, n_rows)`` — cumulative count via a window
+    PARTITIONED BY GROUP over <= n_bins rows per partition (the
+    binned_quantiles_by shape; never a global window)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select("grp", "bin", F.sum("n_rows").over(w).alias("__cum"))
+    totals = h.groupBy("grp").agg(F.sum("n_rows").alias("__n"))
+    qrows = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    pick = (
+        cum.join(totals, "grp")
+        .select("grp", "bin", "__cum", "__n", qrows)
+        .filter(
+            F.col("__cum").cast("double")
+            >= F.col("q") * F.col("__n").cast("double")
+        )
+        .groupBy("grp", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.round(
+        F.lit(float(lo))
+        + ((F.col("bin") + F.lit(1)) / F.lit(float(n_bins)))
+        * (F.lit(float(hi)) - F.lit(float(lo))),
+        6,
+    )
+    return pick.select("grp", "q", "bin", est.alias("est"))
+
+
+def fixed_binned_quantiles_by(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """GROUPED quantile estimates over caller-pinned edges — the
+    grouped member of the fixed-bound family, completing the
+    scalar -> grouped progression exactly as ``binned_quantiles`` ->
+    ``binned_quantiles_by`` (and sharing its scale shape: the shuffle
+    carries at most groups x n_bins cell rows, the cumulative window is
+    per-group). One (lo, hi) applies to every group — the mergeable
+    trade; pass per-domain stores when groups need different ranges.
+    Pass a pre-merged ``sketch`` (grp, bin, n_rows) to answer from a
+    store without touching raw data."""
+    if sketch is None:
+        vals = df.select(
+            F.col(group_col).alias("grp"),
+            F.col(col).cast("double").alias("__v"),
+        ).where(F.col("__v").isNotNull())
+        sketch = (
+            vals.select(
+                "grp", fixed_bin(F.col("__v"), lo, hi, n_bins).alias("bin")
+            )
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+    out = _fixed_pick_by(sketch, lo, hi, qs, n_bins)
+    return out.select(
+        F.col("grp").alias(group_col), "q", "bin", "est"
+    )
+
+
+def fixed_binned_quantiles_by_sql(
+    items_sql: str,
+    group_expr: str,
+    expr: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB twin of ``fixed_binned_quantiles_by`` (per-group window,
+    identical fixed-edge binning and pick; ``out_col`` follows the
+    linear_count_by_sql alias contract)."""
+    if out_col is None:
+        if not group_expr.replace("_", "").isalnum():
+            raise ValueError(
+                "fixed_binned_quantiles_by_sql: group_expr is not a "
+                "plain column name; pass out_col explicitly"
+            )
+        out_col = group_expr
+    qlist = ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+    nb = f"CAST({n_bins} AS DOUBLE)"
+    lo_l = f"CAST({float(lo)} AS DOUBLE)"
+    hi_l = f"CAST({float(hi)} AS DOUBLE)"
+    return f"""
+WITH __vals AS (
+  SELECT {group_expr} AS grp, CAST({expr} AS DOUBLE) AS v
+  FROM ({items_sql}) WHERE {expr} IS NOT NULL
+),
+__h AS (
+  SELECT grp, {fixed_bin_sql('v', lo, hi, n_bins)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM __vals GROUP BY 1, 2
+),
+__c AS (
+  SELECT grp, bin, sum(n_rows) OVER (PARTITION BY grp ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM __h
+),
+__n AS (SELECT grp, sum(n_rows) AS n FROM __h GROUP BY grp),
+__q AS (SELECT unnest([{qlist}]) AS q),
+__pick AS (
+  SELECT c.grp, q, min(bin) AS bin
+  FROM __q, __c c JOIN __n ON c.grp = __n.grp
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+  GROUP BY c.grp, q
+)
+SELECT grp AS {out_col}, q, bin,
+       round({lo_l} + ((bin + 1) / {nb}) * ({hi_l} - {lo_l}), 6) AS est
+FROM __pick
+"""
+
+
+def update_quantile_bins_by(
+    items: DataFrame,
+    group_col: str,
+    col: str,
+    index_path: str,
+    lo: float,
+    hi: float,
+    batch_id: int = 0,
+    n_bins: int = 128,
+) -> None:
+    """Grouped sibling of ``update_quantile_bins``: fold one batch's
+    per-group fixed-edge histogram into the store — additive
+    ``(grp, bin, n_rows)`` cells, <= groups x n_bins rows per batch,
+    batch_id-keyed dynamic-partition overwrite (replay-idempotent)."""
+    vals = items.select(
+        F.col(group_col).alias("grp"),
+        F.col(col).cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    (
+        vals.select(
+            "grp", fixed_bin(F.col("__v"), lo, hi, n_bins).alias("bin")
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def read_quantile_bins_by(
+    spark: SparkSession,
+    index_path: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group quantiles of everything ever folded, without
+    rescanning any batch — sums the additive cells by (group, bin) and
+    picks; EQUALS the one-shot ``fixed_binned_quantiles_by`` over the
+    concatenated batches bit-for-bit."""
+    merged = (
+        spark.read.parquet(index_path)
+        .groupBy("grp", "bin")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    )
+    out = _fixed_pick_by(merged, lo, hi, qs, n_bins)
+    return out.select(
+        F.col("grp").alias(group_col), "q", "bin", "est"
+    )
+
+
+def compact_quantile_bins_by(
+    spark: SparkSession,
+    index_path: str,
+    max_safe_batch_id: int | None = None,
+) -> None:
+    """Fold committed batches' grouped cells into ``batch_id=-1``,
+    bounding the store at <= groups x n_bins rows (+ preserved unsafe
+    batches) — same crash-window gate as the scalar compaction."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
+
+    parts = try_read_parquet(spark, index_path)
+    if parts is None:
+        return
+    if max_safe_batch_id is not None:
+        safe_pred = (F.col("batch_id") == -1) | (
+            F.col("batch_id") <= int(max_safe_batch_id)
+        )
+    else:
+        safe_pred = F.lit(True)
+    folded = (
+        parts.filter(safe_pred)
+        .groupBy("grp", "bin")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        .withColumn("batch_id", F.lit(-1))
+        .unionByName(parts.filter(~safe_pred))
+        .localCheckpoint(eager=True)
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )

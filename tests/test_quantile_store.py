@@ -159,3 +159,98 @@ def test_estimates_within_one_bin_width_of_exact(spark):
     width = (HI - LO) / NB
     for q in QS:
         assert exact[q] <= est[q] <= exact[q] + width, (q, exact[q], est[q])
+
+
+def test_grouped_fixed_quantiles_cross_engine_parity(spark):
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        fixed_binned_quantiles_by,
+        fixed_binned_quantiles_by_sql,
+    )
+
+    mine = sorted(
+        map(
+            tuple,
+            fixed_binned_quantiles_by(
+                load_table(spark, SF_DIR_SMOKE, "orders"),
+                "o_orderpriority",
+                "o_totalprice",
+                LO,
+                HI,
+                QS,
+                NB,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/orders.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            fixed_binned_quantiles_by_sql(
+                "SELECT * FROM orders",
+                "o_orderpriority",
+                "o_totalprice",
+                LO,
+                HI,
+                QS,
+                NB,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want
+    n_groups = len({g for g, _, _, _ in mine})
+    assert n_groups == 5 and len(mine) == n_groups * len(QS)
+
+
+def test_grouped_store_read_equals_one_shot_and_compacts(spark, tmp_path):
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        compact_quantile_bins_by,
+        fixed_binned_quantiles_by,
+        read_quantile_bins_by,
+        update_quantile_bins_by,
+    )
+
+    path = str(tmp_path / "qbins_by")
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    for i in (0, 1, 2, 0):  # final 0 is the replay
+        update_quantile_bins_by(
+            orders.filter(F.col("o_orderkey") % 3 == i),
+            "o_orderpriority",
+            "o_totalprice",
+            path,
+            LO,
+            HI,
+            batch_id=i,
+            n_bins=NB,
+        )
+    want = sorted(
+        map(
+            tuple,
+            fixed_binned_quantiles_by(
+                orders, "o_orderpriority", "o_totalprice", LO, HI, QS, NB
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_quantile_bins_by(
+                spark, path, "o_orderpriority", LO, HI, QS, NB
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    compact_quantile_bins_by(spark, path)
+    assert spark.read.parquet(path).count() <= 5 * NB
+    assert want == sorted(
+        map(
+            tuple,
+            read_quantile_bins_by(
+                spark, path, "o_orderpriority", LO, HI, QS, NB
+            ).collect(),
+        )
+    )
