@@ -177,3 +177,80 @@ def stream_lc_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_kmv_maintenance(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    col: str = "token",
+    k: int | None = None,
+) -> StreamingQuery:
+    """Maintain a KMV bottom-k distinct sketch from an item stream —
+    the third member of the sketch-maintenance trio (CMS counts, LC
+    distinct-bitmap, KMV distinct-order-statistics): each micro-batch
+    folds its bottom-k hashes into the persisted store
+    (``update_kmv_sketch`` — batch_id-keyed, replay-idempotent, at
+    most k longs per partition), and ``read_kmv`` answers "how many
+    distinct so far" at any time bit-equal to the one-shot
+    whole-stream sketch. Same availableNow scheduled shape as the
+    other maintainers."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        KMV_K,
+        update_kmv_sketch,
+    )
+
+    k_eff = KMV_K if k is None else k
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_kmv_sketch(
+            batch_df, store_path, batch_id=batch_id, col=col, k=k_eff
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_quantile_bins_maintenance(
+    items_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> StreamingQuery:
+    """Maintain a fixed-bound quantile-bin store from an item stream —
+    the distributional member of the maintenance family: each
+    micro-batch folds its fixed-edge histogram into the persisted
+    store (``update_quantile_bins`` — additive cells, batch_id-keyed,
+    replay-idempotent), and ``read_quantile_bins`` answers "what do
+    the quantiles look like so far" bit-equal to the one-shot sketch
+    over the whole stream. The (lo, hi, n_bins) config is pinned for
+    the store's life (the mergeability contract). Same availableNow
+    scheduled shape and crash-window compaction gate
+    (``compact_quantile_bins``)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        update_quantile_bins,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_quantile_bins(
+            batch_df, col, index_path, lo, hi,
+            batch_id=batch_id, n_bins=n_bins,
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

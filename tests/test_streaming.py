@@ -1934,3 +1934,93 @@ def test_takedown_first_on_legacy_sink_bootstraps_and_purges(spark, tmp_path):
     final = spark.read.parquet(acc)
     assert final.filter(F.col("batch_id") == 7).count() == 0
     assert final.count() == 38
+
+
+def test_stream_kmv_maintenance_matches_one_shot(spark, tmp_path):
+    """Streamed KMV sketch == one-shot whole-corpus sketch bit-for-bit
+    (bottom-k set mergeability through the availableNow stream path)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_distinct,
+        read_kmv,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.cms_stream import (
+        stream_kmv_maintenance,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("token")
+    )
+    want = kmv_distinct(orders, "token").collect()[0].asDict()
+    # read_kmv names the count column n_kept; the one-shot names it
+    # n_union... align on values: (count, k, estimate)
+    want_vals = tuple(want.values())
+
+    drops = str(tmp_path / "drops")
+    store = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(2):
+        orders.filter(F.col("o_orderkey") % 2 == i).select(
+            "token"
+        ).coalesce(1).write.mode("append").parquet(drops)
+        q = stream_kmv_maintenance(
+            spark.readStream.schema("token string").parquet(drops),
+            store,
+            ckpt,
+        )
+        q.awaitTermination(120)
+    got = read_kmv(spark, store).collect()[0].asDict()
+    assert tuple(got.values()) == want_vals
+
+
+def test_stream_quantile_bins_maintenance_matches_one_shot(
+    spark, tmp_path
+):
+    """Streamed fixed-bound quantile store == one-shot sketch over the
+    whole stream bit-for-bit (additive-cell mergeability through the
+    availableNow stream path)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        fixed_binned_quantiles,
+        read_quantile_bins,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.cms_stream import (
+        stream_quantile_bins_maintenance,
+    )
+
+    lo, hi, nb = 0.0, 600_000.0, 128
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    orders = load_table(spark, SF_DIR_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    want = sorted(
+        map(
+            tuple,
+            fixed_binned_quantiles(
+                orders, "o_totalprice", lo, hi, qs, nb
+            ).collect(),
+        )
+    )
+
+    drops = str(tmp_path / "drops")
+    store = str(tmp_path / "qbins")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(2):
+        orders.filter(F.col("o_orderkey") % 2 == i).select(
+            "o_totalprice"
+        ).coalesce(1).write.mode("append").parquet(drops)
+        q = stream_quantile_bins_maintenance(
+            spark.readStream.schema("o_totalprice double").parquet(drops),
+            store,
+            ckpt,
+            "o_totalprice",
+            lo,
+            hi,
+            n_bins=nb,
+        )
+        q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            read_quantile_bins(spark, store, lo, hi, qs, nb).collect(),
+        )
+    )
+    assert got == want and len(got) == len(qs)
