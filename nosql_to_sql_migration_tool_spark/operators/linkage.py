@@ -52,6 +52,9 @@ __all__ = [
     "er_golden_records",
     "er_golden_records_sql",
     "update_er_clusters",
+    "write_er_label_store",
+    "read_er_label_store",
+    "update_er_label_store",
 ]
 
 
@@ -680,4 +683,100 @@ def update_er_clusters(
     )
     return out.select(
         F.col(id_col), F.col("component_id").alias("entity_id")
+    )
+
+
+_ER_BUCKET = "__bucket"
+
+
+def _er_bucket(col: Column, n_buckets: int) -> Column:
+    """Stable store bucket of a record id. Keyed on the ID, not the
+    entity label: a merge can move a record's entity_id, and a
+    label-keyed partition scheme would strand the stale row in its old
+    partition when only new partitions are overwritten."""
+    return F.pmod(F.xxhash64(col), F.lit(int(n_buckets))).cast("int")
+
+
+def write_er_label_store(
+    labels: DataFrame, path: str, id_col: str, n_buckets: int = 64
+) -> None:
+    """Initialize the persisted ``(id, entity_id)`` label store,
+    partitioned by the stable id bucket so incremental folds can
+    rewrite only touched partitions (``update_er_label_store``)."""
+    (
+        labels.select(
+            F.col(id_col),
+            "entity_id",
+            _er_bucket(F.col(id_col), n_buckets).alias(_ER_BUCKET),
+        )
+        .write.mode("overwrite")
+        .partitionBy(_ER_BUCKET)
+        .parquet(path)
+    )
+
+
+def read_er_label_store(spark, path: str) -> DataFrame:
+    """Current ``(id, entity_id)`` labels."""
+    return spark.read.parquet(path).drop(_ER_BUCKET)
+
+
+def update_er_label_store(
+    spark,
+    path: str,
+    new_matches: DataFrame,
+    id_col: str,
+    new_entities: DataFrame | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """Fold one ingest batch's matches (base x batch ∪ batch-internal —
+    the ``update_er_clusters`` completeness contract) into the
+    persisted label store, REWRITING ONLY TOUCHED PARTITIONS: every
+    label that can change belongs to a component some new match
+    touches, those members' stable id buckets (plus the new entities')
+    are the touched partitions, and the dynamic overwrite replaces
+    exactly them — at any accumulated store size the rewrite is
+    O(touched buckets), not O(corpus). Relabeling itself is
+    ``update_er_clusters``' churn-bounded repair; untouched partitions
+    are never opened for write (pytest pins their files byte-identical
+    across a fold)."""
+    labels = spark.read.parquet(path)
+    pairs = new_matches.select("id_a", "id_b")
+    touched_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    if new_entities is not None:
+        touched_ids = touched_ids.unionByName(
+            new_entities.select(id_col)
+        ).distinct()
+    touched_comps = (
+        labels.join(touched_ids, id_col, "semi")
+        .select("entity_id")
+        .distinct()
+    )
+    affected_buckets = (
+        labels.join(touched_comps, "entity_id", "semi")
+        .select(_ER_BUCKET)
+        .unionByName(
+            touched_ids.select(
+                _er_bucket(F.col(id_col), n_buckets).alias(_ER_BUCKET)
+            )
+        )
+        .distinct()
+    )
+    new_labels = update_er_clusters(
+        labels.drop(_ER_BUCKET),
+        new_matches,
+        id_col,
+        new_entities=new_entities,
+    )
+    out = new_labels.withColumn(
+        _ER_BUCKET, _er_bucket(F.col(id_col), n_buckets)
+    ).join(F.broadcast(affected_buckets), _ER_BUCKET, "semi")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_ER_BUCKET)
+        .parquet(path)
     )

@@ -317,3 +317,93 @@ def test_update_er_clusters_covers_batch_internal_duplicates(spark):
     }
     assert got == want
     assert got[10] == got[11] == 10  # the batch-internal pair merged
+
+
+def test_er_label_store_fold_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """The 100 TB label-store contract: folding one batch (a) leaves
+    the store's content equal to the full recompute, and (b) never
+    opens untouched bucket partitions for write — their parquet files
+    are byte-identical before and after the fold."""
+    import hashlib
+    from pathlib import Path
+
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        multi_pass_linkage_scores,
+        read_er_label_store,
+        update_er_label_store,
+        write_er_label_store,
+    )
+
+    customer = load_table(spark, SF_DIR_SMOKE, "customer")
+    m = messy_customers(customer)
+    clean = m.filter(F.col("c_custkey") < 1_000_000)
+    # a SMALL ingest batch (~15 entities over 64 buckets) so the
+    # partition-scoped contract is observable: most buckets untouched
+    dirty = m.filter(
+        (F.col("c_custkey") >= 1_000_000)
+        & ((F.col("c_custkey") - 1_000_000) % 100 == 1)
+    )
+    path = str(tmp_path / "labels")
+    write_er_label_store(
+        clean.select("c_custkey", F.col("c_custkey").alias("entity_id")),
+        path,
+        "c_custkey",
+        n_buckets=64,
+    )
+
+    def file_hashes():
+        return {
+            str(p): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in Path(path).rglob("*.parquet")
+        }
+
+    before = file_hashes()
+    batch_matches = multi_pass_linkage_scores(
+        clean, dirty, _PASSES, _PARAMS, "c_custkey"
+    ).filter(F.col("score_micro") >= _THRESHOLD)
+    update_er_label_store(
+        spark, path, batch_matches, "c_custkey",
+        new_entities=dirty, n_buckets=64,
+    )
+    after = file_hashes()
+
+    got = sorted(
+        map(tuple, read_er_label_store(spark, path).collect())
+    )
+    full = clean.unionByName(dirty)
+    want = sorted(
+        map(
+            tuple,
+            er_clusters(
+                full,
+                er_matches(
+                    full, _PASSES, _PARAMS, "c_custkey", _THRESHOLD
+                ),
+                "c_custkey",
+            ).collect(),
+        )
+    )
+    assert got == want
+    # untouched partitions' files byte-identical (dict-subset check:
+    # every surviving pre-fold file outside rewritten buckets unchanged)
+    untouched = {
+        f: h for f, h in before.items() if f in after and after[f] == h
+    }
+    rewritten_buckets = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in after
+        if f not in before or before.get(f) != after[f]
+    }
+    untouched_buckets = {
+        f.split("__bucket=")[1].split("/")[0] for f in untouched
+    }
+    # the fold touched SOME buckets but not all 16
+    assert rewritten_buckets and untouched_buckets
+    # and every pre-fold file in a bucket that was NOT rewritten
+    # survived byte-identical
+    for f, h in before.items():
+        b = f.split("__bucket=")[1].split("/")[0]
+        if b not in rewritten_buckets:
+            assert after.get(f) == h, f
