@@ -2024,3 +2024,102 @@ def test_stream_quantile_bins_maintenance_matches_one_shot(
         )
     )
     assert got == want and len(got) == len(qs)
+
+
+def test_stream_er_maintenance_matches_full_resolution(spark, tmp_path):
+    """Streaming ER ingest: two dirty-entity batches folded through the
+    availableNow twin leave (a) the label store equal to the full
+    er_clusters recompute over reference ∪ both batches, and (b) a
+    replayed batch a no-op on both stores (match overwrite idempotence
+    + monotone label repair)."""
+    from nosql_to_sql_migration_tool_spark.fixtures import messy_customers
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        er_clusters,
+        er_matches,
+        read_er_label_store,
+        read_linkage_matches,
+        write_er_label_store,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.er_stream import (
+        fold_er_batch,
+        stream_er_maintenance,
+    )
+
+    params = {
+        "c_name": (0.95, 0.001),
+        "c_acctbal": (0.9, 0.01),
+        "c_mktsegment": (0.95, 0.2),
+    }
+    passes = [("c_nationkey", "c_name"), ("c_mktsegment", "c_acctbal")]
+    thresh = 2_000_000
+    m = messy_customers(
+        load_table(spark, SF_DIR_SMOKE, "customer")
+    ).localCheckpoint(eager=True)
+    clean = m.filter(F.col("c_custkey") < 1_000_000)
+    dirty = m.filter(F.col("c_custkey") >= 1_000_000)
+
+    matches_p = str(tmp_path / "matches")
+    labels_p = str(tmp_path / "labels")
+    drops = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    write_er_label_store(
+        clean.select("c_custkey", F.col("c_custkey").alias("entity_id")),
+        labels_p,
+        "c_custkey",
+        n_buckets=16,
+    )
+    schema = ("c_custkey bigint, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    for i in range(2):
+        dirty.filter(F.col("c_custkey") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(drops)
+        q = stream_er_maintenance(
+            spark.readStream.schema(schema).parquet(drops),
+            clean,
+            matches_p,
+            labels_p,
+            passes,
+            params,
+            "c_custkey",
+            thresh,
+            ckpt,
+            n_buckets=16,
+        )
+        q.awaitTermination(180)
+
+    want = sorted(
+        map(
+            tuple,
+            er_clusters(
+                m, er_matches(m, passes, params, "c_custkey", thresh),
+                "c_custkey",
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, read_er_label_store(spark, labels_p).collect()))
+    assert got == want and len(got) > 0
+
+    before_matches = sorted(
+        map(tuple, read_linkage_matches(spark, matches_p).collect())
+    )
+    # replay batch 0 directly through the fold unit — must be a no-op
+    fold_er_batch(
+        spark,
+        clean,
+        dirty.filter(F.col("c_custkey") % 2 == 0),
+        matches_p,
+        labels_p,
+        passes,
+        params,
+        "c_custkey",
+        thresh,
+        0,
+        n_buckets=16,
+    )
+    assert got == sorted(
+        map(tuple, read_er_label_store(spark, labels_p).collect())
+    )
+    assert before_matches == sorted(
+        map(tuple, read_linkage_matches(spark, matches_p).collect())
+    )
