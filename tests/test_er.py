@@ -407,3 +407,30 @@ def test_er_label_store_fold_rewrites_only_touched_partitions(
         b = f.split("__bucket=")[1].split("/")[0]
         if b not in rewritten_buckets:
             assert after.get(f) == h, f
+
+
+def test_er_plan_shapes_no_cartesian_no_global_window(spark):
+    """The plan-gate detectors applied to the queued-but-unregistered
+    ER surface (registration inherits the CI full-surface gate; this
+    pins the shape now): matches are blocked equi-joins (no cartesian
+    product), golden-record mode windows are entity-partitioned (no
+    global ordered window), and no Python stage anywhere."""
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        physical_plan,
+        plan_report_from_string,
+    )
+
+    m = messy_customers(load_table(spark, SF_DIR_SMOKE, "customer"))
+    matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    clusters = er_clusters(m, matches, "c_custkey")
+    golden = er_golden_records(
+        m,
+        clusters,
+        "c_custkey",
+        {"c_name": "canonical", "c_acctbal": "max", "c_mktsegment": "mode"},
+    )
+    for df in (matches, golden):
+        rep = plan_report_from_string(physical_plan(df))
+        assert rep["cartesian_products"] == 0, rep
+        assert rep["global_windows"] == 0, rep
+        assert rep["python_stages"] == 0, rep

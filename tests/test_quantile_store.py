@@ -254,3 +254,28 @@ def test_grouped_store_read_equals_one_shot_and_compacts(spark, tmp_path):
             ).collect(),
         )
     )
+
+
+def test_quantile_plan_shapes_no_cartesian_flagged_no_global_window(spark):
+    """Plan-gate detectors for the queued quantile family: the scalar
+    pick's <= n_bins broadcast triangular join must not register as an
+    unbroadcast cartesian, and the grouped form must keep its window
+    partitioned (never global)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        fixed_binned_quantiles_by,
+    )
+    from nosql_to_sql_migration_tool_spark.plans.audit import (
+        physical_plan,
+        plan_report_from_string,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    scalar = fixed_binned_quantiles(orders, "o_totalprice", LO, HI, QS, NB)
+    grouped = fixed_binned_quantiles_by(
+        orders, "o_orderpriority", "o_totalprice", LO, HI, QS, NB
+    )
+    for df in (scalar, grouped):
+        rep = plan_report_from_string(physical_plan(df))
+        assert rep["cartesian_products"] == 0, rep
+        assert rep["global_windows"] == 0, rep
+        assert rep["python_stages"] == 0, rep
