@@ -745,13 +745,26 @@ def update_er_label_store(
     are never opened for write (pytest pins their files byte-identical
     across a fold).
 
-    The store is read ONCE and pinned (``localCheckpoint``): the
-    relabel consults the labels several times (touched-component
-    semi-joins, the untouched anti-join), and re-listing a
-    thousand-partition store per reference is exactly the small-files
-    tax the bucket layout must not pay."""
+    The store and the match frame are each read/computed ONCE and
+    pinned (``localCheckpoint``): the relabel consults both several
+    times (touched-component semi-joins, the untouched anti-join, the
+    repair itself), and re-running a blocked score join or re-listing
+    a thousand-partition store per reference is exactly the rescan tax
+    this layout must not pay. ``n_buckets`` must equal the store's
+    write-time config; a mismatch is detected against the stored
+    ``__bucket`` values and raises (a silent mismatch would strand
+    stale rows in old partitions)."""
     labels = spark.read.parquet(path).localCheckpoint(eager=True)
-    pairs = new_matches.select("id_a", "id_b")
+    bad_bucket = labels.filter(
+        _er_bucket(F.col(id_col), n_buckets) != F.col(_ER_BUCKET)
+    ).limit(1)
+    if bad_bucket.count() > 0:
+        raise ValueError(
+            f"update_er_label_store: n_buckets={n_buckets} does not "
+            f"match the store's bucket layout at {path}; fold with the "
+            f"same n_buckets the store was written with"
+        )
+    pairs = new_matches.select("id_a", "id_b").localCheckpoint(eager=True)
     touched_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -778,7 +791,7 @@ def update_er_label_store(
     )
     new_labels = update_er_clusters(
         labels.drop(_ER_BUCKET),
-        new_matches,
+        pairs,
         id_col,
         new_entities=new_entities,
     )

@@ -1433,11 +1433,19 @@ def read_quantile_bins(
     batch: sum the additive cells by bin (<= batches x n_bins rows
     read, <= n_bins after the fold) and pick — EQUALS the one-shot
     ``fixed_binned_quantiles`` over the concatenated batches
-    bit-for-bit (integer cells, identical pick expression)."""
-    merged = (
-        spark.read.parquet(index_path)
-        .groupBy("bin")
-        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    bit-for-bit (integer cells, identical pick expression). A store
+    whose every fold was empty/all-NULL holds no files; reads answer
+    zero rows rather than failing (the try_read_parquet discipline —
+    matching the one-shot over an empty relation)."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
+
+    parts = try_read_parquet(spark, index_path)
+    if parts is None:
+        parts = spark.createDataFrame(
+            [], "bin bigint, n_rows bigint, batch_id bigint"
+        )
+    merged = parts.groupBy("bin").agg(
+        F.sum("n_rows").cast("long").alias("n_rows")
     )
     return _fixed_pick(merged, lo, hi, qs, n_bins)
 
@@ -1451,6 +1459,21 @@ def compact_quantile_bins(
     partition, bounding the store at <= n_bins rows (+ preserved
     unsafe batches) — additive cells sum associatively, so the fold is
     exact; same crash-window gate as the LC/CMS compactions."""
+    _compact_binned_store(spark, index_path, ["bin"], max_safe_batch_id)
+
+
+def _compact_binned_store(
+    spark: SparkSession,
+    index_path: str,
+    key_cols: list[str],
+    max_safe_batch_id: int | None,
+) -> None:
+    """Shared gate/fold/rewrite for the additive-cell quantile stores
+    (scalar and grouped), parameterized by the cell key. The LC/CMS
+    compactors (``compact_lc_index`` / ``compact_cms_partials``)
+    predate this helper and keep their own copies — folding them in
+    would shift registered plan fingerprints for a pure refactor;
+    queued for a registration round that already re-verifies them."""
     from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
 
     parts = try_read_parquet(spark, index_path)
@@ -1464,7 +1487,7 @@ def compact_quantile_bins(
         safe_pred = F.lit(True)
     folded = (
         parts.filter(safe_pred)
-        .groupBy("bin")
+        .groupBy(*key_cols)
         .agg(F.sum("n_rows").cast("long").alias("n_rows"))
         .withColumn("batch_id", F.lit(-1))
         .unionByName(parts.filter(~safe_pred))
@@ -1648,11 +1671,19 @@ def read_quantile_bins_by(
     """Per-group quantiles of everything ever folded, without
     rescanning any batch — sums the additive cells by (group, bin) and
     picks; EQUALS the one-shot ``fixed_binned_quantiles_by`` over the
-    concatenated batches bit-for-bit."""
-    merged = (
-        spark.read.parquet(index_path)
-        .groupBy("grp", "bin")
-        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    concatenated batches bit-for-bit. A store whose every fold was
+    empty/all-NULL holds no files; reads answer zero rows (with a
+    string-typed group column, immaterial at zero rows) rather than
+    failing."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
+
+    parts = try_read_parquet(spark, index_path)
+    if parts is None:
+        parts = spark.createDataFrame(
+            [], "grp string, bin bigint, n_rows bigint, batch_id bigint"
+        )
+    merged = parts.groupBy("grp", "bin").agg(
+        F.sum("n_rows").cast("long").alias("n_rows")
     )
     out = _fixed_pick_by(merged, lo, hi, qs, n_bins)
     return out.select(
@@ -1668,28 +1699,6 @@ def compact_quantile_bins_by(
     """Fold committed batches' grouped cells into ``batch_id=-1``,
     bounding the store at <= groups x n_bins rows (+ preserved unsafe
     batches) — same crash-window gate as the scalar compaction."""
-    from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
-
-    parts = try_read_parquet(spark, index_path)
-    if parts is None:
-        return
-    if max_safe_batch_id is not None:
-        safe_pred = (F.col("batch_id") == -1) | (
-            F.col("batch_id") <= int(max_safe_batch_id)
-        )
-    else:
-        safe_pred = F.lit(True)
-    folded = (
-        parts.filter(safe_pred)
-        .groupBy("grp", "bin")
-        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
-        .withColumn("batch_id", F.lit(-1))
-        .unionByName(parts.filter(~safe_pred))
-        .localCheckpoint(eager=True)
-    )
-    (
-        folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("batch_id")
-        .parquet(index_path)
+    _compact_binned_store(
+        spark, index_path, ["grp", "bin"], max_safe_batch_id
     )

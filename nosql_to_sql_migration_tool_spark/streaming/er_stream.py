@@ -3,19 +3,26 @@ stream twin. A migration that receives target batches continuously
 (the reference's scheduled sync loop, ``private/Sync.ps1:125-163``,
 with keys absent or dirty) maintains two stores per micro-batch:
 
-  match store  — ``update_linkage_matches``: one blocked a x batch
-                 equi-join, O(batch) appended rows, batch_id-keyed
-                 replay-idempotent overwrite
+  match store  — the batch's COMPLETE match relation (reference x
+                 batch multi-pass scores ∪ batch-internal
+                 ``er_matches``), multi-pass-deduped, written under
+                 ONE batch_id partition with a replay-idempotent
+                 dynamic overwrite. Persisting the union keeps the
+                 store consistent with the labels: a consumer
+                 rebuilding clusters from ``read_linkage_matches``
+                 reaches the same components the label store holds
+                 (a per-pass or cross-only store would not — pairs
+                 matched by several passes would double, and
+                 batch-internal pairs would be missing).
   label store  — ``update_er_label_store``: churn-bounded relabel +
                  partition-scoped rewrite of the bucket-partitioned
                  ``(id, entity_id)`` table
 
-Batch-internal duplicates are covered per the ``update_er_clusters``
-completeness contract (the batch is also self-matched — both sides are
-O(batch)-bounded blocked joins). Replay safety: the match store
-overwrite is idempotent by construction; the label fold is idempotent
-because relabeling with an already-folded batch's matches reaches the
-same fixpoint (components already merged stay merged — label repair is
+The blocked score joins are computed ONCE per batch and pinned; both
+stores fold from the same frame. Replay safety: the match overwrite is
+idempotent by construction; the label fold is idempotent because
+relabeling with an already-folded batch's matches reaches the same
+fixpoint (components already merged stay merged — label repair is
 monotone in the match set), pinned by the replay test.
 
 availableNow trigger — the scheduled-sync shape shared by every
@@ -31,7 +38,6 @@ from nosql_to_sql_migration_tool_spark.operators.linkage import (
     er_matches,
     multi_pass_linkage_scores,
     update_er_label_store,
-    update_linkage_matches,
 )
 
 __all__ = ["fold_er_batch", "stream_er_maintenance"]
@@ -62,28 +68,26 @@ def fold_er_batch(
     entities (the usual setup — the reference is the growing target
     table). A static reference misses cross-batch duplicates, by
     construction."""
-    for i, col in enumerate(block_cols):
-        update_linkage_matches(
-            reference,
-            batch,
-            match_store_path,
-            col,
-            params,
-            id_col,
-            threshold_micro,
-            # one partition per (batch, pass): replay overwrites both
-            batch_id * len(block_cols) + i,
-        )
     cross = multi_pass_linkage_scores(
         reference, batch, block_cols, params, id_col
     ).filter(F.col("score_micro") >= int(threshold_micro))
     internal = er_matches(
         batch, block_cols, params, id_col, threshold_micro
     )
+    # the batch's complete, deduped match relation — computed once,
+    # pinned, and the frame BOTH stores fold from
+    matches = cross.unionByName(internal).localCheckpoint(eager=True)
+    (
+        matches.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(match_store_path)
+    )
     update_er_label_store(
         spark,
         label_store_path,
-        cross.unionByName(internal),
+        matches,
         id_col,
         new_entities=batch,
         n_buckets=n_buckets,

@@ -434,3 +434,23 @@ def test_er_plan_shapes_no_cartesian_no_global_window(spark):
         assert rep["cartesian_products"] == 0, rep
         assert rep["global_windows"] == 0, rep
         assert rep["python_stages"] == 0, rep
+
+
+def test_er_label_store_rejects_bucket_config_mismatch(spark, tmp_path):
+    """Review r15: folding with an n_buckets differing from the store's
+    write-time layout would strand stale rows in old partitions; the
+    fold must detect the mismatch against stored __bucket values and
+    raise instead of corrupting."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        update_er_label_store,
+        write_er_label_store,
+    )
+
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(50)], ["id", "entity_id"]
+    )
+    path = str(tmp_path / "labels")
+    write_er_label_store(labels, path, "id", n_buckets=16)
+    matches = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="n_buckets"):
+        update_er_label_store(spark, path, matches, "id", n_buckets=64)

@@ -279,3 +279,64 @@ def test_quantile_plan_shapes_no_cartesian_flagged_no_global_window(spark):
         assert rep["cartesian_products"] == 0, rep
         assert rep["global_windows"] == 0, rep
         assert rep["python_stages"] == 0, rep
+
+
+def test_all_null_first_fold_leaves_store_readable(spark, tmp_path):
+    """Review r15: a first fold whose column is entirely NULL writes no
+    parquet files; reads must answer zero rows (matching the one-shot
+    over an empty relation), and a later real fold recovers the store.
+    Covers scalar and grouped reads."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        fixed_binned_quantiles_by,
+        read_quantile_bins_by,
+        update_quantile_bins_by,
+    )
+
+    path = str(tmp_path / "qb")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "k int, v double"
+    )
+    update_quantile_bins(nulls, "v", path, LO, HI, batch_id=0, n_bins=NB)
+    assert read_quantile_bins(spark, path, LO, HI, QS, NB).count() == 0
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    update_quantile_bins(
+        orders, "o_totalprice", path, LO, HI, batch_id=1, n_bins=NB
+    )
+    assert sorted(
+        map(tuple, read_quantile_bins(spark, path, LO, HI, QS, NB).collect())
+    ) == sorted(
+        map(
+            tuple,
+            fixed_binned_quantiles(
+                orders, "o_totalprice", LO, HI, QS, NB
+            ).collect(),
+        )
+    )
+    # grouped twin: same empty-store contract
+    gpath = str(tmp_path / "qbg")
+    update_quantile_bins_by(
+        nulls, "k", "v", gpath, LO, HI, batch_id=0, n_bins=NB
+    )
+    assert (
+        read_quantile_bins_by(spark, gpath, "k", LO, HI, QS, NB).count()
+        == 0
+    )
+    update_quantile_bins_by(
+        orders, "o_orderpriority", "o_totalprice", gpath, LO, HI,
+        batch_id=1, n_bins=NB,
+    )
+    assert sorted(
+        map(
+            tuple,
+            read_quantile_bins_by(
+                spark, gpath, "o_orderpriority", LO, HI, QS, NB
+            ).collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            fixed_binned_quantiles_by(
+                orders, "o_orderpriority", "o_totalprice", LO, HI, QS, NB
+            ).collect(),
+        )
+    )

@@ -2123,3 +2123,76 @@ def test_stream_er_maintenance_matches_full_resolution(spark, tmp_path):
     assert before_matches == sorted(
         map(tuple, read_linkage_matches(spark, matches_p).collect())
     )
+
+
+def test_fold_er_batch_match_store_is_complete_and_deduped(
+    spark, tmp_path
+):
+    """Review r15: the persisted match relation must agree with the
+    labels — a batch-INTERNAL duplicate pair lands in the match store,
+    and a pair matched by BOTH blocking passes is stored once (the
+    multi-pass dedupe), so clusters rebuilt from read_linkage_matches
+    equal the label store."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        er_clusters,
+        read_er_label_store,
+        read_linkage_matches,
+        write_er_label_store,
+    )
+    from nosql_to_sql_migration_tool_spark.streaming.er_stream import (
+        fold_er_batch,
+    )
+
+    params = {"name": (0.95, 0.001), "seg": (0.9, 0.2)}
+    passes = [("blk", "name"), ("blk", "seg")]
+    thresh = 2_000_000
+    reference = spark.createDataFrame(
+        [(1, 0, "alice", "A"), (2, 0, "bob", "B")],
+        ["id", "blk", "name", "seg"],
+    )
+    # 10 matches reference 1 by BOTH passes (name+seg agree);
+    # 20/21 duplicate EACH OTHER only (internal pair)
+    batch = spark.createDataFrame(
+        [
+            (10, 0, "alice", "A"),
+            (20, 0, "carol", "C"),
+            (21, 0, "carol", "C"),
+        ],
+        ["id", "blk", "name", "seg"],
+    )
+    matches_p = str(tmp_path / "matches")
+    labels_p = str(tmp_path / "labels")
+    write_er_label_store(
+        reference.select("id", F.col("id").alias("entity_id")),
+        labels_p,
+        "id",
+        n_buckets=8,
+    )
+    fold_er_batch(
+        spark, reference, batch, matches_p, labels_p,
+        passes, params, "id", thresh, 0, n_buckets=8,
+    )
+    stored = sorted(
+        (r["id_a"], r["id_b"])
+        for r in read_linkage_matches(spark, matches_p).collect()
+    )
+    # complete: the internal pair is present; deduped: the two-pass
+    # match appears exactly once
+    assert stored == [(1, 10), (20, 21)]
+    # consistency: clusters rebuilt from the match store == label store
+    entities = reference.unionByName(batch).select("id")
+    rebuilt = sorted(
+        map(
+            tuple,
+            er_clusters(
+                entities,
+                read_linkage_matches(spark, matches_p).select(
+                    "id_a", "id_b"
+                ),
+                "id",
+            ).collect(),
+        )
+    )
+    assert rebuilt == sorted(
+        map(tuple, read_er_label_store(spark, labels_p).collect())
+    )
