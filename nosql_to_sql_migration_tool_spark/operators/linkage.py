@@ -55,6 +55,8 @@ __all__ = [
     "write_er_label_store",
     "read_er_label_store",
     "update_er_label_store",
+    "er_survivorship_report",
+    "er_survivorship_report_sql",
 ]
 
 
@@ -805,3 +807,101 @@ def update_er_label_store(
         .partitionBy(_ER_BUCKET)
         .parquet(path)
     )
+
+
+def er_survivorship_report(
+    entities: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Consolidation explainability — one row per (entity, field):
+    ``(entity_id, n_members, field, policy, n_values, n_dissenting)``
+    where n_values counts the cluster's distinct non-NULL values for
+    the field and n_dissenting counts members whose non-NULL value
+    differs from the survivorship choice. This is the review surface a
+    golden-record merge ships with (the validation-report ethos of
+    ``Compare-DocumentToRecord``, reference
+    ``private/Migration_Validation.ps1:266-363``, applied to ER): a
+    field with n_dissenting > 0 is a conflict a reviewer may audit.
+    Deliberately emits COUNTS, not the losing values — casting mixed
+    field types to one display column is the known cross-engine
+    rendering hazard; consumers join ``er_golden_records`` for values.
+
+    Plan: the golden frame plus ONE further groupBy(entity_id) with
+    per-field count_distinct + dissent sums, melted to long form by an
+    explode projection — no window, no per-field shuffle."""
+    golden = er_golden_records(entities, clusters, id_col, rules)
+    chosen = golden.select(
+        "entity_id", *[F.col(f).alias(f"__g_{f}") for f in rules]
+    )
+    j = entities.join(clusters, id_col).join(chosen, "entity_id")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    for f in rules:
+        aggs.append(
+            F.count_distinct(F.col(f)).cast("long").alias(f"__nv_{f}")
+        )
+        aggs.append(
+            F.sum(
+                (
+                    F.col(f).isNotNull()
+                    & (F.col(f) != F.col(f"__g_{f}"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"__nd_{f}")
+        )
+    wide = j.groupBy("entity_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("field"),
+                F.lit(rules[f]).alias("policy"),
+                F.col(f"__nv_{f}").alias("n_values"),
+                F.col(f"__nd_{f}").alias("n_dissenting"),
+            )
+            for f in rules
+        ]
+    )
+    return wide.select(
+        "entity_id", "n_members", F.explode(pairs).alias("__p")
+    ).select(
+        "entity_id",
+        "n_members",
+        F.col("__p.field").alias("field"),
+        F.col("__p.policy").alias("policy"),
+        F.col("__p.n_values").alias("n_values"),
+        F.col("__p.n_dissenting").alias("n_dissenting"),
+    )
+
+
+def er_survivorship_report_sql(
+    entities_sql: str,
+    matches_sql: str,
+    id_col: str,
+    rules: dict[str, str],
+) -> str:
+    """DuckDB twin of ``er_survivorship_report`` — the golden twin as a
+    nested CTE (DuckDB permits WITH RECURSIVE in a CTE body), the same
+    per-field distinct/dissent aggregates, long form via UNION ALL."""
+    golden = er_golden_records_sql(entities_sql, matches_sql, id_col, rules)
+    clusters = er_clusters_sql(entities_sql, matches_sql, id_col)
+    arms = []
+    for f, p in rules.items():
+        arms.append(
+            f"""SELECT j.entity_id, g.n_members,
+       '{f}' AS field, '{p}' AS policy,
+       CAST(count(DISTINCT j.{f}) AS BIGINT) AS n_values,
+       CAST(sum(CASE WHEN j.{f} IS NOT NULL AND j.{f} <> g.{f}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dissenting
+FROM j JOIN g ON j.entity_id = g.entity_id
+GROUP BY j.entity_id, g.n_members"""
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH g AS ({golden}),
+c AS ({clusters}),
+e AS ({entities_sql}),
+j AS (SELECT e.*, c.entity_id FROM e JOIN c ON e.{id_col} = c.{id_col})
+{union}
+"""

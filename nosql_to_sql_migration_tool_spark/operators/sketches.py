@@ -1702,3 +1702,93 @@ def compact_quantile_bins_by(
     _compact_binned_store(
         spark, index_path, ["grp", "bin"], max_safe_batch_id
     )
+
+
+def kmv_difference(
+    a: DataFrame, b: DataFrame, col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV set-DIFFERENCE estimation, completing the set algebra
+    (union + intersection shipped r15; this is the theta-sketch
+    a-not-b shape): from the two column sketches alone, estimate
+    |A \\ B| without running the anti-join. ONE row ``(n_union_kept,
+    rho_a_not_b, union_estimate, difference_estimate)``: K =
+    bottom-k(sketch(A) ∪ sketch(B)) is the union's sketch;
+    rho_a_not_b = |K ∩ sketch(A) \\ sketch(B)| is a Binomial(k,
+    |A\\B|/|A∪B|) draw, so difference ≈ rho * union_est DIV k —
+    integer math both engines replay bit-identically, and EXACT while
+    the union holds < k distinct hashes (K is then the whole union,
+    rho the true difference count). Estimating via rho keeps the
+    numerator and denominator on ONE sketch draw — subtracting two
+    independent estimates (|A| - |A∩B|) could go negative and carries
+    both draws' error. Cost beyond the two input scans: <= k-row
+    frames, every downstream join broadcasts."""
+    sa = kmv_bottomk(a, col, k)
+    sb = kmv_bottomk(b, col, k)
+    union_k = kmv_merge(sa, sb, k)
+    only_a = sa.join(sb, "h", "anti")
+    marked = union_k.join(
+        F.broadcast(only_a.withColumn("__onlya", F.lit(1))), "h", "left"
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_kept"),
+        F.max("h").alias("__kth"),
+        F.sum(F.coalesce(F.col("__onlya"), F.lit(0)))
+        .cast("long")
+        .alias("rho_a_not_b"),
+    )
+    num = (int(k) - 1) * KMV_SPACE
+    return agg.select(
+        "n_union_kept",
+        "rho_a_not_b",
+        _kmv_estimate("n_union_kept", "__kth", int(k)).alias(
+            "union_estimate"
+        ),
+        F.when(
+            F.col("n_union_kept") < int(k), F.col("rho_a_not_b")
+        )
+        .otherwise(
+            F.expr(
+                f"(rho_a_not_b * ({num}L DIV greatest(__kth, 1L))) "
+                f"DIV {int(k)}L"
+            )
+        )
+        .cast("long")
+        .alias("difference_estimate"),
+    )
+
+
+def kmv_difference_sql(
+    a_sql: str, b_sql: str, expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of ``kmv_difference`` — identical sketches, cut,
+    rho and integer estimators."""
+    num = (int(k) - 1) * KMV_SPACE
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {kmv_hash_sql(expr)} AS h FROM ({a_sql})
+  ORDER BY h LIMIT {int(k)}
+),
+sb AS (
+  SELECT DISTINCT {kmv_hash_sql(expr)} AS h FROM ({b_sql})
+  ORDER BY h LIMIT {int(k)}
+),
+uk AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT {int(k)}
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
+         max(h) AS kth,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM sa)
+                        AND h NOT IN (SELECT h FROM sb)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS rho_a_not_b
+  FROM uk
+)
+SELECT n_union_kept, rho_a_not_b,
+       CASE WHEN n_union_kept < {int(k)} THEN n_union_kept
+            ELSE {num} // greatest(kth, 1) END AS union_estimate,
+       CASE WHEN n_union_kept < {int(k)} THEN rho_a_not_b
+            ELSE (rho_a_not_b * ({num} // greatest(kth, 1))) // {int(k)}
+       END AS difference_estimate
+FROM agg
+"""

@@ -454,3 +454,98 @@ def test_er_label_store_rejects_bucket_config_mismatch(spark, tmp_path):
     matches = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="n_buckets"):
         update_er_label_store(spark, path, matches, "id", n_buckets=64)
+
+
+def test_er_survivorship_report_semantics(spark):
+    """Hand-checkable conflict counts: n_values = distinct non-NULL
+    values in the cluster, n_dissenting = non-NULL members differing
+    from the survivorship choice; singletons report zero dissent."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        er_survivorship_report,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            (1, "alpha", 5.0, "B"),
+            (2, "beta", 9.0, "A"),
+            (3, "alpha", 1.0, "A"),
+            (20, "zeta", 7.0, None),
+        ],
+        ["id", "name", "bal", "seg"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (20, 20)], ["id", "entity_id"]
+    )
+    rules = {"name": "canonical", "bal": "max", "seg": "mode"}
+    got = {
+        (r["entity_id"], r["field"]): (
+            r["n_members"], r["policy"], r["n_values"], r["n_dissenting"]
+        )
+        for r in er_survivorship_report(
+            ents, clusters, "id", rules
+        ).collect()
+    }
+    assert got == {
+        # cluster 1: canonical name "alpha" (id 1) — member 2 dissents;
+        # max bal 9.0 — members 1 and 3 dissent; mode seg "A" — 1 dissents
+        (1, "name"): (3, "canonical", 2, 1),
+        (1, "bal"): (3, "max", 3, 2),
+        (1, "seg"): (3, "mode", 2, 1),
+        # singleton: no dissent anywhere; NULL seg -> 0 values
+        (20, "name"): (1, "canonical", 1, 0),
+        (20, "bal"): (1, "max", 1, 0),
+        (20, "seg"): (1, "mode", 0, 0),
+    }
+
+
+def test_er_survivorship_report_parity_on_messy_fixture(spark):
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        er_survivorship_report,
+        er_survivorship_report_sql,
+    )
+
+    rules = {
+        "c_name": "canonical",
+        "c_acctbal": "max",
+        "c_mktsegment": "mode",
+    }
+    m = messy_customers(load_table(spark, SF_DIR_SMOKE, "customer"))
+    matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    clusters = er_clusters(m, matches, "c_custkey")
+    mine = sorted(
+        map(
+            tuple,
+            er_survivorship_report(
+                m, clusters, "c_custkey", rules
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            er_survivorship_report_sql(
+                MESSY_CUSTOMERS_SQL,
+                er_matches_sql(
+                    MESSY_CUSTOMERS_SQL,
+                    _PASSES,
+                    _PARAMS,
+                    "c_custkey",
+                    _THRESHOLD,
+                ),
+                "c_custkey",
+                rules,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and len(mine) > 0
+    # the fixture's ' X' name corruption shows up as measured conflict:
+    # some multi-member cluster has a dissenting name
+    assert any(
+        f == "c_name" and nd > 0 for _, n, f, _, _, nd in mine if n > 1
+    )

@@ -332,3 +332,63 @@ def test_intersection_audit_parity_and_envelope(spark):
     # loose deterministic envelopes (fixed hash set — never flakes)
     assert row[4] < 4.0 / (254.0 ** 0.5)   # union rel err
     assert row[5] < 0.6                     # intersection rel err
+
+
+def test_difference_exact_below_k_and_estimator(spark):
+    """r15 late build: kmv_difference (the theta-sketch a-not-b shape)
+    — exact while the union fits in k; past k the single-draw rho
+    estimator lands in a loose deterministic envelope and can never go
+    negative (unlike subtracting two independent estimates)."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_difference,
+    )
+
+    a = spark.range(0, 1000).selectExpr("id AS v")
+    b = spark.range(500, 1500).selectExpr("id AS v")
+    got = kmv_difference(a, b, "v", 4096).collect()[0]
+    assert (got["union_estimate"], got["difference_estimate"]) == (1500, 500)
+    assert got["rho_a_not_b"] == 500 and got["n_union_kept"] == 1500
+    # asymmetry: b \ a is a different set (here equal size by fixture)
+    rev = kmv_difference(b, a, "v", 4096).collect()[0]
+    assert rev["difference_estimate"] == 500
+    # subset edge: a \ a is empty, exactly
+    same = kmv_difference(a, a, "v", 4096).collect()[0]
+    assert same["difference_estimate"] == 0
+    est = kmv_difference(a, b, "v", 256).collect()[0]
+    assert est["n_union_kept"] == 256
+    assert 0 <= est["difference_estimate"]
+    assert abs(est["difference_estimate"] - 500) / 500 < 0.6
+
+
+def test_difference_cross_engine_parity(spark):
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        kmv_difference,
+        kmv_difference_sql,
+    )
+
+    orders = load_table(spark, SF_DIR_SMOKE, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b = orders.filter(F.col("o_orderkey") % 2 != 0)
+    for k in (64, 8192):
+        mine = [
+            tuple(r)
+            for r in kmv_difference(a, b, "o_custkey", k).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{SF_DIR_SMOKE}/orders.parquet'"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(
+                kmv_difference_sql(
+                    "SELECT * FROM orders WHERE o_orderkey % 3 <> 0",
+                    "SELECT * FROM orders WHERE o_orderkey % 2 <> 0",
+                    "o_custkey",
+                    k,
+                )
+            ).fetchall()
+        ]
+        con.close()
+        assert mine == want
