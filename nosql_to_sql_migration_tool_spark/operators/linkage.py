@@ -503,7 +503,7 @@ SELECT src AS {id_col}, min(dst) AS entity_id FROM reach GROUP BY src
 """
 
 
-_GOLDEN_POLICIES = ("canonical", "min", "max", "mode")
+_GOLDEN_POLICIES = ("canonical", "latest", "min", "max", "mode")
 
 
 def er_golden_records(
@@ -518,6 +518,10 @@ def er_golden_records(
       canonical — the value from the min-id member (the cluster label's
                   own record; in a clean-plus-rekeyed-dirty merge the
                   clean record wins when it holds the lower id)
+      latest    — the value from the MAX-id member: last-writer-wins
+                  when ids are ingest-monotonic (the ER form of the
+                  reference's upsert semantics, Sync.ps1 apply /
+                  relational.upsert_last_wins)
       min / max — field extremes across members
       mode      — most frequent non-NULL value, ties to the smallest
                   value (deterministic in both engines); NULL when the
@@ -541,6 +545,8 @@ def er_golden_records(
     for f, p in rules.items():
         if p == "canonical":
             aggs.append(F.min_by(F.col(f), F.col(id_col)).alias(f))
+        elif p == "latest":
+            aggs.append(F.max_by(F.col(f), F.col(id_col)).alias(f))
         elif p == "max":
             aggs.append(F.max(f).alias(f))
         elif p == "min":
@@ -590,6 +596,8 @@ def er_golden_records_sql(
     for f, p in rules.items():
         if p == "canonical":
             scalar.append(f"min_by({f}, {id_col}) AS {f}")
+        elif p == "latest":
+            scalar.append(f"max_by({f}, {id_col}) AS {f}")
         elif p == "max":
             scalar.append(f"max({f}) AS {f}")
         elif p == "min":

@@ -120,7 +120,7 @@ def test_er_golden_records_rejects_unknown_policy(spark):
     ents = spark.createDataFrame([(1, "a")], ["id", "name"])
     clusters = spark.createDataFrame([(1, 1)], ["id", "entity_id"])
     with pytest.raises(ValueError, match="policy"):
-        er_golden_records(ents, clusters, "id", {"name": "latest"})
+        er_golden_records(ents, clusters, "id", {"name": "newest"})
 
 
 def test_er_matches_recovers_rekeyed_duplicates(spark):
@@ -549,3 +549,62 @@ def test_er_survivorship_report_parity_on_messy_fixture(spark):
     assert any(
         f == "c_name" and nd > 0 for _, n, f, _, _, nd in mine if n > 1
     )
+
+
+def test_er_golden_records_latest_policy(spark):
+    """'latest' takes the MAX-id member's value (last-writer-wins under
+    ingest-monotonic ids) — the mirror of canonical, in both engines."""
+    from nosql_to_sql_migration_tool_spark.operators.linkage import (
+        er_golden_records_sql,
+    )
+
+    ents = spark.createDataFrame(
+        [(1, "old"), (2, "mid"), (3, "new"), (9, "solo")],
+        ["id", "name"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["id", "entity_id"]
+    )
+    got = {
+        r["entity_id"]: r["name"]
+        for r in er_golden_records(
+            ents, clusters, "id", {"name": "latest"}
+        ).collect()
+    }
+    assert got == {1: "new", 9: "solo"}
+    # parity on the messy fixture: latest acctbal = the re-keyed dirty
+    # twin's value wherever one exists (dirty ids are higher)
+    m = messy_customers(load_table(spark, SF_DIR_SMOKE, "customer"))
+    matches = er_matches(m, _PASSES, _PARAMS, "c_custkey", _THRESHOLD)
+    clusters_m = er_clusters(m, matches, "c_custkey")
+    rules = {"c_acctbal": "latest"}
+    mine = sorted(
+        map(
+            tuple,
+            er_golden_records(m, clusters_m, "c_custkey", rules).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/customer.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            er_golden_records_sql(
+                MESSY_CUSTOMERS_SQL,
+                er_matches_sql(
+                    MESSY_CUSTOMERS_SQL,
+                    _PASSES,
+                    _PARAMS,
+                    "c_custkey",
+                    _THRESHOLD,
+                ),
+                "c_custkey",
+                rules,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert mine == want and len(mine) > 0
