@@ -135,28 +135,42 @@ def charlm_score(
     lm_map = F.create_map(
         *[F.lit(x) for bg, su in model for x in (bg, su)]
     )
+
     # try_element_at, not element_at/[]: ANSI mode (on in this engine)
     # makes a plain map subscript THROW on a missing key, and unseen
     # bigrams are exactly the case the floor exists for.
-    su = F.coalesce(
-        F.try_element_at(lm_map, F.col("__bg")), F.lit(floor).cast("long")
-    ).cast("long")
-    return (
-        df.filter(F.char_length(F.col(text_col)) >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(char_bigrams(F.col(text_col))).alias("__bg"),
-        )
-        .select(F.col(id_col), su.alias("__su"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("__su").cast("double")
-                / (F.lit(1_000_000.0) * F.count(F.lit(1))),
-                6,
-            ).alias("bits_per_char"),
-        )
+    def _su(bg: Column) -> Column:
+        return F.coalesce(
+            F.try_element_at(lm_map, bg), F.lit(floor).cast("long")
+        ).cast("long")
+
+    # r15 optimization (guide §2.3 "aggregate before you shuffle" /
+    # §4.1 higher-order functions): the original shape exploded one row
+    # PER CHARACTER BIGRAM (a ~1000x row blowup on kilobyte docs) and
+    # pushed the blowup through the aggregation machinery. The
+    # per-doc-row partial sum is instead computed IN-ROW with
+    # F.aggregate over the bigram array — LONG addition is order-free,
+    # so the fold equals the exploded sum bit-for-bit — and the bigram
+    # count is char_length-1 by construction (every filtered row has
+    # >= 2 chars). The groupBy survives only to merge duplicate ids
+    # (same merge semantics as before); its shuffle now carries ONE
+    # narrow row per input row instead of one per bigram.
+    row = df.filter(F.char_length(F.col(text_col)) >= 2).select(
+        F.col(id_col),
+        (F.char_length(F.col(text_col)) - 1).cast("long").alias("__n"),
+        F.aggregate(
+            char_bigrams(F.col(text_col)),
+            F.lit(0).cast("long"),
+            lambda acc, bg: acc + _su(bg),
+        ).alias("__su"),
+    )
+    return row.groupBy(id_col).agg(
+        F.sum("__n").alias("n_bigrams"),
+        F.round(
+            F.sum("__su").cast("double")
+            / (F.lit(1_000_000.0) * F.sum("__n")),
+            6,
+        ).alias("bits_per_char"),
     )
 
 

