@@ -276,8 +276,21 @@ def minhash_candidates(
     sharing at least one (band index, band hash) bucket. The join is a
     bucket equi-join — never an all-pairs product — and buckets wider
     than ``max_bucket_width`` are salt-split (``with_salt_cells``) so a
-    degenerate band hash cannot go quadratic."""
-    sig = minhash_sig_table(df, text_col, id_col, shingles)
+    degenerate band hash cannot go quadratic.
+
+    r15 optimization (guide §2.4 remove redundant passes): the bucket
+    frame derived from the signature table feeds FOUR consumers — the
+    salt-cell widths groupBy, the width join-back, and both sides of
+    the bucket self-join — so without materialization the explode +
+    N_HASHES-md5 + min-aggregate subtree executes repeatedly. The sig
+    table is one narrow row per doc (the signature store an LSH
+    pipeline persists anyway at scale); an eager ``localCheckpoint``
+    computes it once and every consumer reads the checkpoint. Measured
+    (tools/micro_ab_r15.py cands, 3 alternating repeats, sf0.1):
+    2.28 s -> 1.97 s warm, result hash identical."""
+    sig = minhash_sig_table(df, text_col, id_col, shingles).localCheckpoint(
+        eager=True
+    )
     bands_arr = F.array(
         *[
             F.md5(

@@ -237,8 +237,9 @@ def exact_quantiles(
     answers from <= n_bins rows, this answers from one extra shuffle on
     the distinct values — run it on a sample (or a partition) to grade
     the sketch's bin-width error with real numbers."""
+    from pyspark.sql import Window
+
     from nosql_to_sql_migration_tool_spark.operators.ranking import (
-        bucketed_cumsum,
         range_bucket_expr,
     )
 
@@ -259,25 +260,70 @@ def exact_quantiles(
         .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint(eager=True)
     )
-    cum = bucketed_cumsum(
-        hist,
-        range_bucket_expr(hist, "__v", 32),
-        [F.col("__v")],
-        "__c",
-        out_col="__cum",
+    # r15 optimization, second cut (guide §2.2 shuffle fewer bytes): the
+    # histogram is DATA-sized when the column is near-all-distinct
+    # (l_extendedprice at sf0.1: 583k distinct of 600k rows), so the
+    # full bucketed cumsum — shuffle + per-bucket sort of EVERY distinct
+    # value — was the dominant cost. But the answer only needs the
+    # cumulative count at the <= len(qs) crossing points: with the
+    # per-bucket totals on the driver (<= 32 rows — the same round trip
+    # bucketed_cumsum already made), the bucket containing each q*n
+    # crossing is known BEFORE any cumsum, and the windowed sum need
+    # only run inside those crossing buckets. Every comparison below
+    # reproduces Spark's own arithmetic (Python float IS the same IEEE
+    # double: float(q) * float(n) == lit(q) * cast(n as double), and
+    # float(run) >= target == cast(cum as double) >= target), so the
+    # picked rows are bit-identical to the full-cumsum form; the
+    # monotone bucket ladder guarantees the satisfying set is a suffix
+    # in __v order, so the global min over crossing buckets equals the
+    # min over all buckets.
+    bkt = range_bucket_expr(hist, "__v", 32)
+    with_bkt = hist.withColumn("__bkt", bkt)
+    totals = sorted(
+        (r[0], r[1] if r[1] is not None else 0)
+        for r in with_bkt.groupBy("__bkt")
+        .agg(F.sum("__c").alias("__t"))
+        .collect()
     )
-    total = hist.agg(
-        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n")
+    n = sum(t for _, t in totals)
+    offsets, acc = {}, 0
+    for b, t in totals:
+        offsets[b] = acc
+        acc += t
+    needed: set = set()
+    for q in qs:
+        target = float(q) * float(n)
+        run = 0
+        for b, t in totals:
+            run += t
+            if float(run) >= target:
+                needed.add(b)
+                break
+    if needed:
+        sel = with_bkt.filter(F.col("__bkt").isin(*sorted(needed)))
+        off = F.lit(0).cast("long")
+        for b in sorted(needed):
+            off = F.when(
+                F.col("__bkt") == F.lit(b), F.lit(offsets[b]).cast("long")
+            ).otherwise(off)
+    else:  # empty input: keep the one-row-of-nulls agg shape
+        sel = with_bkt.filter(F.lit(False))
+        off = F.lit(0).cast("long")
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = sel.withColumn("__cum", F.sum("__c").over(w) + off)
     # One conditional-aggregate pass answers every q at once: min value
     # whose cum reaches q*n. No range join (a broadcast >= join would
     # emit ~|distinct|/2 rows per q before its groupBy), just len(qs)
-    # aggregate expressions over the cumulative frame.
-    picked = cum.crossJoin(F.broadcast(total)).agg(
+    # aggregate expressions over the (crossing-bucket) cumulative frame.
+    picked = cum.agg(
         *[
             F.min(
                 F.when(
-                    F.col("__cum") >= F.lit(float(q)) * F.col("__n"),
+                    F.col("__cum") >= F.lit(float(q) * float(n)),
                     F.col("__v"),
                 )
             ).alias(f"__x{i}")

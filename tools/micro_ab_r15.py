@@ -350,7 +350,168 @@ def case_containment(spark, sf_dir):
     ]
 
 
-CASES = {"quality": case_quality, "containment": case_containment}
+def case_cands(spark, sf_dir):
+    """Decompose build:dedup_text_memos' dominant step (dedup_cands,
+    ~5.1s profiled): the sig-table subtree feeds the bucket widths
+    groupBy, the width join-back AND both sides of the bucket self-join
+    — up to 4 references. Variants checkpoint the metadata-sized frames
+    (sig: 1 row/doc x 13 cols; buckets: N_BANDS rows/doc x 3 cols) so
+    downstream reads them instead of re-deriving."""
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        MAX_BUCKET_WIDTH,
+        N_BANDS,
+        ROWS_PER_BAND,
+        minhash_candidates,
+        minhash_sig_table,
+        with_salt_cells,
+    )
+    import nosql_to_sql_migration_tool_spark.queries as Q
+
+    docs = Q._dedup_docs(spark, sf_dir)
+    sh_sets = Q._dedup_shingles(spark, sf_dir)
+    sh_sets.count()  # memo forced outside the timings, as in bench
+
+    def current(spark, sf_dir):
+        return minhash_candidates(docs, shingles=sh_sets)
+
+    def sig_only(spark, sf_dir):
+        return minhash_sig_table(docs, shingles=sh_sets)
+
+    def _from_buckets(buckets):
+        keys = ["band_idx", "band_hash"]
+        buckets = with_salt_cells(buckets, keys, "doc_id", MAX_BUCKET_WIDTH)
+        keys = keys + ["__cell"]
+        a = buckets.select(F.col("doc_id").alias("id_a"), *keys)
+        b = buckets.select(F.col("doc_id").alias("id_b"), *keys)
+        return (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    def _buckets_of(sig):
+        bands_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__h{bnd * ROWS_PER_BAND + j}")
+                            for j in range(ROWS_PER_BAND)
+                        ],
+                    )
+                )
+                for bnd in range(N_BANDS)
+            ]
+        )
+        return sig.select(
+            "doc_id", F.posexplode(bands_arr).alias("band_idx", "band_hash")
+        )
+
+    def ckpt_sig(spark, sf_dir):
+        sig = minhash_sig_table(docs, shingles=sh_sets).localCheckpoint(
+            eager=True
+        )
+        return _from_buckets(_buckets_of(sig))
+
+    def ckpt_buckets(spark, sf_dir):
+        sig = minhash_sig_table(docs, shingles=sh_sets)
+        buckets = _buckets_of(sig).localCheckpoint(eager=True)
+        return _from_buckets(buckets)
+
+    return [
+        ("current", current),
+        ("sig_only", sig_only),
+        ("ckpt_sig", ckpt_sig),
+        ("ckpt_buckets", ckpt_buckets),
+    ]
+
+
+def case_prefix(spark, sf_dir):
+    """Decompose jaccard_prefix_pairs (prefix_truth_pairs memo, ~4.3s
+    profiled): the prefix frame (rows -> dfreq join -> two windows ->
+    filter) feeds BOTH sides of the candidate self-join — the same
+    multi-referenced-subtree disease as the quantile audit. Variant
+    checkpoints the (metadata-narrow) prefix frame once."""
+    from pyspark.sql import Window
+
+    from nosql_to_sql_migration_tool_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+    import nosql_to_sql_migration_tool_spark.queries as Q
+
+    docs = Q._dedup_docs(spark, sf_dir)
+    sh_sets = Q._dedup_shingles(spark, sf_dir)
+    sh_sets.count()
+
+    def rows():
+        return sh_sets.select("doc_id", F.explode("__sh").alias("__s"))
+
+    def current(spark, sf_dir):
+        return jaccard_prefix_pairs(
+            docs, tau_num=3, tau_den=5, rows=rows(), shingles=sh_sets
+        )
+
+    def ckpt_prefix(spark, sf_dir):
+        tau_num, tau_den, id_col = 3, 5, "doc_id"
+        r = rows()
+        dfreq = r.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy(id_col).orderBy("__df", "__s")
+        sized = r.join(dfreq, "__s").select(
+            id_col,
+            "__s",
+            F.row_number().over(w).alias("__pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(id_col))
+            .alias("__sz"),
+        )
+        ceil_tau_s = F.floor(
+            (F.lit(tau_num) * F.col("__sz") + F.lit(tau_den - 1))
+            / F.lit(tau_den)
+        )
+        prefix = (
+            sized.filter(
+                F.col("__pos") <= F.col("__sz") - ceil_tau_s + F.lit(1)
+            )
+            .select(id_col, "__s")
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            prefix.select(F.col(id_col).alias("id_a"), "__s")
+            .join(prefix.select(F.col(id_col).alias("id_b"), "__s"), "__s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = sh_sets.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+        )
+        b = sh_sets.select(
+            F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+        )
+        jac = F.round(
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            * F.lit(1.0)
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+            6,
+        )
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= F.lit(tau_num) / F.lit(tau_den))
+        )
+
+    return [("current", current), ("ckpt_prefix", ckpt_prefix)]
+
+
+CASES = {
+    "quality": case_quality,
+    "containment": case_containment,
+    "cands": case_cands,
+    "prefix": case_prefix,
+}
 
 
 def main() -> None:
