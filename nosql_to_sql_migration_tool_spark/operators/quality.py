@@ -328,6 +328,9 @@ def numeric_drift(
         [F.col("bin")],
         "da",
         out_col="__cum",
+        # bin-bounded metadata (<= n_bins rows) derived from two corpus
+        # scans — staging halves the scans (guide §2.4)
+        materialize_input=True,
     )
     scale = (F.col("__na") * F.col("__nb")).cast("double")
     return (
@@ -485,6 +488,9 @@ def numeric_drift_vs_baseline(
         [F.col("bin")],
         "da",
         out_col="__cum",
+        # bin-bounded metadata (<= n_bins rows) derived from two corpus
+        # scans — staging halves the scans (guide §2.4)
+        materialize_input=True,
     )
     scale = (F.col("__na") * F.col("__nb")).cast("double")
     return (

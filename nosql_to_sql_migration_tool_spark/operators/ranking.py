@@ -133,6 +133,7 @@ def bucketed_cumsum(
     order_cols: list[Column | str],
     value_col: str,
     out_col: str = "cum",
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Exact inclusive running ``sum(value_col)`` in global
     ``order_cols`` order — ``sum() OVER (ORDER BY ... ROWS UNBOUNDED
@@ -145,8 +146,20 @@ def bucketed_cumsum(
     (n_buckets rows to the driver — metadata, never data). Exactness
     contract: ``value_col`` must sum associatively (integers or
     DECIMAL; raw doubles would make the result accumulation-order-
-    dependent in ANY formulation, windowed or bucketed)."""
+    dependent in ANY formulation, windowed or bucketed).
+
+    ``materialize_input`` (r15 optimization, guide §2.4): the bucketed
+    frame feeds TWO actions with different shapes — the bucket-totals
+    collect and the per-bucket window — so the caller's input subtree
+    executes twice (no ReusedExchange: one side is a driver collect).
+    When the input is a derived narrow frame (bin counts, per-doc
+    scored rows) whose recompute costs more than storing it, pass True
+    to eagerly ``localCheckpoint`` it once. Leave False for inputs that
+    are cheap to re-derive or too wide to stage (guide §5: size
+    decides). Bit-identical either way."""
     with_bkt = df.withColumn(_BKT, bucket)
+    if materialize_input:
+        with_bkt = with_bkt.localCheckpoint(eager=True)
     w = (
         Window.partitionBy(_BKT)
         .orderBy(*order_cols)

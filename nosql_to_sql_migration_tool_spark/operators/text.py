@@ -1262,6 +1262,9 @@ def vocab_growth(
         [F.col("bucket")],
         "new_types",
         out_col="cum_types",
+        # bucket-slab counts: corpus/100 rows derived from two corpus
+        # aggregations — staging beats re-running both (guide §2.4)
+        materialize_input=True,
     ).select("bucket", "n_docs", "n_tokens", "new_types", "cum_types")
 
 

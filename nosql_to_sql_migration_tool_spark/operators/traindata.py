@@ -363,6 +363,10 @@ def token_budget_selection(
         [F.col("quality_score").desc(), F.col(id_col)],
         "n_tokens",
         out_col="cum_tokens",
+        # per-doc (id, quality, tokens) is 3 narrow columns — cheaper
+        # to stage once than to re-tokenize the corpus for the second
+        # consumer (guide §2.4/§5)
+        materialize_input=True,
     )
     return cum.filter(F.col("cum_tokens") <= budget).select(
         id_col, "quality_score", "n_tokens", "cum_tokens"
