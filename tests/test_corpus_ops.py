@@ -157,6 +157,42 @@ def test_bucketed_cumsum_equals_global_window(spark):
     assert slow.exceptAll(fast).count() == 0
 
 
+def test_bucketed_cumsum_materialize_input_parity(spark):
+    """r15: materialize_input=True (eager staging of the bucketed
+    frame) must be row-for-row identical to the recompute form — it is
+    a physical-plan change only."""
+    from pyspark.sql import functions as F
+
+    from nosql_to_sql_migration_tool_spark.operators.ranking import (
+        bucketed_cumsum,
+    )
+    from nosql_to_sql_migration_tool_spark.operators.text import (
+        with_text_stats,
+    )
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    scored = with_text_stats(docs).select(
+        "doc_id", "quality_score", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    bucket = F.floor(
+        (F.lit(1.0) - F.col("quality_score")) * F.lit(32)
+    ).cast("long")
+    args = (
+        scored,
+        bucket,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        "n_tokens",
+    )
+    staged = bucketed_cumsum(
+        *args, out_col="cum", materialize_input=True
+    ).select("doc_id", "cum")
+    recomputed = bucketed_cumsum(
+        *args, out_col="cum", materialize_input=False
+    ).select("doc_id", "cum")
+    assert staged.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(staged).count() == 0
+
+
 def test_token_budget_selection_boundary(spark):
     """The selection takes exactly the maximal quality-ranked prefix
     within budget: its total is <= budget and adding any one more

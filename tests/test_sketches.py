@@ -148,6 +148,36 @@ def test_quantile_sketch_error_within_one_bin_width(spark):
         assert abs(est[q] - exact[q]) <= bin_w + 1e-6, (q, est[q], exact[q])
 
 
+def test_exact_quantiles_bucket_boundary_crossings(spark):
+    """r15 crossing-bucket prune: distributions engineered so q*n lands
+    EXACTLY on bucket boundaries (cum == q*n at a bucket's last row)
+    must still return the min value reaching the cum — the pruned
+    window and the driver-side double arithmetic agree with the
+    brute-force sorted computation at the boundary, where an off-by-one
+    bucket choice would be visible."""
+    from nosql_to_sql_migration_tool_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    # 64 distinct equal-count values: with 32 range buckets the qs
+    # 0.25/0.5/0.75 cross exactly at bucket edges; also exercise a
+    # duplicate-heavy tail so a crossing falls INSIDE a wide bucket.
+    for vals in (
+        [float(i) for i in range(1, 65)],
+        [float(i) for i in range(1, 33)] + [32.0] * 32,
+        [0.0] * 7 + [1.0],  # q=0.875-adjacent: qs hit the 0.0 run
+    ):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {
+            r["q"]: r["exact"] for r in exact_quantiles(df, "x").collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        for q, exact in got.items():
+            expected = next(v for i, v in enumerate(s) if (i + 1) >= q * n)
+            assert exact == expected, (vals, q, exact, expected)
+
+
 def test_exact_quantiles_property_random_multisets(spark):
     """Property: for random value multisets (duplicates, negatives,
     skewed magnitudes) every returned quantile is the min value whose
