@@ -1389,6 +1389,12 @@ def ingest_near_dup_flags(
         .filter(F.col("__batch_id") != F.col("__corpus_id"))
         .select("__batch_id", "__corpus_id")
         .distinct()
+        # r15 optimization (guide §2.4): cand feeds two differently-
+        # shaped consumers (the cand_ids semi-join and the verify join),
+        # so the whole probe-join subtree executed twice. The frame is
+        # O(batch) candidate pairs — stage it once. Measured 2.35 ->
+        # 1.99 s on the ingest_near_dup row, result hash identical.
+        .localCheckpoint(eager=True)
     )
     bsh = shingle_sets(batch, text_col, id_col).select(
         F.col(id_col).alias("__batch_id"), F.col("__sh").alias("__sh_b")
