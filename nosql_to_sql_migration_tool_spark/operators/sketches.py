@@ -246,28 +246,26 @@ def exact_quantiles(
     vals = df.select(F.col(col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    # r15 optimization (guide §2.4/§5): the histogram subtree used to
-    # execute THREE times — once under range_bucket_expr's
-    # approx_percentile collect, once under bucketed_cumsum's
-    # bucket-totals collect, once in the final plan — and a fourth raw
-    # scan computed the total row count. One eager localCheckpoint
-    # materializes the distinct-value histogram once (the truth side's
-    # honest linear cost, paid once instead of three times), and the
-    # total is the histogram's count sum — the same BIGINT by
-    # definition, no extra corpus scan.
-    hist = (
-        vals.groupBy("__v")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
-    )
-    # r15 optimization, second cut (guide §2.2 shuffle fewer bytes): the
-    # histogram is DATA-sized when the column is near-all-distinct
-    # (l_extendedprice at sf0.1: 583k distinct of 600k rows), so the
-    # full bucketed cumsum — shuffle + per-bucket sort of EVERY distinct
-    # value — was the dominant cost. But the answer only needs the
-    # cumulative count at the <= len(qs) crossing points: with the
-    # per-bucket totals on the driver (<= 32 rows — the same round trip
-    # bucketed_cumsum already made), the bucket containing each q*n
+    # r16 optimization (VERDICT r15 what's-wrong #1; guide §5 "size
+    # decides" / §2.2 shuffle fewer bytes): the r15 form eagerly
+    # localCheckpoint'ed the full DISTINCT-VALUE histogram — DATA-sized
+    # when the column is near-all-distinct (l_extendedprice at sf0.1:
+    # 583k distinct of 600k rows; at 100 TB a near-corpus-sized
+    # executor-disk write) — even though the downstream window was
+    # already pruned to the crossing buckets. Restructured so nothing
+    # data-sized is ever materialized OR fully shuffled:
+    #   1. bucket boundaries from one approx_percentile pass over the
+    #      RAW rows (metadata-sized result; boundary placement only
+    #      affects bucket SIZES, never the answer — suffix argument
+    #      below);
+    #   2. per-bucket totals from one map-side-combinable count over
+    #      the raw rows (<= 32 rows to the driver) — the same integers
+    #      as summing the histogram's per-value counts;
+    #   3. ONLY the <= len(qs) crossing buckets' rows group into a
+    #      distinct-value histogram slice and checkpoint (the only
+    #      shuffle, carrying ~|needed|/32 of the data).
+    # The answer needs the cumulative count only at the q*n crossing
+    # points: with the totals on the driver, the bucket containing each
     # crossing is known BEFORE any cumsum, and the windowed sum need
     # only run inside those crossing buckets. Every comparison below
     # reproduces Spark's own arithmetic (Python float IS the same IEEE
@@ -277,12 +275,12 @@ def exact_quantiles(
     # monotone bucket ladder guarantees the satisfying set is a suffix
     # in __v order, so the global min over crossing buckets equals the
     # min over all buckets.
-    bkt = range_bucket_expr(hist, "__v", 32)
-    with_bkt = hist.withColumn("__bkt", bkt)
+    bkt = range_bucket_expr(vals, "__v", 32)
+    with_bkt = vals.withColumn("__bkt", bkt)
     totals = sorted(
         (r[0], r[1] if r[1] is not None else 0)
         for r in with_bkt.groupBy("__bkt")
-        .agg(F.sum("__c").alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__t"))
         .collect()
     )
     n = sum(t for _, t in totals)
@@ -299,15 +297,28 @@ def exact_quantiles(
             if float(run) >= target:
                 needed.add(b)
                 break
+    def _hist_slice(pred):
+        # the crossing-bucket pruning filter sits BELOW the groupBy (and
+        # the checkpoint), so both the shuffle and the staged frame are
+        # bounded by the crossing buckets' rows, never the data
+        return (
+            with_bkt.filter(pred)
+            .groupBy("__bkt", "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
     if needed:
-        sel = with_bkt.filter(F.col("__bkt").isin(*sorted(needed)))
+        sel = _hist_slice(
+            F.col("__bkt").isin(*sorted(needed))
+        ).localCheckpoint(eager=True)
         off = F.lit(0).cast("long")
         for b in sorted(needed):
             off = F.when(
                 F.col("__bkt") == F.lit(b), F.lit(offsets[b]).cast("long")
             ).otherwise(off)
-    else:  # empty input: keep the one-row-of-nulls agg shape
-        sel = with_bkt.filter(F.lit(False))
+    else:  # no crossing bucket (empty input, or every q > 1.0): keep
+        # the one-row-of-nulls agg shape
+        sel = _hist_slice(F.lit(False))
         off = F.lit(0).cast("long")
     w = (
         Window.partitionBy("__bkt")
