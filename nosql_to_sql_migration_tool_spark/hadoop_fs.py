@@ -132,3 +132,31 @@ def try_read_parquet(spark: SparkSession, path_str: str):
         return spark.read.parquet(path_str)
     except AnalysisException:
         return None
+
+
+def run_concurrent(*thunks) -> None:
+    """Run independent store actions as concurrent Spark jobs
+    (optimization guide §2.6 "overlap independent jobs"): per-batch
+    store maintenance is dozens of small jobs whose stages rarely fill
+    the executor alone, so overlapping mutually-independent actions
+    (writes/sweeps of DIFFERENT paths) cuts driver-latency-bound wall
+    clock. Callers must only overlap actions with no cross-store
+    ordering requirement — every maintenance action in this repo is an
+    idempotent pure-function write, so a failed thunk re-runs exactly
+    like a crashed sequential step. Exceptions propagate after all
+    thunks settle (first failure re-raised)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as exc:  # settle all stores, then re-raise
+                errs.append(exc)
+        if errs:
+            raise errs[0]

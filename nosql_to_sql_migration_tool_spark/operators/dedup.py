@@ -1338,6 +1338,8 @@ def ingest_near_dup_flags(
     corpus_buckets: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
     max_bucket_width: int = 64,
+    batch_buckets: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch-document near-dup-vs-corpus verdict:
     ``(<id_col>, n_cand, best_jaccard, is_near_dup)`` where ``n_cand``
@@ -1356,7 +1358,16 @@ def ingest_near_dup_flags(
     construction (the containment_pairs df-cap discipline). The Jaccard
     verify joins corpus shingles ONLY for candidate corpus docs (one
     semi-join; at scale this is the point-fetch against the document
-    store), so probe work is O(batch + candidates), never O(corpus)."""
+    store), so probe work is O(batch + candidates), never O(corpus).
+
+    ``batch_buckets`` / ``batch_shingles`` (r16, guide §2.4) optionally
+    take a MATERIALIZED batch bucket-row / shingle-set frame a gating
+    caller has already staged (``streaming/ingest_stream.gate_batch``
+    computes each once and shares it with the index append); both are
+    pure per-doc functions of the batch, so passing them changes no
+    result. Pass materialized frames only — handing in a lazy
+    ``shingle_sets`` projection would inline the shingle build into the
+    explode and fall out of codegen (the ``shingle_rows`` lesson)."""
     from pyspark.sql import Window
 
     cb = (
@@ -1364,7 +1375,31 @@ def ingest_near_dup_flags(
         if corpus_buckets is not None
         else band_bucket_rows(corpus, text_col, id_col)
     )
+    bb = (
+        batch_buckets
+        if batch_buckets is not None
+        else band_bucket_rows(batch, text_col, id_col)
+    ).select("band_idx", "band_hash", F.col(id_col).alias("__batch_id"))
     if corpus_buckets is not None:
+        if batch_buckets is not None:
+            # r16 (guide §2.3 shuffle fewer bytes / §3.2 pre-filter the
+            # big side): the replay-dedupe + width count below used to
+            # shuffle the WHOLE persisted index twice per probe —
+            # O(index), not the advertised O(batch + candidates). Only
+            # buckets sharing a (band, hash) key with the batch can
+            # ever produce a candidate, and the semi-join keeps every
+            # such bucket WHOLE, so the per-bucket width (and
+            # everything downstream) is bit-identical while the two
+            # shuffles now carry only the matched buckets. Gated on a
+            # MATERIALIZED batch_buckets frame: with a lazy batch the
+            # broadcast key build re-ran the whole signature subtree
+            # and measured WORSE (1.37 -> 1.78 s even with an internal
+            # checkpoint), so the un-staged declared-query shape keeps
+            # the r15 plan.
+            bkeys = bb.select("band_idx", "band_hash").distinct()
+            cb = cb.join(
+                F.broadcast(bkeys), ["band_idx", "band_hash"], "left_semi"
+            )
         # A persisted index replayed under at-least-once delivery can
         # carry duplicate (band, hash, id) rows (ADVICE r7) — dedupe
         # before the width count so replay duplicates can't inflate
@@ -1376,9 +1411,6 @@ def ingest_near_dup_flags(
         cb.withColumn("__w", F.count(F.lit(1)).over(w))
         .filter(F.col("__w") <= max_bucket_width)
         .select("band_idx", "band_hash", F.col(id_col).alias("__corpus_id"))
-    )
-    bb = band_bucket_rows(batch, text_col, id_col).select(
-        "band_idx", "band_hash", F.col(id_col).alias("__batch_id")
     )
     cand = (
         bb.join(kept, ["band_idx", "band_hash"])
@@ -1396,9 +1428,11 @@ def ingest_near_dup_flags(
         # 1.99 s on the ingest_near_dup row, result hash identical.
         .localCheckpoint(eager=True)
     )
-    bsh = shingle_sets(batch, text_col, id_col).select(
-        F.col(id_col).alias("__batch_id"), F.col("__sh").alias("__sh_b")
-    )
+    bsh = (
+        batch_shingles
+        if batch_shingles is not None
+        else shingle_sets(batch, text_col, id_col)
+    ).select(F.col(id_col).alias("__batch_id"), F.col("__sh").alias("__sh_b"))
     # verify-side shingles: a precomputed (possibly persisted) corpus
     # shingle projection avoids re-tokenizing the corpus per probe —
     # semi-joined down to candidate ids either way

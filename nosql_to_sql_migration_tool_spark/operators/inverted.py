@@ -41,7 +41,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
+from nosql_to_sql_migration_tool_spark.hadoop_fs import (
+    run_concurrent,
+    try_read_parquet,
+)
 
 from nosql_to_sql_migration_tool_spark.operators.text import (
     BM25_B,
@@ -74,25 +77,33 @@ def _docs_path(path: str) -> str:
     return path.rstrip("/") + "/docs"
 
 
+def _batch_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(doc_id, __t)`` token arrays for one batch, eagerly staged —
+    r16 (guide §2.4): the tokenize used to run three times per batch
+    (CollapseProject inlined it into both the doc_len and the explode
+    of the postings build, and the stats aggregate re-tokenized from
+    scratch). One O(batch) materialization feeds postings, stats and
+    the explode with a single pass over the text."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__t"),
+    ).localCheckpoint(eager=True)
+
+
 def _batch_postings(
-    docs: DataFrame,
-    text_col: str,
-    id_col: str,
+    toked: DataFrame,
     n_buckets: int,
 ) -> DataFrame:
     """``(term, doc_id, tf, doc_len, bucket)`` for one batch — tf via a
     combinable (doc, term) count, doc_len denormalized onto every
     posting row so queries never join a doc-length table."""
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("__t"),
-    ).select(
+    rows = toked.select(
         "doc_id",
         F.size("__t").alias("doc_len"),
         F.explode("__t").alias("term"),
     )
     return (
-        toked.groupBy("doc_id", "term")
+        rows.groupBy("doc_id", "term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("doc_len").cast("long").alias("doc_len"),
@@ -141,7 +152,12 @@ def update_inverted_index(
             "reserved compaction partition)"
         )
     spark = docs.sparkSession
-    batch_doc_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    # r16 (guide §2.4): one staged tokenize pass feeds the clash check,
+    # postings, stats AND the doc ledger (the stats aggregate used to
+    # re-tokenize the whole batch, and CollapseProject inlined the
+    # token split twice more inside the postings build)
+    toked = _batch_tokens(docs, text_col, id_col)
+    batch_doc_ids = toked.select("doc_id").distinct()
     if enforce_unique_docs:
         # existence probed via the FS API — a blind read of an absent
         # store logs a JVM stack trace (VERDICT r14 what's-wrong #1)
@@ -160,37 +176,37 @@ def update_inverted_index(
                     f"batch_id={clash[0]['batch_id']} — one batch per "
                     "doc_id (re-ingest would double-count tf/df)"
                 )
-    postings = _batch_postings(docs, text_col, id_col, n_buckets)
-    (
-        postings.withColumn("batch_id", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "bucket")
-        .parquet(_postings_path(path))
-    )
-    stats = docs.select(
-        F.size(tokens(F.col(text_col))).alias("__l")
-    ).agg(
+    postings = _batch_postings(toked, n_buckets)
+    stats = toked.select(F.size("__t").alias("__l")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias(
             "total_tokens"
         ),
     )
-    (
-        stats.withColumn("batch_id", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(_stats_path(path))
-    )
-    # the doc ledger backing the one-batch-per-doc contract — same
-    # replay-idempotent dynamic overwrite, O(batch) rows
-    (
-        batch_doc_ids.withColumn("batch_id", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(_docs_path(path))
+
+    def _dyn_write(df, sub_path: str, part_cols: list[str]) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(sub_path)
+        )
+
+    # r16 (guide §2.6): the three store writes land on three disjoint
+    # paths, all derived from the one staged token frame — overlap
+    # them. Same replay-idempotent dynamic overwrites as before; a
+    # crash mid-overlap leaves a strict subset written, and the
+    # replayed batch rewrites every partition bit-identically (the
+    # docstring's replay contract — order among the three never
+    # mattered, only idempotence).
+    run_concurrent(
+        lambda: _dyn_write(
+            postings, _postings_path(path), ["batch_id", "bucket"]
+        ),
+        lambda: _dyn_write(stats, _stats_path(path), ["batch_id"]),
+        # the doc ledger backing the one-batch-per-doc contract
+        lambda: _dyn_write(batch_doc_ids, _docs_path(path), ["batch_id"]),
     )
 
 
@@ -313,14 +329,10 @@ def compact_inverted_index(
     contract (``update_inverted_index`` enforces it) — the fold keeps
     postings rows as-is, it does not re-merge duplicate (term, doc_id)
     pairs that a bypassed gate could have created."""
-    for sub, part_cols in (
-        (_postings_path(path), ["batch_id", "bucket"]),
-        (_stats_path(path), ["batch_id"]),
-        (_docs_path(path), ["batch_id"]),
-    ):
+    def _fold(sub: str, part_cols: list[str]) -> None:
         cur = try_read_parquet(spark, sub)
         if cur is None:
-            continue
+            return
         # -1 is committed by definition, so it always re-enters the fold
         # (repeated compactions keep ONE folded row set, not a pile-up)
         safe = F.lit(True)
@@ -330,7 +342,7 @@ def compact_inverted_index(
             )
         folded = cur.where(safe)
         if folded.isEmpty():
-            continue
+            return
         keep = cur.where(~safe)
         if sub.endswith("/stats"):
             folded = folded.agg(
@@ -352,6 +364,16 @@ def compact_inverted_index(
             .partitionBy(*part_cols)
             .parquet(sub)
         )
+
+    # r16 (guide §2.6): the three sub-store folds touch disjoint paths
+    # and were already order-independent (each fold reads and rewrites
+    # only its own sub-store; crash recovery is per-store re-run, the
+    # compact_ingest_ledger argument) — run them concurrently.
+    run_concurrent(
+        lambda: _fold(_postings_path(path), ["batch_id", "bucket"]),
+        lambda: _fold(_stats_path(path), ["batch_id"]),
+        lambda: _fold(_docs_path(path), ["batch_id"]),
+    )
 
 
 def takedown_from_inverted_index(
@@ -420,68 +442,90 @@ def takedown_from_inverted_index(
     stage = _postings_path(path).rstrip("/") + ".__takedown_stage"
     posts.join(ids, "doc_id", "anti").write.mode("overwrite").parquet(stage)
     keep = spark.read.parquet(stage)
-    n_removed = posts.count() - keep.count()
-    (
-        keep.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "bucket")
-        .parquet(_postings_path(path))
-    )
-    emptied = pre_parts.join(
-        keep.select("batch_id", "bucket").distinct(),
-        ["batch_id", "bucket"],
-        "left_anti",
-    ).collect()
-    if emptied:
-        delete_paths(
-            spark,
-            [
-                f"{_postings_path(path)}/batch_id={r['batch_id']}"
-                f"/bucket={r['bucket']}"
-                for r in emptied
-            ],
+    # r16 (guide §2.6): once the post-image is staged, the removed-row
+    # accounting (two independent counts), the postings rewrite chain
+    # and the stats recompute chain touch disjoint paths/frames — run
+    # them as concurrent jobs. The crash contract is unchanged: every
+    # step is a pure function of the (already staged) post-image, a
+    # re-run completes whatever subset committed, and the doc ledger —
+    # which drives hit detection on a re-run — still rewrites strictly
+    # LAST, after every concurrent chain has settled.
+    cnt: dict[str, int] = {}
+    kept_ledger = None
+
+    def _count_posts():
+        cnt["posts"] = posts.count()
+
+    def _count_keep():
+        cnt["keep"] = keep.count()
+
+    def _postings_chain():
+        (
+            keep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(_postings_path(path))
+        )
+        emptied = pre_parts.join(
+            keep.select("batch_id", "bucket").distinct(),
+            ["batch_id", "bucket"],
+            "left_anti",
+        ).collect()
+        if emptied:
+            delete_paths(
+                spark,
+                [
+                    f"{_postings_path(path)}/batch_id={r['batch_id']}"
+                    f"/bucket={r['bucket']}"
+                    for r in emptied
+                ],
+            )
+
+    def _stats_chain():
+        # stats: recompute the hit batches from the post-image (pure
+        # function of surviving rows — idempotent, crash-recoverable)
+        nonlocal kept_ledger
+        kept_ledger = (
+            ledger.where(F.col("batch_id").isin(batches))
+            .join(ids, "doc_id", "anti")
+            .localCheckpoint(eager=True)
+        )
+        batch_df = spark.createDataFrame(
+            [(int(b),) for b in batches], "batch_id long"
+        )
+        new_stats = (
+            batch_df.join(
+                kept_ledger.groupBy("batch_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("__nd")
+                ),
+                "batch_id",
+                "left",
+            )
+            .join(
+                keep.groupBy("batch_id", "doc_id")
+                .agg(F.max("doc_len").alias("__len"))
+                .groupBy("batch_id")
+                .agg(F.sum("__len").cast("long").alias("__tt")),
+                "batch_id",
+                "left",
+            )
+            .select(
+                F.coalesce("__nd", F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce("__tt", F.lit(0)).cast("long").alias(
+                    "total_tokens"
+                ),
+                "batch_id",
+            )
+        )
+        (
+            new_stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_stats_path(path))
         )
 
-    # 2) stats: recompute the hit batches from the post-image (pure
-    # function of surviving rows — idempotent, crash-recoverable)
-    kept_ledger = (
-        ledger.where(F.col("batch_id").isin(batches))
-        .join(ids, "doc_id", "anti")
-        .localCheckpoint(eager=True)
-    )
-    batch_df = spark.createDataFrame(
-        [(int(b),) for b in batches], "batch_id long"
-    )
-    new_stats = (
-        batch_df.join(
-            kept_ledger.groupBy("batch_id").agg(
-                F.count(F.lit(1)).cast("long").alias("__nd")
-            ),
-            "batch_id",
-            "left",
-        )
-        .join(
-            keep.groupBy("batch_id", "doc_id")
-            .agg(F.max("doc_len").alias("__len"))
-            .groupBy("batch_id")
-            .agg(F.sum("__len").cast("long").alias("__tt")),
-            "batch_id",
-            "left",
-        )
-        .select(
-            F.coalesce("__nd", F.lit(0)).cast("long").alias("n_docs"),
-            F.coalesce("__tt", F.lit(0)).cast("long").alias(
-                "total_tokens"
-            ),
-            "batch_id",
-        )
-    )
-    (
-        new_stats.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(_stats_path(path))
-    )
+    run_concurrent(_count_posts, _count_keep, _postings_chain, _stats_chain)
+    n_removed = cnt["posts"] - cnt["keep"]
 
     # 3) doc ledger LAST (it drives hit detection on a re-run)
     (

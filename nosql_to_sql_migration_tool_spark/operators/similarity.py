@@ -1478,6 +1478,7 @@ def ingest_embedding_near_dup_flags(
     id_col: str = "vec_id",
     corpus_bands: DataFrame | None = None,
     max_bucket_width: int = 64,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch-vector near-dup-vs-corpus verdict:
     ``(<id_col>, n_cand, best_cos, is_near_dup)`` — candidate corpus
@@ -1494,7 +1495,27 @@ def ingest_embedding_near_dup_flags(
         if corpus_bands is not None
         else embedding_band_rows(corpus, vec_col, id_col)
     )
+    bb = (
+        batch_bands
+        if batch_bands is not None
+        else embedding_band_rows(batch, vec_col, id_col)
+    ).select("band_idx", "band_val", F.col(id_col).alias("__batch_id"))
     if corpus_bands is not None:
+        if batch_bands is not None:
+            # r16 (guide §2.3/§3.2 — mirrors dedup.ingest_near_dup_
+            # flags): prune the persisted index to the batch's bucket
+            # keys BEFORE the replay-dedupe + width count, so the two
+            # shuffles carry only the matched buckets (kept WHOLE by
+            # the semi-join, hence identical per-bucket widths) instead
+            # of the full index. Gated on a MATERIALIZED batch_bands
+            # frame (``gate_embedding_batch`` stages one): the lazy
+            # form re-ran the 64-plane signature projection for the
+            # broadcast key build and measured WORSE (1.91 -> 2.38 s),
+            # so the un-staged declared-query shape keeps the r15 plan.
+            bkeys = bb.select("band_idx", "band_val").distinct()
+            cb = cb.join(
+                F.broadcast(bkeys), ["band_idx", "band_val"], "left_semi"
+            )
         # replay-duplicated index rows must not inflate bucket width
         # past the cap (ADVICE r7 — mirrors dedup.ingest_near_dup_flags)
         cb = cb.select("band_idx", "band_val", id_col).distinct()
@@ -1503,9 +1524,6 @@ def ingest_embedding_near_dup_flags(
         cb.withColumn("__w", F.count(F.lit(1)).over(w))
         .filter(F.col("__w") <= max_bucket_width)
         .select("band_idx", "band_val", F.col(id_col).alias("__corpus_id"))
-    )
-    bb = embedding_band_rows(batch, vec_col, id_col).select(
-        "band_idx", "band_val", F.col(id_col).alias("__batch_id")
     )
     cand = (
         bb.join(kept, ["band_idx", "band_val"])

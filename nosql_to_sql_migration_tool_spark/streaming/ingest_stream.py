@@ -51,12 +51,13 @@ from pyspark.sql.streaming import StreamingQuery
 from nosql_to_sql_migration_tool_spark.hadoop_fs import try_read_parquet
 
 from nosql_to_sql_migration_tool_spark.operators.dedup import (
+    band_bucket_rows,
     ingest_near_dup_flags,
-    update_band_index,
+    shingle_sets,
 )
 from nosql_to_sql_migration_tool_spark.operators.similarity import (
+    embedding_band_rows,
     ingest_embedding_near_dup_flags,
-    update_embedding_index,
 )
 
 
@@ -103,6 +104,17 @@ def stream_ingest_near_dup(
 
 def _ledger_path(accepted_path: str) -> str:
     return accepted_path.rstrip("/") + ".__ledger"
+
+
+def _concurrent(*thunks) -> None:
+    """Gate/takedown overlap of independent per-batch store actions —
+    ``hadoop_fs.run_concurrent`` with the replay-contract note: callers
+    here only overlap actions with no cross-store ordering requirement;
+    the ledger-first discipline is preserved by sequencing AROUND the
+    overlap (pinned by tests/test_replay_equivalence.py)."""
+    from nosql_to_sql_migration_tool_spark.hadoop_fs import run_concurrent
+
+    run_concurrent(*thunks)
 
 
 def _migrate_legacy_sink(spark: SparkSession, sink_path: str) -> bool:
@@ -322,7 +334,7 @@ def gate_batch(
     the same batch_id — exactly what foreachBatch does after a crash
     between the sink/index writes and the checkpoint commit).
 
-    Replay safety (ADVICE r7): a crash after ``update_band_index`` but
+    Replay safety (ADVICE r7): a crash after the index append but
     before the checkpoint commit leaves the batch's own bucket rows in
     the index and its own text in ``accepted_path``; without exclusion
     the replayed batch would self-match at Jaccard 1.0 and re-route
@@ -374,6 +386,19 @@ def gate_batch(
     if replayed_ids is not None:
         verify_side = verify_side.join(replayed_ids, id_col, "left_anti")
     verify_side = verify_side.dropDuplicates([id_col])
+    # r16 (guide §2.4 remove redundant passes): the batch's shingle
+    # projection and its band bucket rows feed THREE consumers — the
+    # probe side of the flags (signature build), the Jaccard verify
+    # side, and the index append. Both are O(batch) narrow frames (the
+    # signature/shingle store an LSH pipeline persists anyway at
+    # scale); staging each once replaces two extra tokenize passes and
+    # a full batch minhash re-computation in update_band_index.
+    batch_sh = shingle_sets(batch_df, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    batch_buckets = band_bucket_rows(
+        batch_df, text_col, id_col, shingles=batch_sh
+    ).localCheckpoint(eager=True)
     flags = ingest_near_dup_flags(
         verify_side,
         batch_df,
@@ -381,6 +406,8 @@ def gate_batch(
         text_col=text_col,
         id_col=id_col,
         corpus_buckets=buckets,
+        batch_buckets=batch_buckets,
+        batch_shingles=batch_sh,
     ).localCheckpoint(eager=True)
     batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
     routed = batch_cols.join(
@@ -388,18 +415,37 @@ def gate_batch(
     )
     accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
     quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
+
     # batch_id-partitioned sinks (round 10): partition pruning for
-    # readers AND the partition-scoped rewrite takedown_docs needs
-    accepted.write.mode("append").partitionBy("batch_id").parquet(
-        accepted_path
-    )
-    quarantined.write.mode("append").partitionBy("batch_id").parquet(
-        quarantine_path
-    )
-    # index maintenance LAST: O(batch) bucket rows, append-only
-    update_band_index(
-        accepted.select(id_col, text_col), index_path,
-        text_col=text_col, id_col=id_col,
+    # readers AND the partition-scoped rewrite takedown_docs needs.
+    # r16 (guide §2.6): the two sink writes touch different paths and
+    # the index append touches a third; the replay contract orders only
+    # ledger-BEFORE-everything (classification source) — verdicts
+    # replay bit-identically from any crash point regardless of which
+    # store committed first (tests/test_replay_equivalence.py pins
+    # this) — so the accepted chain (sink append, then its index rows)
+    # and the quarantine append overlap.
+    def _accepted_chain():
+        accepted.write.mode("append").partitionBy("batch_id").parquet(
+            accepted_path
+        )
+        # index maintenance: O(batch) bucket rows, append-only — the
+        # accepted docs' rows are a pure per-doc function ALREADY
+        # computed above (pytest-pinned purity), so filter the staged
+        # frame instead of re-running the batch minhash.
+        (
+            batch_buckets.join(accepted.select(id_col), id_col, "semi")
+            .select("band_idx", "band_hash", id_col)
+            .write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(index_path)
+        )
+
+    _concurrent(
+        _accepted_chain,
+        lambda: quarantined.write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(quarantine_path),
     )
 
 
@@ -448,6 +494,13 @@ def gate_embedding_batch(
     if replayed_ids is not None:
         verify_side = verify_side.join(replayed_ids, id_col, "left_anti")
     verify_side = verify_side.dropDuplicates([id_col])
+    # r16 (guide §2.4): the batch's band rows feed three consumers (the
+    # index-prune key build, the candidate probe, the index append) —
+    # one O(batch) staging replaces two extra 64-plane signature passes
+    # and unlocks the flags' bucket-key semi-prune of the index.
+    batch_bands = embedding_band_rows(
+        batch_df, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     flags = ingest_embedding_near_dup_flags(
         verify_side,
         batch_df,
@@ -455,6 +508,7 @@ def gate_embedding_batch(
         vec_col=vec_col,
         id_col=id_col,
         corpus_bands=bands,
+        batch_bands=batch_bands,
     ).localCheckpoint(eager=True)
     batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
     routed = batch_cols.join(
@@ -462,15 +516,30 @@ def gate_embedding_batch(
     )
     accepted = routed.filter(~F.col("is_near_dup")).drop("is_near_dup")
     quarantined = routed.filter(F.col("is_near_dup")).drop("is_near_dup")
-    accepted.write.mode("append").partitionBy("batch_id").parquet(
-        accepted_path
-    )
-    quarantined.write.mode("append").partitionBy("batch_id").parquet(
-        quarantine_path
-    )
-    update_embedding_index(
-        accepted.select(id_col, vec_col), index_path,
-        vec_col=vec_col, id_col=id_col,
+
+    # r16 (guide §2.6): same overlap as gate_batch — accepted chain
+    # (sink append then its index rows) concurrent with the quarantine
+    # append; ledger-first ordering already established above.
+    def _accepted_chain():
+        accepted.write.mode("append").partitionBy("batch_id").parquet(
+            accepted_path
+        )
+        # index maintenance: the accepted vectors' band rows are a pure
+        # per-vector function ALREADY staged above — filter, don't
+        # recompute the 64-plane signatures (mirrors gate_batch).
+        (
+            batch_bands.join(accepted.select(id_col), id_col, "semi")
+            .select("band_idx", "band_val", id_col)
+            .write.mode("append")
+            .partitionBy("band_idx")
+            .parquet(index_path)
+        )
+
+    _concurrent(
+        _accepted_chain,
+        lambda: quarantined.write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(quarantine_path),
     )
 
 
@@ -655,32 +724,50 @@ def takedown_docs(
             .partitionBy("batch_id")
             .parquet(ledger)
         )
-    out = {
-        "accepted": _takedown_sink(spark, accepted_path, ids, id_col),
-        "quarantine": _takedown_sink(spark, quarantine_path, ids, id_col),
-        "index": 0,
-    }
-    if purge_ledger:
-        out["ledger"] = _takedown_sink(spark, ledger, ids, id_col)
-    index = try_read_parquet(spark, index_path)
-    if index is None:
-        return out
-    kept = index.join(ids, id_col, "left_anti").localCheckpoint(eager=True)
-    out["index"] = index.count() - kept.count()
-    if out["index"]:
-        # preserve the band_idx-partitioned layout (ADVICE r10 high):
-        # build_*/update_*_index all write partitionBy('band_idx'); an
-        # unpartitioned rewrite here left a mixed layout, so the NEXT
-        # gated batch's index append produced conflicting directory
-        # structures and broke the stream. Static overwrite replaces
-        # every partition, so fully-emptied bands vanish without an
-        # explicit directory delete.
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("band_idx")
-            .parquet(index_path)
+    # r16 (guide §2.6): the four sweeps touch four disjoint stores and
+    # each is an idempotent pure anti-join of the same checkpointed id
+    # frame — no cross-store ordering exists to preserve (the docstring
+    # crash contract is "re-run completes it", which holds per store),
+    # so they run as concurrent Spark jobs; tombstones above stay
+    # strictly FIRST. Equivalence vs the sequential form is pinned by
+    # tests/test_replay_equivalence.py.
+    out = {"accepted": 0, "quarantine": 0, "index": 0}
+
+    def _index_sweep():
+        index = try_read_parquet(spark, index_path)
+        if index is None:
+            return
+        kept = index.join(ids, id_col, "left_anti").localCheckpoint(
+            eager=True
         )
+        out["index"] = index.count() - kept.count()
+        if out["index"]:
+            # preserve the band_idx-partitioned layout (ADVICE r10
+            # high): build_*/update_*_index all write
+            # partitionBy('band_idx'); an unpartitioned rewrite here
+            # left a mixed layout, so the NEXT gated batch's index
+            # append produced conflicting directory structures and
+            # broke the stream. Static overwrite replaces every
+            # partition, so fully-emptied bands vanish without an
+            # explicit directory delete.
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("band_idx")
+                .parquet(index_path)
+            )
+
+    def _sweep(store: str, path: str):
+        out[store] = _takedown_sink(spark, path, ids, id_col)
+
+    sweeps = [
+        lambda: _sweep("accepted", accepted_path),
+        lambda: _sweep("quarantine", quarantine_path),
+        _index_sweep,
+    ]
+    if purge_ledger:
+        sweeps.append(lambda: _sweep("ledger", ledger))
+    _concurrent(*sweeps)
     return out
 
 
