@@ -20,11 +20,13 @@ Scale shape (the Lloyd's / mini-BPE pin-and-replay discipline):
   never touches libm — it is pure table lookup + integer sum, so the
   cross-engine hash contract holds exactly (the same reason
   ``token_rarity`` avoids ln());
-- SCORING is a generated-column explode (one bigram row per adjacent
-  char pair) + a literal-map lookup (``element_at`` on a broadcast
-  map literal — no join, no shuffle before the per-doc agg) + a LONG
-  sum. At 100 TB this is a linear whole-stage-codegen projection; the
-  only shuffle is the per-document aggregation, combinable map-side.
+- SCORING is an Arrow-batch pass (``mapInArrow`` over exactly the id
+  and text columns): the pinned integer table replays as a Python dict
+  built once per task, each doc's surprisal sums as exact ints, and
+  the only shuffle is the per-document duplicate-id merge, combinable
+  map-side. At 100 TB this is linear and batch-parallel; the r15
+  JVM fold was interpreted (HOF lambda, outside codegen) and measured
+  4.7x slower (see ``charlm_score``).
 
 Score semantics: ``bits_per_char = mean surprisal over the doc's
 (overlapping) char bigrams`` — the log2 cross-entropy of the doc under
@@ -128,41 +130,60 @@ def charlm_score(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score every document with ``>= 2`` chars:
-    ``(id, n_bigrams, bits_per_char)``. Lookup is ``element_at`` on a
-    map LITERAL (broadcast with the plan, no join); the sum is LONG
-    microbits (exact, order-free); the single division + round happens
-    once per document, identically on both engines."""
-    lm_map = F.create_map(
-        *[F.lit(x) for bg, su in model for x in (bg, su)]
+    ``(id, n_bigrams, bits_per_char)``. The per-document surprisal sum
+    is LONG microbits (exact, order-free); the single division + round
+    happens once per document, identically on both engines.
+
+    r16 optimization (guide §4.2, VERDICT r15 next #3): the r15 form
+    folded the bigram array with ``F.aggregate`` — higher-order-
+    function lambdas evaluate INTERPRETED, outside whole-stage codegen,
+    and the decomposition put that fold's floor at 1.65 s with a
+    constant term (the 256-entry map-literal lookup adding ~0.6 s);
+    every JVM restructure measured at the same floor (explode + map
+    2.25 s, explode + broadcast join 2.23 s — tools/ab_charlm_r16.py).
+    Scoring now runs in ``mapInArrow``: text crosses the boundary as
+    Arrow batches (only the two needed columns, selected explicitly per
+    guide §4.1), the pinned model is a plain Python dict built once per
+    task from the plan-shipped literal, and the per-doc loop sums
+    exact ints — measured 2.24 -> 0.47 s at 32 cores and 2.26 -> 0.48 s
+    at 8 (hash-identical; Python code points == Spark/DuckDB substring
+    semantics, and Python int addition is the same order-free LONG
+    sum). The JVM keeps the length filter, the duplicate-id merge
+    groupBy and the final arithmetic, so the oracle contract is
+    untouched."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    lm = {bg: int(su) for bg, su in model}
+    floor_i = int(floor)
+
+    def _score(batches):
+        get = lm.get  # model dict built once per task, lookups bound
+        for b in batches:
+            ns: list[int] = []
+            sus: list[int] = []
+            for t in b.column(1):
+                s = t.as_py()
+                n = len(s) - 1
+                ns.append(n)
+                sus.append(sum(get(s[i : i + 2], floor_i) for i in range(n)))
+            yield pa.record_batch(
+                [b.column(0), pa.array(ns, pa.int64()), pa.array(sus, pa.int64())],
+                names=[id_col, "__n", "__su"],
+            )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("__n", T.LongType()),
+            T.StructField("__su", T.LongType()),
+        ]
     )
-
-    # try_element_at, not element_at/[]: ANSI mode (on in this engine)
-    # makes a plain map subscript THROW on a missing key, and unseen
-    # bigrams are exactly the case the floor exists for.
-    def _su(bg: Column) -> Column:
-        return F.coalesce(
-            F.try_element_at(lm_map, bg), F.lit(floor).cast("long")
-        ).cast("long")
-
-    # r15 optimization (guide §2.3 "aggregate before you shuffle" /
-    # §4.1 higher-order functions): the original shape exploded one row
-    # PER CHARACTER BIGRAM (a ~1000x row blowup on kilobyte docs) and
-    # pushed the blowup through the aggregation machinery. The
-    # per-doc-row partial sum is instead computed IN-ROW with
-    # F.aggregate over the bigram array — LONG addition is order-free,
-    # so the fold equals the exploded sum bit-for-bit — and the bigram
-    # count is char_length-1 by construction (every filtered row has
-    # >= 2 chars). The groupBy survives only to merge duplicate ids
-    # (same merge semantics as before); its shuffle now carries ONE
-    # narrow row per input row instead of one per bigram.
-    row = df.filter(F.char_length(F.col(text_col)) >= 2).select(
-        F.col(id_col),
-        (F.char_length(F.col(text_col)) - 1).cast("long").alias("__n"),
-        F.aggregate(
-            char_bigrams(F.col(text_col)),
-            F.lit(0).cast("long"),
-            lambda acc, bg: acc + _su(bg),
-        ).alias("__su"),
+    row = (
+        df.filter(F.char_length(F.col(text_col)) >= 2)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInArrow(_score, out_schema)
     )
     return row.groupBy(id_col).agg(
         F.sum("__n").alias("n_bigrams"),

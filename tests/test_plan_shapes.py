@@ -85,6 +85,16 @@ def test_full_surface_plan_invariants(spark):
         # is the same sanctioned byte-codec Arrow class as the media
         # decoders — one linear pass per shard, no shuffle before it.
         "webdataset_roundtrip",
+        # r16: pinned-model Arrow scoring (guide §4.2) — the charlm
+        # surprisal sum moved from an interpreted F.aggregate HOF fold
+        # (outside whole-stage codegen, measured 2.24 s) to one
+        # mapInArrow pass over exactly (id, text) with a per-task dict
+        # of the 118-entry pinned model (0.47 s, hash-identical; A/B in
+        # tools/ab_charlm_r16.py — every JVM restructure sat at the
+        # same interpreted floor). Same deliberate-Arrow class as the
+        # decoders: linear, no shuffle before it, columns pruned
+        # explicitly.
+        "charlm_doc_scores",
     }
     offenders = []
     for name, fn in QUERIES.items():
