@@ -5338,8 +5338,20 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     blocking (df 2..5) keeps candidate volume linear; exact copies
     score 1.0, planted near-dups ~0.84-0.95."""
     docs = _dedup_docs(spark, sf_dir)
-    rows = _dedup_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("__sh").alias("__s")
+    # r16 (guide §2.4/§5; VERDICT r15 next #7 re-A/B): the exploded
+    # (id, shingle) projection feeds SEVEN differently-shaped consumers
+    # inside tfidf_cosine_pairs (df counts, the weight join and its two
+    # per-side aliases, the norm agg, both rare-candidate sides) — at
+    # seven re-derivations, staging the narrow exploded frame once
+    # beats re-exploding from the cached arrays on BOTH core counts
+    # (alternating min-of-4: 2.34 -> 1.96 s at 32c, 2.03 -> 1.87 s at
+    # 8c, first run 4.9 -> 2.5 s, hash-identical). Consumer count is
+    # what flips the §5 call vs line_dedup_docs' TWO-consumer exploded
+    # frame, which stays recompute.
+    rows = (
+        _dedup_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("__sh").alias("__s"))
+        .localCheckpoint(eager=True)
     )
     return tfidf_cosine_pairs(docs, threshold=0.8, df_cap=5, rows=rows)
 
