@@ -1935,12 +1935,23 @@ def scrub_token_spans(
     text without the leaked tokens; untouched documents pass through
     unchanged (and unshuffled — they never enter the rebuild path).
 
-    Shape: affected docs explode to (pos, token), leaked positions are
-    flagged with one range semi-join bounded by spans-per-doc, and the
-    survivors reassemble via array_sort(collect_list(struct(pos,
+    Shape: affected docs explode to (pos, token), tokens inside any
+    leaked range drop via one range ANTI-join bounded by spans-per-doc,
+    and the survivors reassemble via array_sort(collect_list(struct(pos,
     token))) — a per-doc combinable aggregate, no global window, no
     Python. Overlapping spans compose correctly (a token inside ANY
-    leaked range is dropped)."""
+    leaked range is dropped).
+
+    r16 optimization (guide §2.4 remove shuffles outright): the r15
+    shape computed ``leaked`` with a range SEMI-join and then
+    ``toks.exceptAll(leaked)`` — but exceptAll plans as a UNION of both
+    inputs (deriving the posexplode subtree TWICE), a corpus-token-sized
+    count aggregate behind its own Exchange, and a replicate Generate.
+    ``(id, __pos)`` is UNIQUE within ``toks`` (posexplode emits each
+    position once), so multiset difference ≡ set difference ≡ the same
+    range join with ``anti`` semantics: one broadcast anti hash join on
+    the doc key with the range as residual condition, no token shuffle
+    at all. Bit-identical rows by the uniqueness argument."""
     affected_ids = spans.select(id_col).distinct()
     affected = df.join(affected_ids, id_col, "semi")
     untouched = df.join(affected_ids, id_col, "anti")
@@ -1948,14 +1959,13 @@ def scrub_token_spans(
         id_col,
         F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
     )
-    leaked = toks.alias("t").join(
+    kept = toks.alias("t").join(
         spans.alias("s"),
         (F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
         & (F.col("t.__pos") >= F.col("s.start_pos"))
         & (F.col("t.__pos") < F.col("s.start_pos") + F.col("s.span_words")),
-        "semi",
+        "anti",
     )
-    kept = toks.exceptAll(leaked)
     rebuilt = (
         kept.groupBy(id_col)
         .agg(

@@ -1522,10 +1522,25 @@ def doc_duplication_rate(
     containment/substring operators: no pair enumeration, so it stays
     linear even for boilerplate grams shared by thousands of docs).
 
-    Shape: one gram shuffle for (gram -> n docs containing it), one
-    semi-join-shaped rejoin on gram, one per-doc combinable fold;
-    dup_rate = round(dup/total, 6) — cross-engine-exact rational.
-    Docs shorter than k tokens report zero grams and NULL dup_rate."""
+    Shape: the exploded grams combine straight into per-(gram, doc)
+    occurrence counts (map-side combinable), a count window over the
+    gram partition reads ``n docs containing g`` as a plain row count,
+    and one per-doc combinable fold recovers both totals from the
+    counts; dup_rate = round(dup/total, 6) — cross-engine-exact
+    rational. Docs shorter than k tokens report zero grams and NULL
+    dup_rate.
+
+    r16 optimization (guide §2.3/§2.4): the r15 shape derived the
+    exploded gram frame TWICE (once for the df groupBy, once for the
+    rejoin) and shuffled every raw occurrence row by gram string for
+    the join. Folding occurrences to (g, id, cnt) first means the
+    tokenize+explode runs once and the only gram-keyed exchange carries
+    one row per (gram, doc); n_grams = Σ cnt and n_duplicated =
+    Σ cnt·[ndocs>1] are the same integers by commutativity, and
+    ndocs = count_distinct(id) = rows in the (g, id) group — measured
+    2.00 -> 1.24 s min-of-4 (hash-identical, tools/ab_r16b.py docdup)."""
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t")
     ).select(
@@ -1540,18 +1555,17 @@ def doc_duplication_rate(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    gdf = grams.groupBy("g").agg(
-        F.count_distinct("id").alias("__ndocs")
+    cnt = grams.groupBy("g", "id").agg(F.count(F.lit(1)).alias("__cnt"))
+    flagged = cnt.withColumn(
+        "__ndocs", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
-    per_doc = (
-        grams.join(gdf, "g")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum((F.col("__ndocs") > 1).cast("long"))
-            .cast("long")
-            .alias("n_duplicated"),
+    per_doc = flagged.groupBy("id").agg(
+        F.sum("__cnt").cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("__ndocs") > 1, F.col("__cnt")).otherwise(F.lit(0))
         )
+        .cast("long")
+        .alias("n_duplicated"),
     )
     return (
         df.select(F.col(id_col).alias("id"))
