@@ -1553,16 +1553,30 @@ def substring_span_pairs(
     # differently-aliased projections). One eager localCheckpoint of the
     # narrow (id, pos, g) frame — O(total tokens), linear in corpus size
     # — computes it once.
+    from pyspark.sql import Window
+
     grams = _gram_positions(df, text_col, id_col, k).localCheckpoint(
         eager=True
     )
-    rare = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # r16 optimization (guide §2.4/§3.1): the r15 shape computed the
+    # rare-gram set as a groupBy and joined it back — and because BOTH
+    # self-join sides derive it independently, the planner broadcast the
+    # near-gram-vocabulary-sized aggregate (≈280k gram strings, ~40 MB)
+    # TWICE and built its hash relation on every task. A count window
+    # over the gram partition reads the same occurrence df in place:
+    # one exchange of the gram rows, no broadcast anywhere, and the
+    # self-join below reuses the window's partitioning. Occurrence
+    # count ≤ df_cap is the identical predicate; measured 2.10 ->
+    # 1.47 s min-of-4, hash-identical (negative twin: the same window
+    # in cross_leakage_spans' asymmetric candidate join measured flat
+    # and was left alone).
+    rare_rows = (
+        grams.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .filter(F.col("__df") <= df_cap)
-        .select("g")
+        .select("id", "g")
     )
-    rare_rows = grams.join(rare, "g").select("id", "g")
     cand = (
         rare_rows.select(F.col("id").alias("id_a"), "g")
         .join(rare_rows.select(F.col("id").alias("id_b"), "g"), "g")
