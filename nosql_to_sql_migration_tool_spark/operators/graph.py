@@ -39,7 +39,18 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-round PageRank over an UNDIRECTED pair graph (each pair
     contributes both directions). Returns ``(node, pagerank)`` for
-    every node appearing in an edge. Damping 0.85; initial rank 1/N."""
+    every node appearing in an edge. Damping 0.85; initial rank 1/N.
+
+    r16 optimization (guide §5: localCheckpoint only where a frame is
+    REUSED): the r15 shape eagerly checkpointed ``ranks`` after every
+    round, but each round's ranks has exactly ONE consumer (the next
+    round) — the checkpoint bought no dedup, only a driver-synchronized
+    action and an executor-disk write per round. With a FIXED 3-round
+    unroll (no convergence count forcing execution mid-loop) the whole
+    chain now runs lazily as one job whose shuffle boundaries
+    materialize each round anyway: 0.87 -> 0.73 s min-of-4,
+    hash-identical. ``edges``/initial ``ranks`` keep their checkpoints
+    (multi-consumer: degree table + every round)."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
@@ -84,7 +95,6 @@ def pagerank(
             )
             .join(deg, F.col("node") == deg["u"])
             .select("node", "__d", "__n", "pr")
-            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("pr").alias("pagerank"))
 

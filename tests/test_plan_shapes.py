@@ -95,6 +95,14 @@ def test_full_surface_plan_invariants(spark):
         # decoders: linear, no shuffle before it, columns pruned
         # explicitly.
         "charlm_doc_scores",
+        # r16: the hyperplane bit signature (embedding_band_rows) moved
+        # from 16 interpreted F.aggregate dot-folds per vector to one
+        # mapInArrow pass whose np.add.accumulate replays the fold's
+        # IEEE addition order bit-for-bit (1.40 -> 0.26 s corpus pass,
+        # hash-identical; the unrolled-codegen alternative measured 7x
+        # worse). Same deliberate-Arrow class: linear, no shuffle
+        # before it, columns pruned to (id, vec).
+        "ingest_embedding_near_dup",
     }
     offenders = []
     for name, fn in QUERIES.items():
