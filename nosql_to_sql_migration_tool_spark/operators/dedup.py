@@ -287,7 +287,15 @@ def minhash_candidates(
     pipeline persists anyway at scale); an eager ``localCheckpoint``
     computes it once and every consumer reads the checkpoint. Measured
     (tools/micro_ab_r15.py cands, 3 alternating repeats, sf0.1):
-    2.28 s -> 1.97 s warm, result hash identical."""
+    2.28 s -> 1.97 s warm, result hash identical.
+
+    Caveat (ADVICE r15): the eager checkpoint triggers Spark jobs AT
+    CALL TIME and truncates lineage — callers composing plans without
+    executing them pay the signature build immediately, and the staged
+    frame is NOT recomputed on executor loss (the job fails instead of
+    replaying lineage). Acceptable for the bench/pipeline paths that
+    always execute; pass a precomputed ``shingles``/use the memo layer
+    where lazy composition matters."""
     sig = minhash_sig_table(df, text_col, id_col, shingles).localCheckpoint(
         eager=True
     )
