@@ -87,8 +87,31 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity, rounded 6 dp (the cross-engine stability pin)."""
+    """Cosine similarity, rounded 6 dp (the cross-engine stability pin).
+
+    Cost note (r16, guide §1.2/§2.3): this inlines THREE interpreted
+    HOF folds per evaluated row — ``dot(a,b)`` plus both self-dots —
+    and the self-dots are per-VECTOR quantities. Every hot call site
+    (pair verifies, broadcast scoring joins) hoists the norms into the
+    per-vector projections below the join and combines them with
+    ``cosine_pre`` instead (the ``_nearest_cluster`` precedent: "only
+    ONE vector fold per centroid runs per row"); this three-fold form
+    stays for one-shot/tiny-side uses where hoisting buys nothing."""
     return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+
+def _norm(v: Column) -> Column:
+    """``sqrt(dot(v, v))`` — the hoistable per-vector factor of
+    ``cosine``; same fold, same sqrt, so combining two precomputed
+    norms with ``cosine_pre`` is bit-identical to ``cosine``."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_pre(dab: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` from a precomputed pair dot and per-side norms —
+    the identical expression tree (round(dot/(na*nb), 6); IEEE multiply
+    is commutative, so factor order cannot change a bit)."""
+    return F.round(dab / (na * nb), 6)
 
 
 def cosine_sql(a: str, b: str) -> str:
@@ -108,12 +131,25 @@ def cosine_topk(
     """Exact brute-force top-k: broadcast the single-row query side,
     score every vector, TakeOrderedAndProject on (cos desc, id asc) —
     no shuffle beyond the final top-k."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
-    scored = df.crossJoin(q).select(
-        F.col(id_col),
-        cosine(as_double(F.col(vec_col)), as_double(F.col("__q"))).alias(
-            "cos_sim"
-        ),
+    # r16 (guide §1.2): the query self-norm is a constant of the scan —
+    # computed once at broadcast build instead of re-folded per corpus
+    # row; the corpus row norm folds once per row (it must), leaving 2
+    # folds/row instead of 3. Bit-identical (same folds, same values).
+    q = F.broadcast(
+        query.select(as_double(F.col(vec_col)).alias("__q")).withColumn(
+            "__qn", _norm(F.col("__q"))
+        )
+    )
+    scored = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__n", _norm(F.col("__v")))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine_pre(
+                dot(F.col("__v"), F.col("__q")), F.col("__n"), F.col("__qn")
+            ).alias("cos_sim"),
+        )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -162,7 +198,14 @@ def ivf_topk(
     a bucket-count-sized table. Rounded cosines + label/id tie-breaks
     keep the result deterministic across engines."""
     cents = centroids_by_label(df, vec_col, label_col)
-    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("__q")))
+    # r16 (guide §1.2): query self-norm computed once at broadcast
+    # build, not per probed corpus row (the cosine_pre hoist); the
+    # bucket-count-sized centroid probe keeps the plain three-fold form.
+    q = F.broadcast(
+        query.select(as_double(F.col(vec_col)).alias("__q")).withColumn(
+            "__qn", _norm(F.col("__q"))
+        )
+    )
     probed = F.broadcast(
         cents.crossJoin(q)
         .select(
@@ -174,10 +217,21 @@ def ivf_topk(
         .select(label_col)
     )
     candidates = df.join(probed, label_col, "left_semi")
-    scored = candidates.crossJoin(q).select(
-        F.col(id_col),
-        F.col(label_col),
-        cosine(as_double(F.col(vec_col)), F.col("__q")).alias("cos_sim"),
+    scored = (
+        candidates.select(
+            F.col(id_col),
+            F.col(label_col),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", _norm(F.col("__v")))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            cosine_pre(
+                dot(F.col("__v"), F.col("__q")), F.col("__n"), F.col("__qn")
+            ).alias("cos_sim"),
+        )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -1075,24 +1129,16 @@ def embedding_near_dup(
         with_salt_cells,
     )
 
-    sigs = df.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("__v"),
-    ).select(
-        id_col, lsh_bits(F.col("__v")).alias("__bits")
-    )
-    n_bands = N_PLANES // band_chars
-    bands = sigs.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("__bits", b * band_chars + 1, band_chars)
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
+    # r16 (guide §4.2): the bit signature runs in the proven
+    # ``embedding_band_rows`` Arrow kernel instead of 16 interpreted
+    # ``F.aggregate`` HOF dot-folds per vector — the bucket self-join
+    # derives the signature subtree on BOTH sides, so the interpreted
+    # fold used to run twice per vector (A/B: 2.6 -> 1.1 s on the
+    # memoized pair build, hash-identical; the kernel replays the
+    # fold's IEEE addition order bit-for-bit, tools/probes_r16).
+    bands = embedding_band_rows(
+        df, vec_col=vec_col, id_col=id_col, band_chars=band_chars
+    ).select(id_col, "band_idx", "band_val")
     keys = ["band_idx", "band_val"]
     if max_bucket_width is not None:
         bands = with_salt_cells(bands, keys, id_col, max_bucket_width)
@@ -1105,17 +1151,32 @@ def embedding_near_dup(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(
-        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("__va")
+    # per-vector norms hoisted below the pair join (the cosine_pre
+    # discipline): 1 fold per pair + 1 per vector instead of 3 per pair
+    base = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    va = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    vb = df.select(
-        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("__vb")
+    vb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     pairs = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
+            "id_a",
+            "id_b",
+            cosine_pre(
+                dot(F.col("__va"), F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
+            ).alias("cos_sim"),
         )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
@@ -1144,18 +1205,28 @@ def knn_join(
     salt count: the true global top-k survives every salt bucket's
     local cut. Raise ``n_salts`` with corpus size to keep buckets in
     executor memory."""
+    # r16 (guide §1.2): norms hoisted out of the |corpus| x |batch|
+    # scoring product — each query's self-norm folds once at broadcast
+    # build, each corpus row's once below the join (the cosine_pre
+    # discipline), leaving one dot fold per scored pair instead of 3.
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
-        )
+            F.col(query_id_col).alias("__qid"),
+            as_double(F.col(vec_col)).alias("__qv"),
+        ).withColumn("__qn", _norm(F.col("__qv")))
     )
-    scored = corpus.crossJoin(q).select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        cosine(as_double(F.col(vec_col)), as_double(F.col("__qv"))).alias(
-            "cos_sim"
-        ),
-        (F.crc32(F.col(id_col).cast("string")) % n_salts).alias("__salt"),
+    scored = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__n", _norm(F.col("__v")))
+        .crossJoin(q)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            cosine_pre(
+                dot(F.col("__v"), F.col("__qv")), F.col("__n"), F.col("__qn")
+            ).alias("cos_sim"),
+            (F.crc32(F.col(id_col).cast("string")) % n_salts).alias("__salt"),
+        )
     )
     local_w = Window.partitionBy(query_id_col, "__salt").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -1230,17 +1301,26 @@ def label_centroid_outliers(
     the label's row count; for a degenerate single-label corpus use the
     salted two-phase top-k of ``knn_join``)."""
     cent = label_centroids(emb, label_col, vec_col)
+    # r16 (guide §1.2): the centroid self-norm is per-LABEL — folded
+    # once on the broadcast side instead of once per corpus row; the
+    # row's own norm still folds per row (each vector is distinct).
+    cent = cent.withColumn("__cn", _norm(F.col("centroid")))
     sim = (
         emb.select(
-            F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col)
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            as_double(F.col(vec_col)).alias("__v"),
         )
+        .withColumn("__n", _norm(F.col("__v")))
         .join(F.broadcast(cent), "label")
         .select(
             F.col(id_col),
             "label",
-            cosine(as_double(F.col(vec_col)), F.col("centroid")).alias(
-                "cos_centroid"
-            ),
+            cosine_pre(
+                dot(F.col("__v"), F.col("centroid")),
+                F.col("__n"),
+                F.col("__cn"),
+            ).alias("cos_centroid"),
         )
     )
     # NULLS pinned LAST on both engines: a zero-norm vector or zero
@@ -1364,16 +1444,27 @@ def sampled_truth_pairs(
     over sample-incident pairs is an unbiased estimate of pair recall.
     Pairs are normalized to ``id_a < id_b`` and deduped (both-sampled
     pairs appear from each side). Output ``(id_a, id_b, cos_sim)``."""
+    # r16 (guide §1.2): norms hoisted out of the |corpus| x |sample|
+    # product — the corpus row's self-norm folds once below the join
+    # and each sample vector's once at broadcast build, so the product
+    # evaluates ONE dot fold per pair instead of 3 (A/B 2.2 -> 1.1 s,
+    # hash-identical, tools/probes_r16/probe_emb_s3.py).
     base = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    )
+    ).withColumn("__n", _norm(F.col("__v")))
     sample = (
         base.withColumn("__m", F.md5(F.col(id_col).cast("string")))
         .orderBy("__m", id_col)
         .limit(sample_limit)
-        .select(F.col(id_col).alias("__sid"), F.col("__v").alias("__sv"))
+        .select(
+            F.col(id_col).alias("__sid"),
+            F.col("__v").alias("__sv"),
+            F.col("__n").alias("__sn"),
+        )
     )
-    cos = cosine(F.col("__v"), F.col("__sv"))
+    cos = cosine_pre(
+        dot(F.col("__v"), F.col("__sv")), F.col("__n"), F.col("__sn")
+    )
     return (
         base.crossJoin(F.broadcast(sample))
         .filter(F.col(id_col) != F.col("__sid"))
@@ -1603,20 +1694,28 @@ def ingest_embedding_near_dup_flags(
         .select("__batch_id", "__corpus_id")
         .distinct()
     )
+    # r16 (guide §1.2): per-vector norms hoisted below the verify join
+    # (the cosine_pre discipline) — one dot fold per candidate pair
+    # instead of 3, with each side's norm folded once per vector.
     bv = batch.select(
         F.col(id_col).alias("__batch_id"),
         as_double(F.col(vec_col)).alias("__v_b"),
-    )
+    ).withColumn("__n_b", _norm(F.col("__v_b")))
     cand_ids = cand.select(F.col("__corpus_id").alias(id_col)).distinct()
     cv = corpus.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("__corpus_id"),
         as_double(F.col(vec_col)).alias("__v_c"),
-    )
+    ).withColumn("__n_c", _norm(F.col("__v_c")))
     ver = (
         cand.join(bv, "__batch_id")
         .join(cv, "__corpus_id")
         .select(
-            "__batch_id", cosine(F.col("__v_b"), F.col("__v_c")).alias("__c")
+            "__batch_id",
+            cosine_pre(
+                dot(F.col("__v_b"), F.col("__v_c")),
+                F.col("__n_b"),
+                F.col("__n_c"),
+            ).alias("__c"),
         )
     )
     agg = ver.groupBy("__batch_id").agg(
@@ -1663,22 +1762,31 @@ def hard_negatives(
     top-k, and the top-k itself is the salted two-phase cut — no window
     partition ever holds more than |corpus|/n_salts rows, the knn_join
     discipline."""
+    # r16 (guide §1.2): same norm hoist as knn_join — anchor self-norms
+    # fold once at broadcast build, corpus row norms once below the
+    # join, one dot fold per scored (corpus, anchor) pair instead of 3.
     a = F.broadcast(
         anchors.select(
             F.col(id_col).alias("__aid"),
-            F.col(vec_col).alias("__av"),
+            as_double(F.col(vec_col)).alias("__av"),
             F.col(label_col).alias("__alabel"),
-        )
+        ).withColumn("__an", _norm(F.col("__av")))
     )
     scored = (
-        corpus.crossJoin(a)
+        corpus.select(
+            F.col(id_col),
+            F.col(label_col),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", _norm(F.col("__v")))
+        .crossJoin(a)
         .where(F.col(label_col) != F.col("__alabel"))
         .select(
             F.col("__aid").alias("anchor_id"),
             F.col(id_col),
             F.col(label_col),
-            cosine(
-                as_double(F.col(vec_col)), as_double(F.col("__av"))
+            cosine_pre(
+                dot(F.col("__v"), F.col("__av")), F.col("__n"), F.col("__an")
             ).alias("cos_sim"),
             (F.crc32(F.col(id_col).cast("string")) % n_salts).alias(
                 "__salt"

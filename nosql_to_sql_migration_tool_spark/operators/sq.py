@@ -40,8 +40,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from nosql_to_sql_migration_tool_spark.operators.similarity import (
     as_double,
-    cosine,
+    cosine_pre,
     cosine_sql,
+    dot,
 )
 
 SQ_LEVELS = 255  # codes span 0..255 -> 255 buckets of width span/255
@@ -150,13 +151,33 @@ def sq_topk(
         param_row = sq_param_arrays(sq_params(df, vec_col))
     if codes is None:
         codes = sq_encode(df, param_row, vec_col, id_col)
-    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("__q")))
-    approx = codes.crossJoin(F.broadcast(param_row)).crossJoin(q).select(
-        F.col(id_col),
-        cosine(
-            _dequant(F.col("codes"), F.col("vmin"), F.col("vmax")),
-            F.col("__q"),
-        ).alias("approx_cos"),
+    # r16 (guide §1.2): the query self-norm folds once at broadcast
+    # build instead of once per corpus row in BOTH phases (the
+    # similarity.cosine_pre hoist), and the dequantized vector is
+    # projected ONCE per row instead of re-expanding inside each of the
+    # old three-fold cosine's dot arguments; the dequantized/raw row
+    # norms still fold per row (each row is distinct). Bit-identical.
+    q = F.broadcast(
+        query.select(as_double(F.col(vec_col)).alias("__q")).withColumn(
+            "__qn", F.sqrt(dot(F.col("__q"), F.col("__q")))
+        )
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(param_row))
+        .select(
+            F.col(id_col),
+            _dequant(F.col("codes"), F.col("vmin"), F.col("vmax")).alias(
+                "__dq"
+            ),
+        )
+        .withColumn("__dn", F.sqrt(dot(F.col("__dq"), F.col("__dq"))))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine_pre(
+                dot(F.col("__dq"), F.col("__q")), F.col("__dn"), F.col("__qn")
+            ).alias("approx_cos"),
+        )
     )
     cand = approx.orderBy(
         F.col("approx_cos").desc(), F.col(id_col)
@@ -164,11 +185,19 @@ def sq_topk(
     rerank = (
         df.select(id_col, vec_col)
         .join(cand, id_col)
+        .select(
+            F.col(id_col),
+            F.col("approx_cos"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
         .crossJoin(q)
         .select(
             F.col(id_col),
             F.col("approx_cos"),
-            cosine(as_double(F.col(vec_col)), F.col("__q")).alias("cos_sim"),
+            cosine_pre(
+                dot(F.col("__v"), F.col("__q")), F.col("__n"), F.col("__qn")
+            ).alias("cos_sim"),
         )
     )
     return rerank.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
