@@ -159,24 +159,112 @@ def _sub_code(sub: Column, book: list[tuple[int, list[float]]]) -> Column:
     return F.array_sort(structs)[0]["cid"]
 
 
+def _pq_dists_arrow_fn(
+    vec_col: str,
+    id_col: str,
+    books: list[list[tuple[int, list[float]]]],
+):
+    """Batch kernel for the encode distances (guide §4.2, the
+    embedding_band_rows precedent): every (subspace, code) squared-L2
+    runs as NumPy element ops + ``np.add.accumulate`` — per-element
+    ``(x-y)*(x-y)`` is exact IEEE and the accumulate replays the JVM
+    ``F.aggregate`` left-fold's addition order bit-for-bit (the fold's
+    ``0.0 + v1`` equals ``v1`` exactly because squares are
+    non-negative). Emits the RAW distances; rounding, argmin and the
+    min-cid tie-break stay JVM-side so no Python rounding semantics
+    ever enter the result. Loud failures on ragged or null vectors."""
+    sub_len = len(books[0][0][1])
+    m = len(books)
+    centers = [
+        [list(c) for _, c in book] for book in books
+    ]  # kernel computes in book order; cids map back JVM-side
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = [np.array(b, dtype=np.float64) for b in centers]
+        n_out = sum(len(b) for b in centers)
+        for b in batches:
+            ids = b.column(id_col)
+            vecs = b.column(vec_col)
+            n = len(vecs)
+            if n == 0:
+                yield pa.record_batch(
+                    [ids, pa.array([], type=pa.list_(pa.float64()))],
+                    names=[id_col, "__d"],
+                )
+                continue
+            if vecs.null_count:
+                raise ValueError("pq_encode: null vector")
+            widths = np.diff(vecs.offsets.to_numpy(zero_copy_only=False))
+            if not (widths == m * sub_len).all():
+                raise ValueError("pq_encode: vector dim != m * sub_len")
+            M = np.asarray(vecs.flatten(), dtype=np.float64).reshape(
+                n, m * sub_len
+            )
+            out = np.empty((n, n_out), dtype=np.float64)
+            col = 0
+            for s in range(m):
+                sub = M[:, s * sub_len : (s + 1) * sub_len]
+                for c in C[s]:
+                    diff = sub - c
+                    out[:, col] = np.add.accumulate(diff * diff, axis=1)[
+                        :, -1
+                    ]
+                    col += 1
+            yield pa.record_batch(
+                [ids, pa.array(list(out), type=pa.list_(pa.float64()))],
+                names=[id_col, "__d"],
+            )
+
+    return fn
+
+
 def pq_encode(
     df: DataFrame,
     books: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """``(id, codes: array<int>)`` — the compressed index. One
-    projection over the corpus; at scale this is the table you persist
-    (4 bytes/vector here vs 256 raw)."""
-    v = as_double(F.col(vec_col))
-    sub_len = len(books[0][0][1])
-    codes = F.array(
-        *[
-            _sub_code(F.slice(v, s * sub_len + 1, sub_len), book)
-            for s, book in enumerate(books)
-        ]
+    """``(id, codes: array<int>)`` — the compressed index. One pass over
+    the corpus; at scale this is the table you persist (4 bytes/vector
+    here vs 256 raw).
+
+    r16 (guide §4.2): the M x n_codes squared-L2 distances used to run
+    as interpreted ``F.aggregate`` HOF folds (64 per vector at the
+    defaults — the HOF-fold class the round's Arrow kernels replace;
+    the unrolled-codegen alternative measured 4.5x worse, see
+    ``_sub_l2``). They now come from one ``mapInArrow`` pass over
+    exactly (id, vec) that replays each fold's IEEE addition order
+    bit-for-bit; the 6-dp rounding, argmin and min-cid tie-break stay
+    in the JVM expression below, so the selected codes are identical by
+    construction."""
+    import pyspark.sql.types as T
+
+    dists = df.select(id_col, vec_col).mapInArrow(
+        _pq_dists_arrow_fn(vec_col, id_col, books),
+        T.StructType(
+            [
+                df.schema[id_col],
+                T.StructField("__d", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
+    col = 0
+    sub_codes = []
+    for book in books:
+        structs = []
+        for cid, _c in book:
+            structs.append(
+                F.struct(
+                    F.round(F.col("__d")[col], 6).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+            )
+            col += 1
+        sub_codes.append(F.array_sort(F.array(*structs))[0]["cid"])
+    return dists.select(F.col(id_col), F.array(*sub_codes).alias("codes"))
 
 
 def pq_topk(
