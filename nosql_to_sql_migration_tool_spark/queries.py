@@ -7934,13 +7934,23 @@ def _takedown_state(spark, sf_dir) -> tuple[str, str, str]:
     # SAME memoized bucket rows build_band_index would recompute —
     # byte-equivalent by band_bucket_rows' purity (pytest-pinned on
     # update_band_index), one less minhash pass in build:ingest_state
-    _ingest_corpus_buckets(spark, sf_dir).write.mode(
-        "overwrite"
-    ).partitionBy("band_idx").parquet(idx)
-    gate_batch(
-        docs.filter(k % 5 == 0).localCheckpoint(eager=True),
-        0, corpus, idx, acc, qua,
+    # r16 session 3 (guide §2.6): the index materialization and the
+    # batch checkpoint touch disjoint state (memoized bucket rows ->
+    # scratch index vs documents scan -> executor checkpoint) — run as
+    # concurrent jobs; the gate starts only after both finish.
+    staged: dict[str, DataFrame] = {}
+
+    def _ckpt_batch():
+        staged["b"] = docs.filter(k % 5 == 0).localCheckpoint(eager=True)
+
+    _overlap(
+        lambda: _ingest_corpus_buckets(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(idx),
+        _ckpt_batch,
     )
+    gate_batch(staged["b"], 0, corpus, idx, acc, qua)
     takedown_docs(
         spark, docs.filter(k % 15 == 0).select("doc_id"), acc, qua, idx
     )

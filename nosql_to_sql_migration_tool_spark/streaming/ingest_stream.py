@@ -360,11 +360,6 @@ def gate_batch(
     )
     if batch_df.isEmpty():
         return
-    # ledger FIRST (before any sink/index mutation): a crash after this
-    # append classifies the redelivery as a TRUE replay, whose
-    # exclusions are no-ops against not-yet-mutated state — verdicts
-    # replay bit-identically from any crash point
-    _ledger_append(batch_df.select(id_col), ledger, batch_id)
     buckets = try_read_parquet(spark, index_path)
     if buckets is not None:
         buckets = buckets.select("band_idx", "band_hash", id_col)
@@ -393,22 +388,43 @@ def gate_batch(
     # signature/shingle store an LSH pipeline persists anyway at
     # scale); staging each once replaces two extra tokenize passes and
     # a full batch minhash re-computation in update_band_index.
-    batch_sh = shingle_sets(batch_df, text_col, id_col).localCheckpoint(
-        eager=True
+    #
+    # Ledger-FIRST contract, overlapped (r16 session 3, guide §2.6):
+    # the ledger append must complete before any SINK/INDEX mutation —
+    # which happens strictly after this block — while the staging and
+    # the flags probe are pure computations over already-read state
+    # (their localCheckpoints land in executor scratch, not a store),
+    # so the two run as concurrent jobs. Crash anywhere in the overlap
+    # leaves either no ledger row (clean re-gate) or the ledger row
+    # with zero mutations ("exclusions are no-ops against not-yet-
+    # mutated state" — the documented replay point); verdicts replay
+    # bit-identically either way (tests/test_replay_equivalence.py).
+    staged: dict[str, DataFrame] = {}
+
+    def _stage_and_probe() -> None:
+        staged["sh"] = shingle_sets(
+            batch_df, text_col, id_col
+        ).localCheckpoint(eager=True)
+        staged["buckets"] = band_bucket_rows(
+            batch_df, text_col, id_col, shingles=staged["sh"]
+        ).localCheckpoint(eager=True)
+        staged["flags"] = ingest_near_dup_flags(
+            verify_side,
+            batch_df,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            corpus_buckets=buckets,
+            batch_buckets=staged["buckets"],
+            batch_shingles=staged["sh"],
+        ).localCheckpoint(eager=True)
+
+    _concurrent(
+        lambda: _ledger_append(batch_df.select(id_col), ledger, batch_id),
+        _stage_and_probe,
     )
-    batch_buckets = band_bucket_rows(
-        batch_df, text_col, id_col, shingles=batch_sh
-    ).localCheckpoint(eager=True)
-    flags = ingest_near_dup_flags(
-        verify_side,
-        batch_df,
-        threshold=threshold,
-        text_col=text_col,
-        id_col=id_col,
-        corpus_buckets=buckets,
-        batch_buckets=batch_buckets,
-        batch_shingles=batch_sh,
-    ).localCheckpoint(eager=True)
+    batch_buckets = staged["buckets"]
+    flags = staged["flags"]
     batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
     routed = batch_cols.join(
         flags.select(id_col, "best_jaccard", "is_near_dup"), id_col
@@ -479,7 +495,6 @@ def gate_embedding_batch(
     )
     if batch_df.isEmpty():
         return
-    _ledger_append(batch_df.select(id_col), ledger, batch_id)
     bands = try_read_parquet(spark, index_path)
     if bands is not None:
         bands = bands.select("band_idx", "band_val", id_col)
@@ -498,18 +513,32 @@ def gate_embedding_batch(
     # index-prune key build, the candidate probe, the index append) —
     # one O(batch) staging replaces two extra 64-plane signature passes
     # and unlocks the flags' bucket-key semi-prune of the index.
-    batch_bands = embedding_band_rows(
-        batch_df, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint(eager=True)
-    flags = ingest_embedding_near_dup_flags(
-        verify_side,
-        batch_df,
-        threshold=threshold,
-        vec_col=vec_col,
-        id_col=id_col,
-        corpus_bands=bands,
-        batch_bands=batch_bands,
-    ).localCheckpoint(eager=True)
+    # Ledger-FIRST contract overlapped with the pure staging/probe jobs
+    # exactly as in gate_batch (r16 session 3, guide §2.6): no store
+    # mutates until both finish, so every crash point replays
+    # bit-identically.
+    staged: dict[str, DataFrame] = {}
+
+    def _stage_and_probe() -> None:
+        staged["bands"] = embedding_band_rows(
+            batch_df, vec_col=vec_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        staged["flags"] = ingest_embedding_near_dup_flags(
+            verify_side,
+            batch_df,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            corpus_bands=bands,
+            batch_bands=staged["bands"],
+        ).localCheckpoint(eager=True)
+
+    _concurrent(
+        lambda: _ledger_append(batch_df.select(id_col), ledger, batch_id),
+        _stage_and_probe,
+    )
+    batch_bands = staged["bands"]
+    flags = staged["flags"]
     batch_cols = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
     routed = batch_cols.join(
         flags.select(id_col, "best_cos", "is_near_dup"), id_col
