@@ -6547,23 +6547,52 @@ def _pw_dedup_text_memos(spark, sf_dir):
         with_fingerprints,
     )
 
-    # r15 optimization (guide §2.6): the row's artifact DAG — corpus ->
-    # {shingles, raw shingles, simhash} -> {fingerprints, candidates ->
-    # pairs -> components, leak spans} — has three independent chains
-    # after the shared frames exist; they used to run strictly
-    # sequentially, leaving most cores idle during each chain's
-    # straggler/driver phases. The shared base frames are forced first
-    # (so no memo is double-built), then the independent chains overlap.
-    _force(_dedup_docs(spark, sf_dir))
-    _overlap(
-        lambda: _force(_dedup_shingles(spark, sf_dir)),
-        lambda: _force(_raw_shingles(spark, sf_dir)),
-        # r12 fold: the simhash signature table is a dedup text memo too
-        # (was its own build:simhash_signatures row)
-        lambda: _force(_dedup_simhash(spark, sf_dir)),
-    )
+    # r15 ran this row as two overlap BARRIERS (shared frames, then the
+    # three consumer chains); r16 session 3 removes the barrier (guide
+    # §2.6): each chain starts as soon as its TRUE dependency is met,
+    # so the simhash/leak/fingerprint chains no longer wait for the
+    # whole pair-graph prefix and vice versa. The wall becomes the
+    # longest single chain (docs -> shingles -> cands -> pairs ->
+    # components) instead of the sum of two stage maxima. The planted
+    # corpus memo is forced exactly once in the graph chain and
+    # signalled via an Event so the dependent chains never race its
+    # cache fill (the `_cached` build-once lock guards the build; the
+    # event avoids duplicated partition computation during the fill);
+    # the fingerprint chain reads only the RAW documents table and
+    # starts immediately.
+    import threading
+
+    docs_ready = threading.Event()
+
+    def _chain_pair_graph():
+        # r13 fold: banded minhash candidates (was
+        # build:minhash_candidates), Jaccard-verified pairs + their
+        # transitive component labels (was build:near_dup_graph). Each
+        # stage is incremental over the one above — sequential WITHIN
+        # itself; this is the row's longest chain.
+        try:
+            _force(_dedup_docs(spark, sf_dir))
+        finally:
+            docs_ready.set()  # never deadlock the waiters on failure
+        _force(_dedup_shingles(spark, sf_dir))
+        _force(_dedup_cands(spark, sf_dir))
+        _force(_dedup_pairs(spark, sf_dir))
+        _force(_dedup_components(spark, sf_dir))
+
+    def _chain_simhash():
+        # r12 fold: the simhash signature table is a dedup text memo
+        # too (was its own build:simhash_signatures row)
+        docs_ready.wait()
+        _force(_dedup_simhash(spark, sf_dir))
+
+    def _chain_leak():
+        # was build:leak_spans (r13 fold): anchor-blocked train×eval
+        # leak spans — depends only on the planted corpus memo
+        docs_ready.wait()
+        _force(_leak_spans(spark, sf_dir))
 
     def _chain_fingerprints():
+        _force(_raw_shingles(spark, sf_dir))
         with_fingerprints(
             load_table(spark, sf_dir, "documents"),
             shingles=_raw_shingles(spark, sf_dir),
@@ -6571,24 +6600,11 @@ def _pw_dedup_text_memos(spark, sf_dir):
             "noop"
         ).mode("overwrite").save()
 
-    def _chain_pair_graph():
-        # r13 fold (bench capacity for the r13 registrations, the
-        # r10/r12 consolidation discipline): banded minhash candidates
-        # (was build:minhash_candidates), Jaccard-verified pairs + their
-        # transitive component labels (was build:near_dup_graph). Each
-        # stage's cost is incremental over the one above it — the
-        # artifact chain a production dedup pipeline persists stage by
-        # stage, so this chain stays sequential WITHIN itself.
-        _force(_dedup_cands(spark, sf_dir))
-        _force(_dedup_pairs(spark, sf_dir))
-        _force(_dedup_components(spark, sf_dir))
-
     _overlap(
-        _chain_fingerprints,
         _chain_pair_graph,
-        # was build:leak_spans (r13 fold): anchor-blocked train×eval
-        # leak spans — depends only on _dedup_docs, already forced
-        lambda: _force(_leak_spans(spark, sf_dir)),
+        _chain_simhash,
+        _chain_leak,
+        _chain_fingerprints,
     )
 
 
